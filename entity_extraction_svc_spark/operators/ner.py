@@ -1,0 +1,221 @@
+"""Mention detection: chunk rows -> mention rows (reference N1-N8).
+
+The reference runs a BERT token tagger (N3) then decodes BIO runs to mention
+spans (N5, ``src/entity_detection_parser.py:140-251``).  Here the model is
+pluggable: the deterministic gazetteer tagger below produces the same
+per-token (tag, proba) surface a real checkpoint would, and the decode is a
+faithful port of the reference's semantics (replace map, stopword / short
+digit / length filters, trailing-comma strip, mean-proba rounding), so a
+BERT-backed tagger can drop in without touching the pipeline.
+
+Execution shape: ``mapInPandas`` over chunk rows (the model scan is the hot
+path; batched + Arrow), with the gazetteer shipped as a broadcast variable
+(north rule: model broadcast per executor).  The chunk->doc offset merge
+(N6, ner_chunker.py:308-370) is a running-total window aggregation done in
+the DataFrame API before this operator, so the UDF emits doc-level offsets
+directly and no extra join is needed.
+"""
+
+from __future__ import annotations
+
+import string
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from entity_extraction_svc_spark.functions.stopwords import ENGLISH_STOPWORDS
+from entity_extraction_svc_spark.operators.chunker import RE_TOKENIZER
+
+GAZETTEER_PROBA = 0.97
+_PRINTABLE = set(string.printable)
+
+# entity_detection_parser.py:160-161 (order matters)
+REPLACE_TOKENS = [
+    (" - ", "-"), ("'s", ""), (" .", ""), ("{", ""), ("}", ""),
+    ("  ", " "), ('"', "'"), ("(", ""), (")", ""),
+]
+
+MENTION_SCHEMA = (
+    "url string, chunk_id int, substr string, start int, end int, "
+    "proba double, tag string"
+)
+
+
+def tokenize_with_offsets(text: str) -> tuple[list[str], list[tuple[int, int]]]:
+    """N1: regex word tokenize with char offsets
+    (torch_transformers_preprocessor.py:73,89-100)."""
+    tokens, offsets = [], []
+    for m in RE_TOKENIZER.finditer(text):
+        tokens.append(m.group())
+        offsets.append((m.start(), m.end()))
+    return tokens, offsets
+
+
+def _norm_token(tok: str) -> str:
+    tok = tok.lower()
+    if tok.endswith("'s"):
+        tok = tok[:-2]
+    return tok
+
+
+class GazetteerTagger:
+    """Deterministic NER stand-in: greedy longest-match over a surface
+    dictionary, emitting per-token BIO tags + probas with the exact schema a
+    BERT tagger would produce (SURVEY.md §7.4 risk 5)."""
+
+    def __init__(self, surfaces: dict[tuple[str, ...], str]):
+        self.surfaces = surfaces
+        self.max_len = max((len(k) for k in surfaces), default=1)
+
+    @classmethod
+    def from_rows(cls, rows: list[dict]) -> "GazetteerTagger":
+        surf: dict[tuple[str, ...], str] = {}
+        for r in rows:
+            toks = tuple(_norm_token(t) for t in RE_TOKENIZER.findall(r["surface"]))
+            if toks:
+                # first (most popular, the fixture writes core first) wins
+                surf.setdefault(toks, r["coarse_tag"])
+        return cls(surf)
+
+    def tag(self, tokens: list[str]) -> tuple[list[str], list[float]]:
+        n = len(tokens)
+        norm = [_norm_token(t) for t in tokens]
+        tags = ["O"] * n
+        probas = [1.0] * n
+        i = 0
+        while i < n:
+            matched = False
+            for ln in range(min(self.max_len, n - i), 0, -1):
+                key = tuple(norm[i : i + ln])
+                coarse = self.surfaces.get(key)
+                if coarse is not None:
+                    tags[i] = f"B-{coarse}"
+                    probas[i] = GAZETTEER_PROBA
+                    for j in range(i + 1, i + ln):
+                        tags[j] = f"I-{coarse}"
+                        probas[j] = GAZETTEER_PROBA
+                    i += ln
+                    matched = True
+                    break
+            if not matched:
+                i += 1
+        return tags, probas
+
+
+def decode_bio(
+    tokens: list[str],
+    tags: list[str],
+    tag_probas: list[float],
+    token_offsets: list[tuple[int, int]],
+) -> list[tuple[str, int, int, float, str]]:
+    """N5: BIO runs -> (substr, start, end, proba, tag) mention spans.
+
+    Faithful port of entity_detection_parser.py:140-251 (per-tag pending
+    runs, trailing-comma strip, replace map, stopword/short-digit/len>2
+    filters, mean-proba round 4) followed by the token->char offset mapping
+    of ner_chunker.py:265-283.
+    """
+    mentions: list[tuple[str, int, int, float, str]] = []
+    pending: dict[str, list[int]] = {}
+
+    def flush(c_tag: str) -> None:
+        positions = pending.get(c_tag) or []
+        # strip trailing commas (entity_detection_parser.py:168-174)
+        while positions and tokens[positions[-1]] == ",":
+            positions = positions[:-1]
+        if not positions:
+            pending[c_tag] = []
+            return
+        entity = " ".join(tokens[p] for p in positions)
+        for old, new in REPLACE_TOKENS:
+            entity = entity.replace(old, new)
+        probs = [tag_probas[p] for p in pending[c_tag]]
+        if (
+            entity
+            and entity.lower() not in ENGLISH_STOPWORDS
+            and not (entity.isdigit() and len(entity) < 3)
+            and len(entity) > 2
+        ):
+            start = token_offsets[positions[0]][0]
+            end = token_offsets[positions[-1]][1]
+            mentions.append(
+                (entity.lower(), start, end, round(sum(probs) / len(probs), 4), c_tag)
+            )
+        pending[c_tag] = []
+
+    def flush_all() -> None:
+        for c_tag in [t for t, v in pending.items() if v]:
+            flush(c_tag)
+
+    for n, (tok, tag) in enumerate(zip(tokens, tags)):
+        if tag != "O":
+            f_tag = tag.split("-")[-1]
+            if tag.startswith("B-") and any(pending.values()):
+                flush_all()
+            pending.setdefault(f_tag, []).append(n)
+        elif any(pending.values()):
+            flush_all()
+    flush_all()
+
+    # N8 printable/alnum filter (annotators/.../server.py:131-140)
+    return [
+        m
+        for m in mentions
+        if all(ch in _PRINTABLE for ch in m[0]) and any(ch.isalnum() for ch in m[0])
+    ]
+
+
+def with_offset_shift(chunks: DataFrame) -> DataFrame:
+    """N6 as a running-total window agg: shift_i = sum(len(chunk)+1) over
+    preceding chunks of the same doc (ner_chunker.py:333-341)."""
+    w = (
+        Window.partitionBy("url")
+        .orderBy("chunk_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return chunks.withColumn(
+        "offset_shift",
+        F.coalesce(F.sum(F.length("chunk_text") + F.lit(1)).over(w), F.lit(0)).cast("int"),
+    )
+
+
+def detect_mentions(chunks_with_shift: DataFrame, gazetteer_bc) -> DataFrame:
+    """chunk rows (+offset_shift) -> mention rows with doc-level offsets."""
+
+    def _ner_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tagger: GazetteerTagger = gazetteer_bc.value
+        for pdf in batches:
+            rows = []
+            for url, chunk_id, chunk_text, shift in zip(
+                pdf["url"], pdf["chunk_id"], pdf["chunk_text"], pdf["offset_shift"]
+            ):
+                # soft-hyphen strip (H7, ner_chunker.py:243)
+                text = (chunk_text or "").replace("\xad", " ")
+                tokens, offsets = tokenize_with_offsets(text)
+                if not tokens:
+                    continue
+                tags, probas = tagger.tag(tokens)
+                for substr, start, end, proba, tag in decode_bio(
+                    tokens, tags, probas, offsets
+                ):
+                    rows.append(
+                        {
+                            "url": url,
+                            "chunk_id": int(chunk_id),
+                            "substr": substr,
+                            "start": int(start + shift),
+                            "end": int(end + shift),
+                            "proba": proba,
+                            "tag": tag,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["url", "chunk_id", "substr", "start", "end", "proba", "tag"],
+            )
+
+    return chunks_with_shift.select(
+        "url", "chunk_id", "chunk_text", "offset_shift"
+    ).mapInPandas(_ner_batches, MENTION_SCHEMA)

@@ -1,0 +1,69 @@
+"""Triples materialization (reference W11) with subject-hash partitioning.
+
+``find_top_triplets`` (``annotators/wiki_parser/wiki_parser.py:475-604``) is
+the reference's triple emission: for each linked entity, its KB triples over
+a whitelisted relation set.  Here that is a distinct-QID projection of the
+linked mentions broadcast-joined to the ``kb_triples`` dimension, then
+repartitioned by ``pmod(xxhash64(subj), P)`` for the skew-aware write
+(north rule: subject-hash partitioning; head QIDs like Q30/Q5 concentrate
+rows, xxhash64 spreads subjects uniformly across output partitions and AQE
+splits any residual skew at shuffle time).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# find_top_triplets relation whitelist (wiki_parser.py:480-520)
+TRIPLE_WHITELIST = [
+    "P31", "P279", "P131", "P106", "P361", "P17", "P27", "P569", "P1542",
+    "P580", "P1552", "P50", "P136", "P577", "P800", "P463", "P1303", "P166",
+    "P571", "P175", "P658", "P641", "P54", "P1532", "P413", "P1344", "P1449",
+    "P286", "P118", "P115", "P2522", "P6364", "P206", "P840", "P1830", "P102",
+    "P26", "P451",
+    # fixture KB extras that the reference resolves via find_objects_info
+    "P112", "P159", "P170", "P276", "P19", "P1056", "P176", "P1029", "P1376",
+    "P36",
+]
+
+
+def linked_qids(linked: DataFrame) -> DataFrame:
+    """Distinct top-1 linked entities (the triples' subjects)."""
+    return (
+        linked.filter((F.col("rank") == 0) & F.col("qid").isNotNull())
+        .select("qid")
+        .distinct()
+    )
+
+
+def materialize_triples(linked: DataFrame, kb_triples: DataFrame,
+                        num_partitions: int = 32) -> DataFrame:
+    """linked mentions x kb_triples over the whitelist -> (subj, pred, obj).
+
+    kb_triples is the dimension side only in the lookup sense; at 10^12 docs
+    the *distinct-QID* side is small (bounded by the KB), so the join is
+    planned with the QID set broadcast against the (potentially huge) triple
+    store — a broadcast semi-join that never shuffles the triples.
+    """
+    qids = linked_qids(linked)
+    triples = (
+        kb_triples.filter(F.col("pred").isin(TRIPLE_WHITELIST))
+        .join(F.broadcast(qids), kb_triples["subj"] == qids["qid"], "left_semi")
+        .select("subj", "pred", "obj")
+        .distinct()
+    )
+    return triples.repartition(
+        num_partitions, F.pmod(F.xxhash64("subj"), F.lit(num_partitions))
+    )
+
+
+def write_triples(triples: DataFrame, out_dir: str, num_partitions: int = 32) -> None:
+    (
+        triples.withColumn(
+            "subj_hash", F.pmod(F.xxhash64("subj"), F.lit(num_partitions))
+        )
+        .write.mode("overwrite")
+        .partitionBy("subj_hash")
+        .parquet(out_dir)
+    )

@@ -1,0 +1,60 @@
+"""SparkSession factory with the confs this pipeline relies on.
+
+Tuned for the pipeline's shape: Arrow-batched pandas UDF stages, two wide
+shuffles (groupBy url for doc-level linking; final repartition by subject
+hash), broadcast dimension joins, AQE for runtime re-planning and skew-join
+splitting at scale.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "entity_extraction_svc_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[*]")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # AQE: runtime coalescing of shuffle partitions + skew-join splitting
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow: the pandas-UDF hot path; batch size replaces the reference's
+        # batch_size=16 micro-batching (entity_detection_en.json:7)
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    if shuffle_partitions is not None:
+        builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    else:
+        builder = builder.config("spark.sql.shuffle.partitions", "32")
+    spark = builder.getOrCreate()
+    _ship_package(spark)
+    return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executor workers regardless of cwd —
+    the in-process equivalent of ``spark-submit --py-files pkg.zip`` (north
+    rule deployment mode).  Without it, pandas-UDF closures referencing the
+    package fail to unpickle on workers launched outside the repo root."""
+    import shutil
+    import tempfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_base = os.path.join(tempfile.gettempdir(), "entity_extraction_svc_spark_pkg")
+    zip_path = zip_base + ".zip"
+    if not os.path.exists(zip_path):
+        shutil.make_archive(zip_base, "zip", os.path.dirname(pkg_dir),
+                            os.path.basename(pkg_dir))
+    spark.sparkContext.addPyFile(zip_path)
