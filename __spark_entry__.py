@@ -1,38 +1,628 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes one entry per implemented operator family from
+SURVEY.md §2; ``oracle_sql()`` gives the DuckDB-equivalent SQL.  KG-pipeline
+queries run on the committed deterministic fixture set (/root/repo/fixtures,
+FIXTURES.md) whose golden tables are template-side oracles; relational and
+training-data queries run on the driver's sf_dir tables.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+FIXTURES = os.path.join(REPO, "fixtures")
+
+_PIPELINE_CACHE: dict = {}
+
+
+def _fixtures_pipeline(spark: SparkSession):
+    from entity_extraction_svc_spark.fixtures import ensure_fixtures
+    from entity_extraction_svc_spark.plans.pipeline import build_pipeline
+
+    key = id(spark)
+    if key not in _PIPELINE_CACHE:
+        ensure_fixtures(FIXTURES)
+        _PIPELINE_CACHE.clear()
+        _PIPELINE_CACHE[key] = build_pipeline(
+            spark, f"{FIXTURES}/pages.parquet", FIXTURES
+        )
+    return _PIPELINE_CACHE[key]
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: run the full KG-construction DAG over the sf0.001 documents
+    table mapped to the pages shape (text source), with the fixture KB;
+    return a per-document summary (one row per doc, stable schema)."""
+    from entity_extraction_svc_spark.fixtures import ensure_fixtures
+    from entity_extraction_svc_spark.plans.pipeline import build_pipeline_df
+
+    ensure_fixtures(FIXTURES)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pages = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+    arts = build_pipeline_df(spark, pages, FIXTURES, source="text")
+    mentions = arts.mentions.groupBy("url").agg(F.count("*").alias("n_mentions"))
+    linked = (
+        arts.linked.filter((F.col("rank") == 0) & F.col("qid").isNotNull())
+        .groupBy("url")
+        .agg(F.count("*").alias("n_linked"))
+    )
+    return (
+        arts.extracted.select("url", F.length("text").alias("n_chars"))
+        .join(mentions, "url", "left")
+        .join(linked, "url", "left")
+        .select(
+            "url",
+            "n_chars",
+            F.coalesce("n_mentions", F.lit(0)).alias("n_mentions"),
+            F.coalesce("n_linked", F.lit(0)).alias("n_linked"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _kg_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _fixtures_pipeline(spark).extracted.select("url", "text")
+
+
+def _kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _fixtures_pipeline(spark).mentions.select("url", "start", "end", "tag")
+
+
+def _kg_linked_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _fixtures_pipeline(spark)
+        .linked.filter((F.col("rank") == 0) & F.col("qid").isNotNull())
+        .select("url", "start", "end", "qid")
+    )
+
+
+def _kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _fixtures_pipeline(spark).triples.select("subj", "pred", "obj")
+
+
+def _kg_triples_per_subject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from entity_extraction_svc_spark.operators.kgquery import triples_per_subject
+
+    return triples_per_subject(_fixtures_pipeline(spark).triples)
+
+
+def _kg_find_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from entity_extraction_svc_spark.operators.kgquery import find_types
+
+    kb = spark.read.parquet(f"{FIXTURES}/kb_triples.parquet")
+    return find_types(kb)
+
+
+def _kg_types_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from entity_extraction_svc_spark.operators.kgquery import find_types_2hop
+
+    kb = spark.read.parquet(f"{FIXTURES}/kb_triples.parquet")
+    return find_types_2hop(kb)
+
+
+def _kg_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from entity_extraction_svc_spark.operators.kgquery import find_intersection
+
+    kb = spark.read.parquet(f"{FIXTURES}/kb_triples.parquet")
+    # shared P17 country of Boeing (Q66) and NASA (Q23548) -> Q30
+    return find_intersection(kb, "Q66", "Q23548", "P17")
+
+
+def _kg_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from entity_extraction_svc_spark.operators.canonicalize import canonical_qids
+
+    ents = spark.read.parquet(f"{FIXTURES}/kb_entities.parquet")
+    aliases = spark.read.parquet(f"{FIXTURES}/kb_aliases.parquet")
+    return canonical_qids(ents, aliases)
+
+
+# --- relational skeletons on the driver's TPC-H-ish tables ------------------
+
+def _rel_topk_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.desc("l_extendedprice"), F.asc("l_linenumber")
+    )
+    return (
+        li.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 2)
+        .select("l_orderkey", "l_linenumber", "rk")
+    )
+
+
+def _rel_running_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    # RANGE (not ROWS): l_linenumber has duplicates within an order, so a
+    # row-based frame is nondeterministic; value-based framing is stable.
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.coalesce(F.sum("l_quantity").over(w), F.lit(0.0)), 4).alias("offset_shift"),
+    )
+
+
+def _rel_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+def _rel_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+def _rel_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    return (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n_suppliers"))
+    )
+
+
+def _rel_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    a = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    b = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return a.intersect(b)
+
+
+def _rel_count_per_subject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+
+def _rel_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.select(
+        "event_id",
+        F.regexp_replace(F.col("event_type"), "[aeiou]", "").alias("stripped_type"),
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.year("ts").alias("yr"),
+        F.concat_ws("#", "event_type", F.col("user_id").cast("string")).alias("composed"),
+    )
+
+
+# --- training-data ops on documents / embeddings ----------------------------
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from entity_extraction_svc_spark.operators.textstats import doc_stats
+
+    return doc_stats(_docs(spark, sf_dir))
+
+
+def _doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from entity_extraction_svc_spark.operators.textstats import lang_id
+
+    return lang_id(_docs(spark, sf_dir))
+
+
+def _doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from entity_extraction_svc_spark.operators.textstats import fingerprint
+
+    return fingerprint(_docs(spark, sf_dir))
+
+
+def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from entity_extraction_svc_spark.operators.dedup import exact_dup_groups
+
+    return exact_dup_groups(_docs(spark, sf_dir))
+
+
+def _dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from entity_extraction_svc_spark.operators.dedup import minhash_signatures
+
+    sigs = minhash_signatures(_docs(spark, sf_dir))
+    return sigs.select(
+        "doc_id",
+        F.concat_ws(",", F.transform("sig", lambda x: x.cast("string"))).alias("sig_str"),
+    )
+
+
+def _dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from entity_extraction_svc_spark.operators.dedup import minhash_dup_pairs
+
+    return minhash_dup_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from entity_extraction_svc_spark.operators.dedup import simhash
+
+    return simhash(_docs(spark, sf_dir))
+
+
+def _dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from entity_extraction_svc_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+def _sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from entity_extraction_svc_spark.operators.simsearch import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_topk(emb, query_id=0, k=10)
+
+
+def _sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from entity_extraction_svc_spark.operators.simsearch import lsh_ann_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return lsh_ann_topk(emb, query_id=0, k=10)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # KG pipeline (SURVEY §2.2-2.9) on the deterministic fixture corpus
+        "kg_extract_text": _kg_extract_text,
+        "kg_mentions": _kg_mentions,
+        "kg_linked_top1": _kg_linked_top1,
+        "kg_triples": _kg_triples,
+        "kg_triples_per_subject": _kg_triples_per_subject,
+        "kg_find_types": _kg_find_types,
+        "kg_types_2hop": _kg_types_2hop,
+        "kg_intersection": _kg_intersection,
+        "kg_canonical": _kg_canonical,
+        # relational skeletons (SURVEY §2.10) on the driver's tables
+        "rel_topk_window": _rel_topk_window,
+        "rel_running_offset": _rel_running_offset,
+        "rel_grouped_agg": _rel_grouped_agg,
+        "rel_broadcast_join": _rel_broadcast_join,
+        "rel_two_hop": _rel_two_hop,
+        "rel_intersect": _rel_intersect,
+        "rel_count_per_subject": _rel_count_per_subject,
+        "rel_scalar_funcs": _rel_scalar_funcs,
+        # training-data pipeline operators
+        "doc_stats": _doc_stats,
+        "doc_lang_id": _doc_lang_id,
+        "doc_fingerprint": _doc_fingerprint,
+        "dedup_exact": _dedup_exact,
+        "dedup_minhash_sig": _dedup_minhash_sig,
+        "dedup_minhash_pairs": _dedup_minhash_pairs,
+        "dedup_simhash": _dedup_simhash,
+        "dedup_ngram_jaccard": _dedup_ngram_jaccard,
+        "sim_cosine_topk": _sim_cosine_topk,
+        "sim_lsh_ann": _sim_lsh_ann,  # rows-only (LSH probe set, no SQL oracle)
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB)
+# ---------------------------------------------------------------------------
+
+_STOPWORDS_SQL = (
+    "['the','of','and','to','in','a','is','that','it','was','for','on','are',"
+    "'with','as','be','at','by','this','have','from','or','had','not','but',"
+    "'what','all','were','when','we','there','can','an','your','which','their']"
+)
+
+_NORM = "trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g'))"
+_TOKS = f"list_filter(string_split({_NORM}, ' '), t -> t != '')"
+_SHINGLES = (
+    f"case when len({_TOKS}) >= 3 then "
+    f"list_transform(generate_series(1, len({_TOKS}) - 2), "
+    f"i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1] || ' ' || {_TOKS}[i+2]) "
+    f"else [{_NORM}] end"
+)
+_H64 = "('0x' || substr(md5({X}), 1, 15))::BIGINT"
+
+
+def _minhash_sql_mins() -> str:
+    from entity_extraction_svc_spark.operators.dedup import MERSENNE_P, _coeffs
+
+    base = f"list_transform(sh, s -> {_H64.format(X='s')} % {MERSENNE_P})"
+    mins = ", ".join(
+        f"list_min(list_transform({base}, h -> ({a} * h + {b}) % {MERSENNE_P}))"
+        for a, b in _coeffs(16)
+    )
+    return f"[{mins}]"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    fx = FIXTURES
+    toks_lower = "list_filter(string_split_regex(lower(coalesce(text,'')), '\\s+'), t -> t != '')"
+    sw_count = f"len(list_filter({toks_lower}, t -> list_contains({_STOPWORDS_SQL}, t)))"
+    mins = _minhash_sql_mins()
+
+    sql = {
+        # --- KG: goldens are the oracle ------------------------------------
+        "kg_extract_text": f"SELECT url, text FROM read_parquet('{fx}/pages.parquet')",
+        "kg_mentions": (
+            f"SELECT url, start, \"end\", tag "
+            f"FROM read_parquet('{fx}/golden_mentions.parquet')"
+        ),
+        "kg_linked_top1": (
+            f"SELECT url, start, \"end\", qid "
+            f"FROM read_parquet('{fx}/golden_links.parquet')"
+        ),
+        "kg_triples": (
+            f"SELECT subj, pred, obj FROM read_parquet('{fx}/golden_triples.parquet')"
+        ),
+        "kg_triples_per_subject": (
+            f"SELECT subj, count(*) AS n_triples "
+            f"FROM read_parquet('{fx}/golden_triples.parquet') GROUP BY subj"
+        ),
+        "kg_find_types": (
+            f"WITH t AS (SELECT * FROM read_parquet('{fx}/kb_triples.parquet')), "
+            "p31 AS (SELECT subj, obj AS type FROM t WHERE pred = 'P31'), "
+            "h AS (SELECT DISTINCT subj FROM p31 WHERE type = 'Q5'), "
+            "occ AS (SELECT t.subj, t.obj AS type FROM t JOIN h ON t.subj = h.subj "
+            "        WHERE t.pred = 'P106') "
+            "SELECT DISTINCT subj, type FROM (SELECT * FROM p31 UNION ALL SELECT * FROM occ)"
+        ),
+        "kg_types_2hop": (
+            f"WITH t AS (SELECT * FROM read_parquet('{fx}/kb_triples.parquet')), "
+            "t1 AS (SELECT subj, obj AS type FROM t WHERE pred = 'P31'), "
+            "sup AS (SELECT t1.subj, b.obj AS type FROM t1 "
+            "        JOIN t b ON t1.type = b.subj AND b.pred = 'P279') "
+            "SELECT DISTINCT subj, type FROM (SELECT * FROM t1 UNION ALL SELECT * FROM sup)"
+        ),
+        "kg_intersection": (
+            f"WITH t AS (SELECT * FROM read_parquet('{fx}/kb_triples.parquet')) "
+            "SELECT obj AS value FROM t WHERE subj = 'Q66' AND pred = 'P17' "
+            "INTERSECT "
+            "SELECT obj AS value FROM t WHERE subj = 'Q23548' AND pred = 'P17'"
+        ),
+        "kg_canonical": (
+            # connected components over (alias-node, qid-node) edges via
+            # recursive CTE: reachability from every qid node, component id =
+            # min reachable node; canonical qid = min qid in the component
+            f"WITH RECURSIVE ents AS (SELECT qid, label FROM read_parquet('{fx}/kb_entities.parquet')), "
+            f"als AS (SELECT alias, qid FROM read_parquet('{fx}/kb_aliases.parquet')), "
+            "edges AS ("
+            "  SELECT 'a:' || trim(regexp_replace(lower(label), '\\s+', ' ', 'g')) AS src, "
+            "         'q:' || qid AS dst FROM ents "
+            "  UNION "
+            "  SELECT 'a:' || trim(regexp_replace(lower(alias), '\\s+', ' ', 'g')), "
+            "         'q:' || qid FROM als"
+            "), sym AS ("
+            "  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges"
+            "), reach AS ("
+            "  SELECT DISTINCT src AS node, src AS r FROM sym"
+            "  UNION"
+            "  SELECT reach.node, sym.dst FROM reach JOIN sym ON reach.r = sym.src"
+            "), comp AS ("
+            "  SELECT node, min(r) AS comp FROM reach GROUP BY node"
+            "), qn AS ("
+            "  SELECT substr(node, 3) AS qid, comp FROM comp WHERE node LIKE 'q:%'"
+            ") "
+            "SELECT qn.qid, c.canonical_qid FROM qn "
+            "JOIN (SELECT comp, min(qid) AS canonical_qid FROM qn GROUP BY comp) c "
+            "USING (comp)"
+        ),
+        # --- relational -----------------------------------------------------
+        "rel_topk_window": (
+            "SELECT l_orderkey, l_linenumber, rk FROM ("
+            "  SELECT l_orderkey, l_linenumber, row_number() OVER ("
+            "    PARTITION BY l_orderkey ORDER BY l_extendedprice DESC, l_linenumber ASC"
+            "  ) AS rk FROM lineitem) WHERE rk <= 2"
+        ),
+        "rel_running_offset": (
+            "SELECT l_orderkey, l_linenumber, round(coalesce(sum(l_quantity) OVER ("
+            "PARTITION BY l_orderkey ORDER BY l_linenumber "
+            "RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0), 4) AS offset_shift "
+            "FROM lineitem"
+        ),
+        "rel_grouped_agg": (
+            "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, "
+            "round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n_rows "
+            "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "rel_broadcast_join": (
+            "SELECT n_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_price "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
+        ),
+        "rel_two_hop": (
+            "SELECT r_name, count(*) AS n_suppliers FROM supplier "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"
+        ),
+        "rel_intersect": (
+            "SELECT o_custkey FROM orders WHERE o_orderstatus = 'F' "
+            "INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'"
+        ),
+        "rel_count_per_subject": (
+            "SELECT user_id, event_type, count(*) AS n_events, "
+            "round(sum(value), 4) AS sum_value FROM events GROUP BY user_id, event_type"
+        ),
+        "rel_scalar_funcs": (
+            "SELECT event_id, regexp_replace(event_type, '[aeiou]', '', 'g') AS stripped_type, "
+            "strftime(ts, '%Y-%m-%d') AS day, year(ts) AS yr, "
+            "event_type || '#' || user_id::VARCHAR AS composed FROM events"
+        ),
+        # --- training-data ops ----------------------------------------------
+        "doc_stats": (
+            f"""
+            WITH base AS (
+              SELECT doc_id,
+                     coalesce(text, '') AS text,
+                     {toks_lower} AS toks
+              FROM documents
+            ), m AS (
+              SELECT doc_id,
+                     length(text) AS n_chars,
+                     len(toks) AS n_ws_tokens,
+                     len(list_filter(regexp_extract_all(text, '[\\w'']+|[^\\w\\s]'), t -> t != '')) AS n_re_tokens,
+                     length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,
+                     {sw_count} AS n_stop,
+                     CASE WHEN len(toks) > 0
+                          THEN list_sum(list_transform(toks, t -> length(t)))
+                          ELSE NULL END AS tok_len_sum
+              FROM base
+            )
+            SELECT doc_id, n_chars, n_ws_tokens, n_re_tokens,
+                   round(CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END, 6) AS punct_ratio,
+                   round(CASE WHEN n_ws_tokens > 0 THEN n_stop / n_ws_tokens ELSE 0.0 END, 6) AS stopword_ratio,
+                   round(CASE WHEN n_ws_tokens > 0 THEN tok_len_sum / n_ws_tokens ELSE 0.0 END, 6) AS mean_token_len,
+                   round(
+                     least(n_ws_tokens / 50.0, 1.0) * 0.4
+                     + (1.0 - least((CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END) * 4.0, 1.0)) * 0.3
+                     + least((CASE WHEN n_ws_tokens > 0 THEN n_stop / n_ws_tokens ELSE 0.0 END) * 3.0, 1.0) * 0.3,
+                   6) AS quality_score
+            FROM m
+            """
+        ),
+        "doc_lang_id": (
+            f"""
+            WITH base AS (
+              SELECT doc_id, coalesce(text, '') AS text, {toks_lower} AS toks FROM documents
+            ), m AS (
+              SELECT doc_id, text, len(toks) AS n, {sw_count} AS n_stop,
+                     length(text) - length(regexp_replace(text, '[Ѐ-ӿ]', '', 'g')) AS n_cyr
+              FROM base
+            )
+            SELECT doc_id,
+                   round(CASE WHEN n > 0 THEN n_stop / n ELSE 0.0 END, 6) AS stopword_ratio,
+                   CASE WHEN length(text) = 0 THEN 'unk'
+                        WHEN n_cyr * 2 > length(text) THEN 'ru'
+                        WHEN (CASE WHEN n > 0 THEN n_stop / n ELSE 0.0 END) >= 0.08 THEN 'en'
+                        ELSE 'unk' END AS lang_pred
+            FROM m
+            """
+        ),
+        "doc_fingerprint": (
+            f"SELECT doc_id, md5({_NORM}) AS fp_md5, "
+            f"('0x' || substr(md5({_NORM}), 1, 15))::BIGINT AS fp_int64 FROM documents"
+        ),
+        "dedup_exact": (
+            f"SELECT md5({_NORM}) AS fp_md5, count(*) AS n_docs, min(doc_id) AS keeper_id "
+            "FROM documents GROUP BY 1 HAVING count(*) > 1"
+        ),
+        "dedup_minhash_sig": (
+            f"WITH s AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents) "
+            f"SELECT doc_id, array_to_string(list_transform({mins}, x -> x::VARCHAR), ',') AS sig_str FROM s"
+        ),
+        "dedup_minhash_pairs": (
+            f"""
+            WITH s AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
+            sig AS (SELECT doc_id, {mins} AS sig FROM s),
+            bands AS (
+              SELECT doc_id, b AS band,
+                     md5(array_to_string(list_transform(list_slice(sig, b*4+1, b*4+4), x -> x::VARCHAR), ',')) AS band_hash
+              FROM sig, unnest([0,1,2,3]) AS t(b)
+            ),
+            cand AS (
+              SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+              FROM bands l JOIN bands r
+                ON l.band = r.band AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id
+            ),
+            est AS (
+              SELECT id_a, id_b,
+                     len(list_filter(generate_series(1, 16), i -> a.sig[i] = b.sig[i])) / 16.0 AS est_jaccard
+              FROM cand JOIN sig a ON cand.id_a = a.doc_id JOIN sig b ON cand.id_b = b.doc_id
+            )
+            SELECT id_a, id_b, round(est_jaccard, 6) AS est_jaccard FROM est
+            WHERE est_jaccard >= 0.5
+            """
+        ),
+        "dedup_simhash": (
+            f"""
+            WITH base AS (
+              SELECT doc_id,
+                     list_transform(list_filter(string_split({_NORM}, ' '), t -> t != ''),
+                                    t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hs
+              FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN len(hs) > 0 THEN
+                     list_sum(list_transform(generate_series(0, 31), j ->
+                       CASE WHEN list_sum(list_transform(hs, h -> ((h >> j) & 1) * 2 - 1)) > 0
+                            THEN (1::BIGINT << j) ELSE 0::BIGINT END))
+                   ELSE 0 END AS simhash
+            FROM base
+            """
+        ),
+        "dedup_ngram_jaccard": (
+            f"""
+            WITH s AS (SELECT doc_id AS id, list_distinct({_SHINGLES}) AS sh FROM documents),
+            sizes AS (SELECT id, len(sh) AS n_sh FROM s),
+            inv0 AS (SELECT id, unnest(sh) AS shingle FROM s),
+            keep AS (SELECT shingle FROM inv0 GROUP BY shingle HAVING count(*) <= 1000),
+            inv AS (SELECT inv0.* FROM inv0 JOIN keep USING (shingle)),
+            shared AS (
+              SELECT l.id AS id_a, r.id AS id_b, count(*) AS n_shared
+              FROM inv l JOIN inv r ON l.shingle = r.shingle AND l.id < r.id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   round(n_shared / (a.n_sh + b.n_sh - n_shared), 6) AS jaccard
+            FROM shared JOIN sizes a ON id_a = a.id JOIN sizes b ON id_b = b.id
+            WHERE n_shared / (a.n_sh + b.n_sh - n_shared) >= 0.5
+            """
+        ),
+        "sim_cosine_topk": (
+            """
+            WITH q AS (
+              SELECT list_transform(embedding, x -> x::DOUBLE) AS qvec
+              FROM embeddings WHERE vec_id = 0
+            ), scored AS (
+              SELECT vec_id,
+                     round(
+                       list_sum(list_transform(generate_series(1, len(embedding)),
+                                               i -> embedding[i]::DOUBLE * qvec[i]))
+                       / (sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))
+                          * sqrt(list_sum(list_transform(qvec, x -> x * x)))),
+                     6) AS cos_sim
+              FROM embeddings, q WHERE vec_id != 0
+            )
+            SELECT vec_id, cos_sim FROM scored ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+            """
+        ),
+    }
+    return sql

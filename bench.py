@@ -1,0 +1,110 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+The flagship number is the full KG-construction pipeline (HTML -> text ->
+chunk -> NER -> link -> triples) over a deterministic 10k-page fixture corpus
+(FIXTURES.md), reported as kg_pipeline_10k; the remaining queries cover the
+training-data operators and a scan-heavy relational baseline on the sf_dir
+tables.  tools/bench_scaling.py reuses run_benches() at two parallelism
+levels for the N-vs-4N scaling-efficiency evidence (BENCH.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "10000"))
+
+
+def _bench_fixture_dir(n_docs: int) -> str:
+    """Deterministic n-doc page corpus, generated once and cached."""
+    from entity_extraction_svc_spark.fixtures import ensure_fixtures
+
+    d = os.path.join("/tmp", f"kg_bench_fixtures_{n_docs}")
+    ensure_fixtures(d, n_docs)
+    return d
+
+
+def run_benches(spark, sf_dir: str, bench_docs: int = BENCH_DOCS) -> dict[str, dict]:
+    """Runs every headline query; returns {name: {sec, rows}}."""
+    from pyspark.sql import functions as F
+
+    from entity_extraction_svc_spark.operators.dedup import (
+        minhash_dup_pairs,
+        ngram_jaccard_pairs,
+    )
+    from entity_extraction_svc_spark.operators.simsearch import cosine_topk
+    from entity_extraction_svc_spark.operators.textstats import doc_stats
+    from entity_extraction_svc_spark.plans.pipeline import build_pipeline
+
+    results: dict[str, dict] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        rows = fn()
+        results[name] = {"sec": round(time.time() - t0, 3), "rows": rows}
+
+    # flagship: full KG pipeline over the generated page corpus
+    fixdir = _bench_fixture_dir(bench_docs)
+
+    def kg_run():
+        arts = build_pipeline(spark, f"{fixdir}/pages.parquet", fixdir)
+        n_linked = arts.linked.filter(F.col("rank") == 0).count()
+        n_triples = arts.triples.count()
+        return n_linked + n_triples
+
+    timed("kg_pipeline_10k", kg_run)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+    timed("doc_stats", lambda: doc_stats(docs).count())
+    timed("dedup_minhash_pairs", lambda: minhash_dup_pairs(docs, threshold=0.5).count())
+    timed(
+        "dedup_ngram_jaccard",
+        lambda: ngram_jaccard_pairs(docs, threshold=0.5).count(),
+    )
+    timed("sim_cosine_topk", lambda: cosine_topk(emb, query_id=0, k=10).count())
+    timed(
+        "rel_grouped_agg",
+        lambda: li.groupBy("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_quantity"), F.sum("l_extendedprice"), F.count("*"))
+        .count(),
+    )
+    return results
+
+
+def main() -> None:
+    from entity_extraction_svc_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="bench", master=f"local[{CPUS}]", shuffle_partitions=int(CPUS)
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    results = run_benches(spark, SF_DIR)
+    total = round(sum(r["sec"] for r in results.values()), 3)
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    out = {
+        "metric": "kg_pipeline+training_ops_total",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: v["sec"] for k, v in results.items()},
+        "sf": sf,
+        "docs_per_sec_kg": round(BENCH_DOCS / results["kg_pipeline_10k"]["sec"], 1),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,114 @@
+"""Canonicalization: connected-components alias clustering (north-rule stage).
+
+Linked mentions are canonicalized by clustering QIDs that share a normalized
+alias/label surface — the bipartite graph (alias <-> qid) — and electing the
+minimum QID of each component as the canonical id.  The reference keeps this
+implicit in its per-tag FTS index (same-surface rows collide in one index
+probe, ``src/entity_linking.py:1025-1086``); at corpus scale it becomes an
+explicit graph problem.
+
+Algorithm: alternating hash-min label propagation (the DataFrame rendition of
+the small-star/large-star map-reduce CC algorithm, Kiveris et al.):
+every node starts as its own component; each round, a node adopts the
+minimum component id among itself and its neighbors; fixpoint in
+O(log(diameter)) rounds.  Alias-surface vertices are interned to 'a:<surface>'
+and entity vertices to 'q:<qid>' in one id space.
+
+Scale notes: each round is one groupBy(node) shuffle over the edge list;
+hot vertices (an alias shared by thousands of QIDs — head-entity skew) are
+handled by AQE skew-split plus the min() aggregation being a partial
+(map-side) agg, so a hot alias reduces to one row per map task before the
+shuffle.  Iterations stop early when a round changes nothing (count of
+updated labels = 0 — one cheap action per round on a cached frame).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def alias_edges(kb_entities: DataFrame, kb_aliases: DataFrame) -> DataFrame:
+    """Bipartite edges (alias-surface node, entity node), normalized."""
+    norm = lambda c: F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))  # noqa: E731
+    lab = kb_entities.select(
+        F.concat(F.lit("a:"), norm(F.col("label"))).alias("src"),
+        F.concat(F.lit("q:"), F.col("qid")).alias("dst"),
+    )
+    ali = kb_aliases.select(
+        F.concat(F.lit("a:"), norm(F.col("alias"))).alias("src"),
+        F.concat(F.lit("q:"), F.col("qid")).alias("dst"),
+    )
+    return lab.union(ali).distinct()
+
+
+def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """(node, component) for every node in the undirected edge list; the
+    component id is the lexicographically smallest node label in it."""
+    sym = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    sym = sym.persist()
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .persist()
+    )
+    labels.count()
+    for _ in range(max_iter):
+        # neighbor minimum: node <- min(comp over neighbors ∪ self)
+        neigh = (
+            sym.join(labels.withColumnRenamed("node", "dst2"),
+                     sym["dst"] == F.col("dst2"))
+            .select(F.col("src").alias("node"), "comp")
+        )
+        new_labels = (
+            labels.select("node", "comp").union(neigh)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels
+
+
+def canonical_qids(kb_entities: DataFrame, kb_aliases: DataFrame,
+                   max_iter: int = 20) -> DataFrame:
+    """(qid, canonical_qid): the min QID of each alias-connected component."""
+    comps = connected_components(alias_edges(kb_entities, kb_aliases), max_iter)
+    qnodes = comps.filter(F.col("node").startswith("q:")).select(
+        F.expr("substring(node, 3)").alias("qid"), "comp"
+    )
+    canon = qnodes.groupBy("comp").agg(F.min("qid").alias("canonical_qid"))
+    return qnodes.join(canon, "comp").select("qid", "canonical_qid")
+
+
+def canonicalize_triples(triples: DataFrame, mapping: DataFrame) -> DataFrame:
+    """Rewrite subj/obj through the canonical mapping (broadcast join — the
+    mapping is KB-bounded, tiny next to a web-scale triple set)."""
+    ms = F.broadcast(mapping.select(F.col("qid").alias("subj"),
+                                    F.col("canonical_qid").alias("subj_c")))
+    mo = F.broadcast(mapping.select(F.col("qid").alias("obj"),
+                                    F.col("canonical_qid").alias("obj_c")))
+    return (
+        triples.join(ms, "subj", "left")
+        .join(mo, "obj", "left")
+        .select(
+            F.coalesce("subj_c", "subj").alias("subj"),
+            "pred",
+            F.coalesce("obj_c", "obj").alias("obj"),
+        )
+        .distinct()
+    )

@@ -1,0 +1,347 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Everything is built-in column expressions / relational joins — JVM-side,
+whole-stage codegen, no Python UDFs — so the same code scales from the 500-row
+test table to a 100 TB corpus:
+
+* exact:        hash-groupBy on a normalized-text fingerprint (one shuffle on
+                the md5 key; map-side partial aggregation).
+* MinHash+LSH:  shingle -> 60-bit md5-derived hash -> k universal-hash minima
+                computed per row (narrow), then banding: only the (band,
+                band_hash) groupBy shuffles, and only candidate pairs sharing
+                a bucket are ever joined — the classic near-dup recipe that
+                avoids the O(n^2) cross join.
+* SimHash:      per-bit majority vote over token hashes, packed to a 64-bit
+                key; Hamming-neighbor candidates via band equality.
+* n-gram Jaccard: exact pairwise similarity, but only over pairs sharing at
+                least one shingle (inverted-index semi-join), with a
+                per-shingle document-frequency cap so stop-shingles don't
+                quadratically explode the candidate set at corpus scale.
+
+All hashes derive from md5 so an external SQL engine (the DuckDB oracle)
+reproduces them bit-for-bit: h(s) = int(md5(s)[:15], 16), then
+universal hashing h_i = (a_i * (h % P) + b_i) % P with P = 2^31 - 1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MERSENNE_P = 2_147_483_647  # 2^31 - 1
+
+# deterministic universal-hash coefficients (seeded, fixed across runs so
+# signatures are stable for checkpoint/resume)
+def _coeffs(n: int, seed: int = 42) -> list[tuple[int, int]]:
+    import random
+
+    rng = random.Random(seed)
+    return [(rng.randrange(1, MERSENNE_P), rng.randrange(0, MERSENNE_P)) for _ in range(n)]
+
+
+def _norm_text(text_col: str) -> Column:
+    return F.trim(
+        F.regexp_replace(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+", " ")
+    )
+
+
+def _word_tokens(col: Column) -> Column:
+    return F.filter(F.split(col, " "), lambda t: t != "")
+
+
+def _shingles(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles; documents shorter than n words shingle to the
+    whole text so they still participate."""
+    toks = _word_tokens(col)
+    k = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), k - n),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
+    )
+    return F.when(k >= n, grams).otherwise(F.array(col))
+
+
+def _h64(col: Column) -> Column:
+    """60-bit integer hash from md5 (bit-reproducible in any SQL engine)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dup_groups(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Hash-groupBy exact dedup: one row per duplicated normalized text with
+    the group size and the keeper (min id).  Partial aggregation makes the
+    shuffle carry one row per distinct fingerprint per map task."""
+    fp = F.md5(_norm_text(text_col)).alias("fp_md5")
+    return (
+        docs.select(fp, F.col(id_col))
+        .groupBy("fp_md5")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keeper_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min id) per distinct normalized text."""
+    w = F.md5(_norm_text(text_col)).alias("fp_md5")
+    ranked = (
+        docs.withColumn("fp_md5", w)
+        .groupBy("fp_md5")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return ranked.select(id_col, "fp_md5")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", num_hashes: int = 16,
+                       shingle_n: int = 3) -> DataFrame:
+    """(id, sig: array<long>) — k minima of universal hashes over shingles.
+
+    Computed entirely row-local (narrow): shingling, hashing and the k minima
+    are higher-order array expressions inside whole-stage codegen; no shuffle,
+    no Python.
+    """
+    # materialize each stage as its own projection column — if the whole
+    # thing were one expression tree, Catalyst would inline the md5+shingle
+    # subtree into all k minima and evaluate it k times per row (measured
+    # ~50ms/doc vs ~1ms/doc staged)
+    toks = docs.withColumn("_toks", _word_tokens(_norm_text(text_col)))
+    sh = toks.withColumn(
+        "_sh",
+        F.when(
+            F.size("_toks") >= shingle_n,
+            F.transform(
+                F.sequence(F.lit(0), F.size("_toks") - shingle_n),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at("_toks", i + j + 1) for j in range(shingle_n)]
+                ),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", F.col("_toks")))),
+    )
+    hashed = sh.withColumn("_hv", F.transform("_sh", lambda s: _h64(s) % MERSENNE_P))
+    mins = F.array(
+        *[
+            F.array_min(
+                F.transform("_hv", lambda h: (F.lit(a) * h + F.lit(b)) % MERSENNE_P)
+            )
+            for a, b in _coeffs(num_hashes)
+        ]
+    )
+    return hashed.select(F.col(id_col), mins.alias("sig"))
+
+
+def lsh_buckets(signatures: DataFrame, id_col: str = "doc_id",
+                bands: int = 4) -> DataFrame:
+    """Band the signature: (band, band_hash, id).  Equal band_hash within a
+    band => candidate pair.  rows/band = len(sig)/bands."""
+    exploded = signatures.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.md5(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(
+                                F.col("sig"),
+                                b * (F.size(F.col("sig")) / bands).cast("int") + 1,
+                                (F.size(F.col("sig")) / bands).cast("int"),
+                            ),
+                            lambda x: x.cast("string"),
+                        ),
+                    )
+                ),
+            )
+        ).alias("band", "band_hash"),
+    )
+    return exploded
+
+
+def minhash_dup_pairs(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", num_hashes: int = 16,
+                      bands: int = 4, threshold: float = 0.6,
+                      shingle_n: int = 3) -> DataFrame:
+    """Near-duplicate pairs: LSH-bucket join, then exact signature-agreement
+    estimate filtered at ``threshold``.
+
+    The self-join is on (band, band_hash) — only colliding docs meet, so the
+    shuffle is proportional to bucket sizes, not n^2.  At 100 TB the band
+    hash is also the natural partition key (uniform by construction).
+    """
+    sigs = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_n)
+    buckets = lsh_buckets(sigs, id_col, bands)
+    left = buckets.alias("l")
+    right = buckets.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    est = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(
+                    F.filter(
+                        F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+                        lambda eq: eq,
+                    )
+                )
+                / F.size(F.col("sig_a"))
+            ).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+    return est.select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            bits: int = 32) -> DataFrame:
+    """Per-bit majority vote over token hashes packed into an integer key.
+
+    simhash_j = 1 iff sum over tokens of (2*bit_j(h(token)) - 1) > 0.
+    Row-local higher-order expressions only (no shuffle, no UDF).
+    """
+    # shiftright/shiftleft need column shift amounts -> SQL higher-order expr
+    norm = (
+        f"trim(regexp_replace(lower(coalesce({text_col}, '')), '\\\\s+', ' '))"
+    )
+    hashes = (
+        f"transform(filter(split({norm}, ' '), t -> t != ''), "
+        f"t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))"
+    )
+    packed = (
+        f"aggregate(transform(sequence(0, {bits - 1}), j -> "
+        f"  if(aggregate(hs, 0L, (acc, h) -> acc + (shiftright(h, j) & 1L) * 2 - 1) > 0, "
+        f"     shiftleft(1L, j), 0L)), "
+        f"0L, (acc, x) -> acc + x)"
+    )
+    return (
+        docs.withColumn("hs", F.expr(hashes))
+        .select(
+            F.col(id_col),
+            F.when(F.size("hs") > 0, F.expr(packed)).otherwise(F.lit(0).cast("long")).alias("simhash"),
+        )
+    )
+
+
+def simhash_dup_pairs(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", bits: int = 32,
+                      max_hamming: int = 3, bands: int = 4) -> DataFrame:
+    """Near-dup pairs by SimHash: band the key into ``bands`` chunks — any
+    pair within ``max_hamming < bands`` distance shares at least one exact
+    chunk (pigeonhole), so candidates come from an equi-join, then the exact
+    Hamming distance filters."""
+    sh = simhash(docs, text_col, id_col, bits)
+    chunk_bits = bits // bands
+    mask = (1 << chunk_bits) - 1
+    chunks = sh.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.shiftright(F.col("simhash"), b * chunk_bits).bitwiseAND(
+                    F.lit(mask)
+                ),
+            )
+        ).alias("band", "chunk"),
+    )
+    l, r = chunks.alias("l"), chunks.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l.simhash").alias("sh_a"),
+            F.col("r.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact, inverted-index joined)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", shingle_n: int = 3,
+                        threshold: float = 0.5,
+                        max_df: int = 1000) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs sharing >= 1 shingle.
+
+    Inverted-index pattern: explode distinct shingles, drop shingles whose
+    document frequency exceeds ``max_df`` (stop-shingle guard — at web scale
+    a boilerplate shingle would otherwise create a quadratic bucket), self-
+    join on shingle, count shared per pair, then |A∩B| / (|A|+|B|-|A∩B|).
+    """
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(_shingles(_norm_text(text_col), shingle_n)).alias("sh"),
+    )
+    sizes = sh.select("id", F.size("sh").alias("n_sh"))
+    inv = (
+        sh.select("id", F.explode("sh").alias("shingle"))
+        .join(
+            sh.select("id", F.explode("sh").alias("shingle"))
+            .groupBy("shingle").agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("shingle"),
+            "shingle",
+        )
+    )
+    l, r = inv.alias("l"), inv.alias("r")
+    shared = (
+        l.join(r, (F.col("l.shingle") == F.col("r.shingle")) & (F.col("l.id") < F.col("r.id")))
+        .groupBy(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .agg(F.count("*").alias("n_shared"))
+    )
+    ja = (
+        shared.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return ja

@@ -1,0 +1,123 @@
+"""KG read-side operators over the triples table — the wiki-parser surface.
+
+The reference's wiki-parser service (``annotators/wiki_parser/wiki_parser.py``)
+dispatches `parser_info` strings to HDT lookups (SURVEY.md §2.9 W1–W12).
+Here each becomes a DataFrame function over ``triples(subj, pred, obj)``;
+the DataFrame API is the dispatcher, Catalyst plans the probes, and at scale
+the triples table is partitioned by ``pmod(xxhash64(subj), P)`` so subject
+probes prune partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pattern_search(triples: DataFrame, subj: str | None = None,
+                   pred: str | None = None, obj: str | None = None,
+                   limit: int = 1_000_000) -> DataFrame:
+    """W1 (wiki_parser.py:179-191): (s?, p?, o?) pattern match with the
+    reference's max_comb_num=1e6 result cap."""
+    out = triples
+    if subj is not None:
+        out = out.filter(F.col("subj") == subj)
+    if pred is not None:
+        out = out.filter(F.col("pred") == pred)
+    if obj is not None:
+        out = out.filter(F.col("obj") == obj)
+    return out.limit(limit)
+
+
+def find_objects(triples: DataFrame, entity: str, rel: str,
+                 direction: str = "forw") -> DataFrame:
+    """W5 (wiki_parser.py:276-291): objects of (entity, rel), fwd or backw."""
+    if direction == "forw":
+        return (
+            triples.filter((F.col("subj") == entity) & (F.col("pred") == rel))
+            .select(F.col("obj").alias("value"))
+        )
+    return (
+        triples.filter((F.col("obj") == entity) & (F.col("pred") == rel))
+        .select(F.col("subj").alias("value"))
+    )
+
+
+def find_rels(triples: DataFrame, entity: str) -> DataFrame:
+    """W4 (wiki_parser.py:260-273): distinct relations of an entity, both
+    directions — a union of two filtered projections."""
+    fwd = triples.filter(F.col("subj") == entity).select("pred")
+    bwd = triples.filter(F.col("obj") == entity).select("pred")
+    return fwd.union(bwd).distinct()
+
+
+def check_triplet(triples: DataFrame, subj: str, pred: str, obj: str) -> bool:
+    """W6 (wiki_parser.py:294-302): existence check — a pruned count."""
+    return (
+        triples.filter(
+            (F.col("subj") == subj) & (F.col("pred") == pred) & (F.col("obj") == obj)
+        ).limit(1).count()
+        > 0
+    )
+
+
+def find_types(triples: DataFrame) -> DataFrame:
+    """W7 (wiki_parser.py:305-316): P31 types per subject (+P106 occupations
+    for humans, the Q5 special case)."""
+    p31 = triples.filter(F.col("pred") == "P31").select("subj", F.col("obj").alias("type"))
+    humans = p31.filter(F.col("type") == "Q5").select("subj")
+    occ = (
+        triples.filter(F.col("pred") == "P106")
+        .join(humans, "subj", "left_semi")
+        .select("subj", F.col("obj").alias("type"))
+    )
+    return p31.union(occ).distinct()
+
+
+def find_types_2hop(triples: DataFrame) -> DataFrame:
+    """W8 (wiki_parser.py:319-337): types ∪ superclasses of types — the 2-hop
+    self-join t1 ⋈ t2 ON t1.obj = t2.subj with t2.pred = P279."""
+    t1 = triples.filter(F.col("pred") == "P31").select("subj", F.col("obj").alias("type"))
+    sup = (
+        t1.alias("a")
+        .join(
+            triples.filter(F.col("pred") == "P279").alias("b"),
+            F.col("a.type") == F.col("b.subj"),
+        )
+        .select(F.col("a.subj").alias("subj"), F.col("b.obj").alias("type"))
+    )
+    return t1.union(sup).distinct()
+
+
+def find_intersection(triples: DataFrame, entity1: str, entity2: str,
+                      rel: str) -> DataFrame:
+    """W9 (wiki_parser.py:349-368): shared objects of two entities over a
+    relation — set intersection of two filtered projections."""
+    o1 = find_objects(triples, entity1, rel)
+    o2 = find_objects(triples, entity2, rel)
+    return o1.intersect(o2)
+
+
+def triples_per_subject(triples: DataFrame, top_n: int | None = None) -> DataFrame:
+    """W12 (wiki_parser.py:72-125): triple count per subject; optional top-n
+    (the reference's precomputed top-people cache)."""
+    counts = triples.groupBy("subj").agg(F.count("*").alias("n_triples"))
+    if top_n is not None:
+        return counts.orderBy(F.desc("n_triples"), F.asc("subj")).limit(top_n)
+    return counts
+
+
+def top_triplets_for(linked_qids: DataFrame, triples: DataFrame,
+                     whitelist: list[str], labels: DataFrame | None = None) -> DataFrame:
+    """W11 (wiki_parser.py:475-604): per linked entity, its whitelisted
+    triples, optionally label-joined.  linked_qids is small (bounded by the
+    KB) -> broadcast against the big triples table."""
+    out = triples.filter(F.col("pred").isin(whitelist)).join(
+        F.broadcast(linked_qids.select(F.col("qid").alias("subj")).distinct()),
+        "subj",
+        "left_semi",
+    )
+    if labels is not None:
+        lab = labels.select(F.col("qid").alias("obj"), F.col("label").alias("obj_label"))
+        out = out.join(F.broadcast(lab), "obj", "left")
+    return out

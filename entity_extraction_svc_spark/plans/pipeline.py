@@ -47,7 +47,18 @@ def build_pipeline(
     source: str = "html",
     num_partitions: int = 32,
 ) -> PipelineArtifacts:
-    pages = spark.read.parquet(pages_path)
+    return build_pipeline_df(
+        spark, spark.read.parquet(pages_path), kb_dir, source, num_partitions
+    )
+
+
+def build_pipeline_df(
+    spark: SparkSession,
+    pages: DataFrame,
+    kb_dir: str,
+    source: str = "html",
+    num_partitions: int = 32,
+) -> PipelineArtifacts:
     extracted = extract_text(pages, source=source)
     chunks = with_offset_shift(chunk(extracted))
 
