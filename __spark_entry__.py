@@ -306,6 +306,24 @@ def _sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann_topk(emb, query_id=0, k=10)
 
 
+def _mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from entity_extraction_svc_spark.fixtures import ensure_fixtures
+    from entity_extraction_svc_spark.operators.multimodal import binary_meta
+
+    ensure_fixtures(FIXTURES)
+    pages = spark.read.parquet(f"{FIXTURES}/pages.parquet")
+    return binary_meta(pages, bin_col="html", key_col="url")
+
+
+def _mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from entity_extraction_svc_spark.fixtures import ensure_fixtures
+    from entity_extraction_svc_spark.operators.multimodal import extract_features
+
+    ensure_fixtures(FIXTURES)
+    pages = spark.read.parquet(f"{FIXTURES}/pages.parquet")
+    return extract_features(pages, bin_col="html", key_col="url")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # KG pipeline (SURVEY §2.2-2.9) on the deterministic fixture corpus
@@ -338,6 +356,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "sim_cosine_topk": _sim_cosine_topk,
         "sim_lsh_ann": _sim_lsh_ann,  # rows-only (LSH probe set, no SQL oracle)
+        # multimodal binary-column plumbing
+        "mm_binary_meta": _mm_binary_meta,
+        "mm_features": _mm_features,  # rows-only (pandas-UDF featurizer)
     }
 
 
@@ -510,11 +531,11 @@ def oracle_sql() -> dict[str, str]:
                    round(CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END, 6) AS punct_ratio,
                    round(CASE WHEN n_ws_tokens > 0 THEN n_stop / n_ws_tokens ELSE 0.0 END, 6) AS stopword_ratio,
                    round(CASE WHEN n_ws_tokens > 0 THEN tok_len_sum / n_ws_tokens ELSE 0.0 END, 6) AS mean_token_len,
-                   round(
+                   round(CASE WHEN n_chars > 0 THEN
                      least(n_ws_tokens / 50.0, 1.0) * 0.4
                      + (1.0 - least((CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END) * 4.0, 1.0)) * 0.3
-                     + least((CASE WHEN n_ws_tokens > 0 THEN n_stop / n_ws_tokens ELSE 0.0 END) * 3.0, 1.0) * 0.3,
-                   6) AS quality_score
+                     + least((CASE WHEN n_ws_tokens > 0 THEN n_stop / n_ws_tokens ELSE 0.0 END) * 3.0, 1.0) * 0.3
+                   ELSE 0.0 END, 6) AS quality_score
             FROM m
             """
         ),
@@ -604,6 +625,16 @@ def oracle_sql() -> dict[str, str]:
                    round(n_shared / (a.n_sh + b.n_sh - n_shared), 6) AS jaccard
             FROM shared JOIN sizes a ON id_a = a.id JOIN sizes b ON id_b = b.id
             WHERE n_shared / (a.n_sh + b.n_sh - n_shared) >= 0.5
+            """
+        ),
+        "mm_binary_meta": (
+            f"""
+            SELECT url, octet_length(html)::BIGINT AS n_bytes,
+                   lower(substr(hex(html), 1, 8)) AS magic_hex,
+                   CASE WHEN substring(decode(html), 1, 9) = '<!DOCTYPE' THEN 'html'
+                        WHEN substring(decode(html), 1, 5) = '<html' THEN 'html'
+                        ELSE 'unknown' END AS media_kind
+            FROM read_parquet('{fx}/pages.parquet')
             """
         ),
         "sim_cosine_topk": (

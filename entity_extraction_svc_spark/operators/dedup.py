@@ -266,11 +266,10 @@ def simhash_dup_pairs(docs: DataFrame, text_col: str = "text",
         F.col(id_col),
         F.col("simhash"),
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.shiftright(F.col("simhash"), b * chunk_bits).bitwiseAND(
-                    F.lit(mask)
-                ),
+            # SQL expr: the Python shiftright() only takes literal shifts
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), "
+                f"b -> shiftright(simhash, b * {chunk_bits}) & {mask}L)"
             )
         ).alias("band", "chunk"),
     )

@@ -55,12 +55,14 @@ def doc_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         n_ws > 0,
         F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)) / n_ws,
     ).otherwise(F.lit(0.0))
-    # quality: long enough, not punctuation soup, some stopwords (prose-like)
-    quality = (
+    # quality: long enough, not punctuation soup, some stopwords (prose-like);
+    # an empty document scores 0
+    quality = F.when(
+        n_chars > 0,
         F.least(n_ws / F.lit(50.0), F.lit(1.0)) * F.lit(0.4)
         + (F.lit(1.0) - F.least(punct_ratio * F.lit(4.0), F.lit(1.0))) * F.lit(0.3)
-        + F.least(stop_ratio * F.lit(3.0), F.lit(1.0)) * F.lit(0.3)
-    )
+        + F.least(stop_ratio * F.lit(3.0), F.lit(1.0)) * F.lit(0.3),
+    ).otherwise(F.lit(0.0))
     return docs.select(
         F.col(id_col),
         n_chars.cast("long").alias("n_chars"),

@@ -1,0 +1,167 @@
+"""Checkpoint / resume with per-partition lineage + metrics (north rule).
+
+The reference's stats collector persists request/response docs to MongoDB
+(``agent/stats_collector/db.py:23-47``); at batch scale that becomes an
+append-only **lineage table**: one row per (run_id, partition_id, url) with
+the per-url metrics (mentions found, links found, max link score), plus a
+per-partition **metrics table** aggregating the same.
+
+Resume semantics (idempotent):
+
+    to_do = source pages LEFT ANTI JOIN lineage ON url
+
+so a killed run resumes exactly where its last *committed* write ended.
+Writes are append-mode parquet; an Iceberg deployment swaps the appends for
+snapshot commits with no code change above this module (SURVEY.md §4
+"checkpoint/resume").  Because a url is processed by exactly one run, the
+union of per-run triple outputs is the full-run output (triples are
+set-semantic: ``read_triples`` applies DISTINCT across run directories).
+
+At 10^12 docs the anti-join is a shuffle on url between the source and the
+lineage table — both sides pruned to the url column; AQE picks a broadcast
+anti-join while the lineage side is still small.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from entity_extraction_svc_spark.plans.pipeline import PipelineArtifacts, build_pipeline_df
+
+
+def new_run_id() -> str:
+    return uuid.uuid4().hex[:12]
+
+
+def lineage_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "lineage")
+
+
+def metrics_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "metrics")
+
+
+def triples_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "triples")
+
+
+def processed_urls(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    path = lineage_path(out_dir)
+    try:
+        return spark.read.parquet(path).select("url").distinct()
+    except Exception:
+        return None
+
+
+def per_url_metrics(arts: PipelineArtifacts, run_id: str) -> DataFrame:
+    """One lineage row per processed url: partition id, mention/link counts,
+    max link score.  The partition id is the physical partition that carried
+    the url through the doc-grouped link stage."""
+    mentions = arts.mentions.groupBy("url").agg(F.count("*").alias("n_mentions"))
+    linked = (
+        arts.linked.filter((F.col("rank") == 0) & F.col("qid").isNotNull())
+        .groupBy("url")
+        .agg(
+            F.count("*").alias("n_linked"),
+            F.max("conf").alias("max_link_score"),
+        )
+    )
+    return (
+        arts.extracted.select("url")
+        .join(mentions, "url", "left")
+        .join(linked, "url", "left")
+        .select(
+            F.lit(run_id).alias("run_id"),
+            F.spark_partition_id().alias("partition_id"),
+            "url",
+            F.coalesce("n_mentions", F.lit(0)).cast("int").alias("n_mentions"),
+            F.coalesce("n_linked", F.lit(0)).cast("int").alias("n_linked"),
+            F.col("max_link_score").cast("double"),
+        )
+    )
+
+
+def run_checkpointed(
+    spark: SparkSession,
+    pages_path: str,
+    kb_dir: str,
+    out_dir: str,
+    source: str = "html",
+    max_docs: int | None = None,
+    run_id: str | None = None,
+) -> dict:
+    """One resumable pipeline run: process only urls absent from the lineage
+    table, append triples + lineage + per-partition metrics.
+
+    ``max_docs`` bounds the slice (used by tests to simulate a run killed
+    midway; a production run leaves it None).  Returns run stats.
+    """
+    run_id = run_id or new_run_id()
+    pages = spark.read.parquet(pages_path)
+    done = processed_urls(spark, out_dir)
+    if done is not None:
+        pages = pages.join(done, "url", "left_anti")
+    if max_docs is not None:
+        pages = pages.limit(max_docs)
+    # the slice is reused by three writes below — materialize it once so
+    # resume semantics don't race with the lazily re-evaluated limit
+    pages = pages.persist()
+    n_pages = pages.count()
+    if n_pages == 0:
+        pages.unpersist()
+        return {"run_id": run_id, "n_pages": 0, "n_triples": 0}
+
+    arts = build_pipeline_df(spark, pages, kb_dir, source=source)
+
+    # materialize lineage BEFORE any append touches lineage_path: its plan
+    # contains the resume anti-join against that very path, so writing first
+    # and refreshing would invalidate the cache and re-plan against the
+    # post-append state (yielding an empty frame)
+    lineage = per_url_metrics(arts, run_id).persist()
+    lineage.count()
+
+    arts.triples.write.mode("append").parquet(triples_path(out_dir))
+    metrics = lineage.groupBy("run_id", "partition_id").agg(
+        F.count("*").alias("n_urls"),
+        F.sum("n_mentions").alias("n_mentions"),
+        F.sum("n_linked").alias("n_linked"),
+        F.max("max_link_score").alias("max_link_score"),
+    )
+    metrics.write.mode("append").parquet(metrics_path(out_dir))
+    # the lineage append is the COMMIT POINT: a crash anywhere above leaves
+    # these urls absent from lineage, so the next resume reprocesses them
+    # (triples are set-semantic, so the duplicate appends dedupe on read)
+    lineage.write.mode("append").parquet(lineage_path(out_dir))
+    # appended files are invisible to readers holding the session-shared
+    # FileStatusCache entry for these paths — refresh so the next resume's
+    # anti-join (and any open reader) sees this commit
+    spark.catalog.refreshByPath(lineage_path(out_dir))
+    spark.catalog.refreshByPath(triples_path(out_dir))
+    spark.catalog.refreshByPath(metrics_path(out_dir))
+    n_triples = spark.read.parquet(triples_path(out_dir)).distinct().count()
+    lineage.unpersist()
+    pages.unpersist()
+    return {"run_id": run_id, "n_pages": n_pages, "n_triples": n_triples}
+
+
+def run_to_completion(spark: SparkSession, pages_path: str, kb_dir: str,
+                      out_dir: str, source: str = "html",
+                      batch_docs: int | None = None, max_rounds: int = 100) -> list[dict]:
+    """Drive run_checkpointed until the anti-join drains (the resume loop)."""
+    stats = []
+    for _ in range(max_rounds):
+        s = run_checkpointed(spark, pages_path, kb_dir, out_dir,
+                             source=source, max_docs=batch_docs)
+        stats.append(s)
+        if s["n_pages"] == 0 or batch_docs is None:
+            break
+    return stats
+
+
+def read_triples(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The materialized KG across all committed runs (set semantics)."""
+    return spark.read.parquet(triples_path(out_dir)).distinct()

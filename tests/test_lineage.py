@@ -1,0 +1,48 @@
+"""Checkpoint/resume: a run killed midway resumes idempotently (north rule)."""
+
+from __future__ import annotations
+
+import tempfile
+
+import duckdb
+from pyspark.sql import functions as F
+
+from entity_extraction_svc_spark.plans import lineage as L
+
+
+def test_resume_after_partial_run(spark, fixture_dir):
+    out = tempfile.mkdtemp(prefix="kg_ckpt_")
+    pages_path = f"{fixture_dir}/pages.parquet"
+
+    # simulated crash: only 60 of 200 docs processed before the kill
+    s1 = L.run_checkpointed(spark, pages_path, fixture_dir, out, max_docs=60)
+    assert s1["n_pages"] == 60
+    lin1 = spark.read.parquet(L.lineage_path(out))
+    assert lin1.select("url").distinct().count() == 60
+
+    # resume: drains the remaining 140, never reprocesses a url
+    s2 = L.run_checkpointed(spark, pages_path, fixture_dir, out)
+    assert s2["n_pages"] == 140
+    lin = spark.read.parquet(L.lineage_path(out))
+    assert lin.count() == lin.select("url").distinct().count() == 200
+
+    # a third run is a no-op (idempotence)
+    s3 = L.run_checkpointed(spark, pages_path, fixture_dir, out)
+    assert s3["n_pages"] == 0
+
+    # the union of partial runs equals the single-run golden triple set
+    got = {(r.subj, r.pred, r.obj) for r in L.read_triples(spark, out).collect()}
+    want = {
+        tuple(r)
+        for r in duckdb.sql(
+            f"select subj, pred, obj from '{fixture_dir}/golden_triples.parquet'"
+        ).fetchall()
+    }
+    assert got == want
+
+    # metrics table aggregates lineage per (run, partition)
+    met = spark.read.parquet(L.metrics_path(out))
+    assert met.agg(F.sum("n_urls")).first()[0] == 200
+    assert {r.run_id for r in met.select("run_id").distinct().collect()} == {
+        s1["run_id"], s2["run_id"]
+    }

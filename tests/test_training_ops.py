@@ -1,0 +1,132 @@
+"""Unit tests: dedup, similarity search, text stats, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en"),
+        (1, "the quick brown fox jumps over the lazy dog", "en"),  # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy cat", "en"),  # near dup of 0
+        (3, "completely different text about spark engines and shuffles", "en"),
+        (4, "", "en"),
+        (5, "Пример текста на русском языке для проверки эвристики", "ru"),
+        (6, "a b", "en"),  # shorter than the shingle width
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_exact_dedup(docs):
+    from entity_extraction_svc_spark.operators.dedup import exact_dup_groups
+
+    groups = exact_dup_groups(docs).collect()
+    assert len(groups) == 1
+    assert groups[0].n_docs == 2 and groups[0].keeper_id == 0
+
+
+def test_minhash_near_dup(docs):
+    from entity_extraction_svc_spark.operators.dedup import minhash_dup_pairs
+
+    pairs = {(r.id_a, r.id_b): r.est_jaccard for r in
+             minhash_dup_pairs(docs, threshold=0.3).collect()}
+    assert pairs[(0, 1)] == 1.0              # identical docs agree on every hash
+    assert (0, 2) in pairs or (1, 2) in pairs  # near dup lands in a shared band
+    assert all(b != 3 for (_, b) in pairs)   # unrelated doc never pairs
+
+
+def test_ngram_jaccard(docs):
+    from entity_extraction_svc_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in
+             ngram_jaccard_pairs(docs, threshold=0.2).collect()}
+    assert pairs[(0, 1)] == 1.0
+    # 9-token docs differing in the last token: 7 shingles each, 6 shared,
+    # union 8 -> jaccard 0.75
+    assert abs(pairs[(0, 2)] - 0.75) < 1e-9
+    assert all({a, b} != {0, 3} for (a, b) in pairs)
+
+
+def test_simhash_hamming(docs):
+    from entity_extraction_svc_spark.operators.dedup import simhash, simhash_dup_pairs
+
+    sh = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    assert sh[0] == sh[1] != 0
+    assert sh[4] == 0  # empty doc
+    pairs = {(r.id_a, r.id_b): r.hamming for r in
+             simhash_dup_pairs(docs, max_hamming=10).collect()}
+    assert pairs[(0, 1)] == 0
+
+
+def test_cosine_topk_exact_and_ann(spark):
+    from entity_extraction_svc_spark.operators.simsearch import (
+        cosine_topk,
+        lsh_ann_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    exact = cosine_topk(emb, query_id=0, k=10).collect()
+    assert len(exact) == 10
+    sims = [r.cos_sim for r in exact]
+    assert sims == sorted(sims, reverse=True)
+    ann = lsh_ann_topk(emb, query_id=0, k=10, bits=8, probe_hamming=4).collect()
+    # generous probe radius must reach decent recall of the exact top-10
+    recall = len({r.vec_id for r in ann} & {r.vec_id for r in exact}) / 10
+    assert recall >= 0.5, f"ANN recall {recall}"
+
+
+def test_lang_id_and_stats(docs):
+    from entity_extraction_svc_spark.operators.textstats import doc_stats, lang_id
+
+    langs = {r.doc_id: r.lang_pred for r in lang_id(docs).collect()}
+    assert langs[0] == "en" and langs[5] == "ru" and langs[4] == "unk"
+    stats = {r.doc_id: r for r in doc_stats(docs).collect()}
+    assert stats[0].n_ws_tokens == 9
+    assert stats[4].n_chars == 0 and stats[4].quality_score == 0.0
+    # "the" x2 are the only LANG_ID_STOPWORDS hits in the 9-token doc
+    assert stats[0].stopword_ratio == pytest.approx(2 / 9, abs=1e-6)
+
+
+def test_multimodal_plumbing(spark, fixture_dir):
+    from entity_extraction_svc_spark.operators.multimodal import (
+        binary_meta,
+        decode_image,
+        extract_features,
+        resize_image,
+    )
+
+    pages = spark.read.parquet(f"{fixture_dir}/pages.parquet")
+    meta = binary_meta(pages, bin_col="html", key_col="url")
+    m = meta.filter(F.col("media_kind") == "html").count()
+    assert m > 190  # all but the <html>-less edge pages sniff as html
+
+    feats = extract_features(pages, bin_col="html", key_col="url").collect()
+    assert len(feats) == pages.count()
+    vec = next(r.feature for r in feats if r.feature is not None)
+    assert len(vec) == 16 and abs(sum(vec) - 1.0) < 1e-3  # L1-normalized
+
+    dec = decode_image(pages.limit(5), bin_col="html", key_col="url").collect()
+    assert all(r.decoder == "deterministic-fake" for r in dec)  # no PIL here
+    assert all(64 <= r.width < 256 for r in dec)
+
+    with pytest.raises(NotImplementedError):
+        resize_image(pages, 64, 64)
+
+
+def test_canonicalize_components(spark):
+    from entity_extraction_svc_spark.operators.canonicalize import canonical_qids
+
+    ents = spark.createDataFrame(
+        [("Q1", "apple"), ("Q2", "apple inc"), ("Q3", "banana")],
+        "qid string, label string",
+    )
+    aliases = spark.createDataFrame(
+        [("Apple", "Q2"), ("banana  fruit", "Q3"), ("Banana Fruit", "Q4")],
+        "alias string, qid string",
+    )
+    canon = {r.qid: r.canonical_qid for r in canonical_qids(ents, aliases).collect()}
+    # Q1-Q2 share surface "apple"; Q3-Q4 share normalized "banana fruit"
+    assert canon == {"Q1": "Q1", "Q2": "Q1", "Q3": "Q3", "Q4": "Q3"}
