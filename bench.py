@@ -30,8 +30,8 @@ def _bench_fixture_dir(n_docs: int) -> str:
     """Deterministic n-doc page corpus, generated once and cached."""
     from entity_extraction_svc_spark.fixtures import ensure_fixtures
 
-    d = os.path.join("/tmp", f"kg_bench_fixtures_{n_docs}")
-    ensure_fixtures(d, n_docs)
+    d = os.path.join("/tmp", f"kg_bench_fixtures_sharded_{n_docs}")
+    ensure_fixtures(d, n_docs, shards=64)
     return d
 
 
@@ -45,7 +45,7 @@ def run_benches(spark, sf_dir: str, bench_docs: int = BENCH_DOCS) -> dict[str, d
     )
     from entity_extraction_svc_spark.operators.simsearch import cosine_topk
     from entity_extraction_svc_spark.operators.textstats import doc_stats
-    from entity_extraction_svc_spark.plans.pipeline import build_pipeline
+    from entity_extraction_svc_spark.plans.fused import build_fused
 
     results: dict[str, dict] = {}
 
@@ -54,13 +54,18 @@ def run_benches(spark, sf_dir: str, bench_docs: int = BENCH_DOCS) -> dict[str, d
         rows = fn()
         results[name] = {"sec": round(time.time() - t0, 3), "rows": rows}
 
-    # flagship: full KG pipeline over the generated page corpus
+    # flagship: fused KG pipeline (extract->chunk->NER->link in one narrow
+    # mapInPandas; shuffles only in the triples aggregation) over the
+    # generated page corpus
     fixdir = _bench_fixture_dir(bench_docs)
 
     def kg_run():
-        arts = build_pipeline(spark, f"{fixdir}/pages.parquet", fixdir)
-        n_linked = arts.linked.filter(F.col("rank") == 0).count()
-        n_triples = arts.triples.count()
+        pages = spark.read.parquet(f"{fixdir}/pages.parquet")
+        linked, triples = build_fused(spark, pages, fixdir)
+        linked = linked.persist()
+        n_linked = linked.filter(F.col("rank") == 0).count()
+        n_triples = triples.count()
+        linked.unpersist()
         return n_linked + n_triples
 
     timed("kg_pipeline_10k", kg_run)

@@ -502,8 +502,13 @@ def kb_rows(kb: list[Ent]):
     return ent_rows, alias_rows, uniq, gaz_rows
 
 
-def write_fixtures(out_dir: str, n_docs: int = 200) -> None:
-    """Write all fixture parquet files with pyarrow (no Spark needed)."""
+def write_fixtures(out_dir: str, n_docs: int = 200, shards: int = 1) -> None:
+    """Write all fixture parquet files with pyarrow (no Spark needed).
+
+    ``shards > 1`` writes ``pages.parquet`` as a DIRECTORY of part files so
+    a Spark scan gets ``shards`` splits (a single parquet file is one input
+    partition no matter its row-group count — a serial-scan bottleneck the
+    two-parallelism bench must avoid)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -511,13 +516,25 @@ def write_fixtures(out_dir: str, n_docs: int = 200) -> None:
     ent_rows, alias_rows, triple_rows, gaz_rows = kb_rows(kb)
     pages, gm, gl = generate_pages(n_docs)
 
-    def write(name: str, rows: list[dict], schema: pa.Schema | None = None):
+    def write(name: str, rows: list[dict], schema: pa.Schema | None = None,
+              n_shards: int = 1):
         if schema is not None:
             cols = {f.name: [r.get(f.name) for r in rows] for f in schema}
             table = pa.Table.from_pydict(cols, schema=schema)
         else:
             table = pa.Table.from_pylist(rows)
-        pq.write_table(table, f"{out_dir}/{name}.parquet")
+        if n_shards <= 1:
+            pq.write_table(table, f"{out_dir}/{name}.parquet")
+            return
+        import os
+
+        d = f"{out_dir}/{name}.parquet"
+        os.makedirs(d, exist_ok=True)
+        per = (table.num_rows + n_shards - 1) // n_shards
+        for s in range(n_shards):
+            sl = table.slice(s * per, per)
+            if sl.num_rows:
+                pq.write_table(sl, f"{d}/part-{s:05d}.parquet")
 
     pages_schema = pa.schema([
         pa.field("url", pa.string(), False),
@@ -526,7 +543,7 @@ def write_fixtures(out_dir: str, n_docs: int = 200) -> None:
         pa.field("text", pa.string()),
         pa.field("lang", pa.string()),
     ])
-    write("pages", pages, pages_schema)
+    write("pages", pages, pages_schema, n_shards=shards)
     write("kb_entities", ent_rows)
     write("kb_aliases", alias_rows)
     write("kb_triples", triple_rows)
@@ -550,13 +567,13 @@ def write_fixtures(out_dir: str, n_docs: int = 200) -> None:
     write("golden_triples", gt_rows)
 
 
-def ensure_fixtures(out_dir: str, n_docs: int = 200) -> str:
+def ensure_fixtures(out_dir: str, n_docs: int = 200, shards: int = 1) -> str:
     import os
 
     marker = os.path.join(out_dir, "pages.parquet")
     if not os.path.exists(marker):
         os.makedirs(out_dir, exist_ok=True)
-        write_fixtures(out_dir, n_docs)
+        write_fixtures(out_dir, n_docs, shards)
     return out_dir
 
 

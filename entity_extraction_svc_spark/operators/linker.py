@@ -973,41 +973,71 @@ def link_doc(d: LinkerDicts, raw_text: str, sentences: list[str],
     return out_rows
 
 
-def link_entities_df(mentions_df, chunks_with_shift_df, dicts_bc):
-    """The doc-grouped linking operator: cogrouped applyInPandas by url.
+LINK_BUCKETS = 256  # url-hash buckets per cogroup (see link_entities_df)
+
+
+def _link_one_doc(d: LinkerDicts, mentions_pdf: pd.DataFrame,
+                  chunks_pdf: pd.DataFrame) -> list[dict]:
+    """Link a single document given its mention rows + chunk rows."""
+    chunks_pdf = chunks_pdf.sort_values("chunk_id")
+    # reassemble doc-level sentences + offsets (N6 already shifted)
+    sentences: list[str] = []
+    sentences_offsets: list[tuple[int, int]] = []
+    raw_text = ""
+    for _, row in chunks_pdf.iterrows():
+        if row["chunk_id"] == 0 and row["doc_text"] is not None:
+            raw_text = row["doc_text"]
+        shift = int(row["offset_shift"])
+        for sent, off in zip(row["sentences"], row["sentences_offsets"]):
+            sentences.append(sent)
+            s, e = (off["s"], off["e"]) if isinstance(off, dict) else (off[0], off[1])
+            sentences_offsets.append((s + shift, e + shift))
+    mentions = mentions_pdf.sort_values(["start", "end", "substr"]).to_dict("records")
+    return link_doc(d, raw_text, sentences, sentences_offsets, mentions)
+
+
+def link_entities_df(mentions_df, chunks_with_shift_df, dicts_bc,
+                     buckets: int = LINK_BUCKETS):
+    """The doc-grouped linking operator: cogrouped applyInPandas by
+    url-hash bucket, with the per-url grouping done in pandas inside the UDF.
+
+    The document is the semantic unit, but cogrouping by raw url means one
+    Arrow batch + pandas construction PER DOCUMENT (~10ms of fixed overhead
+    each — measured to dominate the stage and cap 8→32-core speedup at
+    ~1.6x).  Salting the key to ``pmod(xxhash64(url), buckets)`` keeps the
+    same shuffle shape but amortizes the per-group cost over hundreds of
+    docs; ``DataFrame.groupby('url')`` inside the UDF is microseconds per
+    doc.  At cluster scale buckets should be >= 4x total cores so AQE can
+    balance; doc-level results are unchanged (each url still lands wholly in
+    exactly one group).
 
     mentions_df: url, substr, start, end, proba, tag, fine_tag, alt_tag
     chunks_with_shift_df: url, chunk_id, sentences, sentences_offsets,
                           offset_shift, doc_text (chunk 0 only)
     """
+    from pyspark.sql import functions as F
+
+    cols = ["url", "mention_id", "substr", "start", "end", "rank", "qid", "conf",
+            "page", "ent_tag", "substr_score", "num_rels", "conn_score_notag",
+            "conn_score_tag"]
 
     def _link(mentions_pdf: pd.DataFrame, chunks_pdf: pd.DataFrame) -> pd.DataFrame:
-        cols = ["url", "mention_id", "substr", "start", "end", "rank", "qid", "conf",
-                "page", "ent_tag", "substr_score", "num_rels", "conn_score_notag",
-                "conn_score_tag"]
         if mentions_pdf.empty or chunks_pdf.empty:
             return pd.DataFrame(columns=cols)
         d: LinkerDicts = dicts_bc.value
-        out = []
-        chunks_pdf = chunks_pdf.sort_values("chunk_id")
-        # reassemble doc-level sentences + offsets (N6 already shifted)
-        sentences: list[str] = []
-        sentences_offsets: list[tuple[int, int]] = []
-        raw_text = ""
-        for _, row in chunks_pdf.iterrows():
-            if row["chunk_id"] == 0 and row["doc_text"] is not None:
-                raw_text = row["doc_text"]
-            shift = int(row["offset_shift"])
-            for sent, off in zip(row["sentences"], row["sentences_offsets"]):
-                sentences.append(sent)
-                s, e = (off["s"], off["e"]) if isinstance(off, dict) else (off[0], off[1])
-                sentences_offsets.append((s + shift, e + shift))
-        mentions = mentions_pdf.sort_values(["start", "end", "substr"]).to_dict("records")
-        out = link_doc(d, raw_text, sentences, sentences_offsets, mentions)
+        out: list[dict] = []
+        chunk_groups = dict(tuple(chunks_pdf.groupby("url", sort=False)))
+        for url, m_pdf in mentions_pdf.groupby("url", sort=False):
+            c_pdf = chunk_groups.get(url)
+            if c_pdf is None:
+                continue
+            out.extend(_link_one_doc(d, m_pdf, c_pdf))
         return pd.DataFrame(out, columns=cols)
 
+    bucket = F.pmod(F.xxhash64("url"), F.lit(buckets)).alias("_bucket")
     return (
-        mentions_df.groupBy("url")
-        .cogroup(chunks_with_shift_df.groupBy("url"))
+        mentions_df.withColumn("_bucket", bucket)
+        .groupBy("_bucket")
+        .cogroup(chunks_with_shift_df.withColumn("_bucket", bucket).groupBy("_bucket"))
         .applyInPandas(_link, LINKED_SCHEMA)
     )

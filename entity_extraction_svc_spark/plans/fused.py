@@ -1,0 +1,134 @@
+"""Fused pipeline: extract -> chunk -> NER -> link in ONE mapInPandas pass.
+
+Every stage of the KG pipeline up to linking is per-document work (the
+reference processes each request doc independently end-to-end), so the
+staged plan's shuffles — the offset-shift window, the mention/chunk cogroup
+exchange — exist only because the stages were materialized as separate
+tables.  This plan fuses them into a single narrow ``mapInPandas`` over the
+pages scan: zero shuffles until the final triples aggregation, no chunk
+cache, one Arrow round trip per input split.
+
+At 100 TB this is the difference between shuffling the full chunked corpus
+twice and never shuffling document payloads at all: the only wide exchanges
+left in the job are the distinct-QID semi-join and the subject-hash
+repartition of the (tiny) triples output.  A BERT tagger slots in by
+batching the chunk texts accumulated per Arrow batch (the per-doc loop
+already collects them) — same plumbing, model call instead of gazetteer.
+
+The staged plan (plans/pipeline.py) remains the testing/debugging surface;
+both produce identical linked rows (asserted by tests/test_fused.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from entity_extraction_svc_spark.functions import htmltext
+from entity_extraction_svc_spark.operators.chunker import chunk_doc
+from entity_extraction_svc_spark.operators.eltags import ALT_FINE
+from entity_extraction_svc_spark.operators.linker import (
+    LINKED_SCHEMA,
+    link_doc,
+)
+from entity_extraction_svc_spark.operators.ner import (
+    GazetteerTagger,
+    decode_bio,
+    tokenize_with_offsets,
+)
+from entity_extraction_svc_spark.operators.triples import materialize_triples
+from entity_extraction_svc_spark.sources.kb import (
+    collect_linker_dicts,
+    normalize_label,
+)
+
+
+def _fine_tag_lookup(gaz_rows: list[dict]) -> dict[str, str]:
+    """norm surface -> fine tag of the most popular owner (the broadcast twin
+    of eltags.classify_tags' max_by join)."""
+    best: dict[str, tuple[int, str]] = {}
+    for r in gaz_rows:
+        k = normalize_label(r["surface"])
+        cur = best.get(k)
+        if cur is None or r["num_rels"] > cur[0]:
+            best[k] = (r["num_rels"], r["fine_tag"])
+    return {k: v[1] for k, v in best.items()}
+
+
+def link_page(d, tagger: GazetteerTagger, fine_lookup: dict[str, str],
+              url: str, text: str) -> list[dict]:
+    """One document end-to-end: chunk, tag, decode, classify, link."""
+    if not text:
+        return []
+    chunks = chunk_doc(text)
+    shift = 0
+    mentions: list[dict] = []
+    sentences: list[str] = []
+    sentences_offsets: list[tuple[int, int]] = []
+    for chunk_text, sents, soffs in chunks:
+        ctext = chunk_text.replace("\xad", " ")  # H7
+        tokens, offsets = tokenize_with_offsets(ctext)
+        if tokens:
+            tags, probas = tagger.tag(tokens)
+            for substr, start, end, proba, tag in decode_bio(tokens, tags, probas, offsets):
+                fine = fine_lookup.get(normalize_label(substr))
+                mentions.append({
+                    "url": url, "substr": substr, "start": start + shift,
+                    "end": end + shift, "proba": proba, "tag": tag,
+                    "fine_tag": fine,
+                    "alt_tag": ALT_FINE.get(fine or "", "MISC") if fine else "MISC",
+                })
+        for sent, (s, e) in zip(sents, soffs):
+            sentences.append(sent)
+            sentences_offsets.append((s + shift, e + shift))
+        shift += len(chunk_text) + 1
+    if not mentions:
+        return []
+    mentions.sort(key=lambda m: (m["start"], m["end"], m["substr"]))
+    return link_doc(d, text, sentences, sentences_offsets, mentions)
+
+
+def fused_link(pages: DataFrame, tagger_bc, dicts_bc, fine_bc,
+               source: str = "html") -> DataFrame:
+    """pages -> linked rows, one narrow mapInPandas (no shuffle)."""
+    if source == "html":
+        cols = pages.select("url", F.col("html").alias("payload"))
+    else:
+        cols = pages.select("url", F.col("text").alias("payload"))
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        d = dicts_bc.value
+        tagger: GazetteerTagger = tagger_bc.value
+        fine_lookup: dict[str, str] = fine_bc.value
+        out_cols = ["url", "mention_id", "substr", "start", "end", "rank", "qid",
+                    "conf", "page", "ent_tag", "substr_score", "num_rels",
+                    "conn_score_notag", "conn_score_tag"]
+        for pdf in batches:
+            rows: list[dict] = []
+            for url, payload in zip(pdf["url"], pdf["payload"]):
+                if payload is None:
+                    continue
+                if source == "html":
+                    text = htmltext.preprocess_html(payload)
+                else:
+                    text = htmltext.preprocess_text(payload)
+                rows.extend(link_page(d, tagger, fine_lookup, url, text))
+            yield pd.DataFrame(rows, columns=out_cols)
+
+    return cols.mapInPandas(_run, LINKED_SCHEMA)
+
+
+def build_fused(spark: SparkSession, pages: DataFrame, kb_dir: str,
+                source: str = "html", num_partitions: int = 32):
+    """Returns (linked, triples) via the fused plan."""
+    gaz_rows = [r.asDict() for r in spark.read.parquet(f"{kb_dir}/gazetteer.parquet").collect()]
+    tagger_bc = spark.sparkContext.broadcast(GazetteerTagger.from_rows(gaz_rows))
+    fine_bc = spark.sparkContext.broadcast(_fine_tag_lookup(gaz_rows))
+    dicts_bc = spark.sparkContext.broadcast(collect_linker_dicts(spark, kb_dir))
+    linked = fused_link(pages, tagger_bc, dicts_bc, fine_bc, source)
+    kb_triples = spark.read.parquet(f"{kb_dir}/kb_triples.parquet")
+    triples = materialize_triples(linked, kb_triples, num_partitions)
+    return linked, triples

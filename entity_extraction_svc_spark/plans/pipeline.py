@@ -46,10 +46,16 @@ def build_pipeline(
     kb_dir: str,
     source: str = "html",
     num_partitions: int = 32,
+    input_partitions: int | None = None,
 ) -> PipelineArtifacts:
-    return build_pipeline_df(
-        spark, spark.read.parquet(pages_path), kb_dir, source, num_partitions
-    )
+    """``input_partitions`` spreads a small single-file input across workers
+    (a test/bench concern only — a production table arrives in many splits
+    and maxPartitionBytes governs; forcing a repartition there would shuffle
+    the full html payload for nothing)."""
+    pages = spark.read.parquet(pages_path)
+    if input_partitions is not None:
+        pages = pages.repartition(input_partitions)
+    return build_pipeline_df(spark, pages, kb_dir, source, num_partitions)
 
 
 def build_pipeline_df(
@@ -58,9 +64,20 @@ def build_pipeline_df(
     kb_dir: str,
     source: str = "html",
     num_partitions: int = 32,
+    cache_chunks: bool = True,
 ) -> PipelineArtifacts:
+    """``cache_chunks`` persists the chunk table (MEMORY_AND_DISK): it feeds
+    BOTH cogroup sides of the link stage (mentions derive from it too), so
+    without the cache the extract+chunk subtree executes twice per action.
+    The chunk table is the cheapest full-corpus representation (html is
+    dropped, text deduped per chunk) — at cluster scale this is the stage
+    you'd checkpoint to scratch storage instead."""
+    from pyspark import StorageLevel
+
     extracted = extract_text(pages, source=source)
     chunks = with_offset_shift(chunk(extracted))
+    if cache_chunks:
+        chunks = chunks.persist(StorageLevel.MEMORY_AND_DISK)
 
     gaz_df = spark.read.parquet(f"{kb_dir}/gazetteer.parquet")
     gaz_rows = [r.asDict() for r in gaz_df.collect()]

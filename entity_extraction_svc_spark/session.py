@@ -54,7 +54,13 @@ def _ship_package(spark: SparkSession) -> None:
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     zip_base = os.path.join(tempfile.gettempdir(), "entity_extraction_svc_spark_pkg")
     zip_path = zip_base + ".zip"
-    if not os.path.exists(zip_path):
+    src_mtime = max(
+        os.path.getmtime(os.path.join(root, f))
+        for root, _, files in os.walk(pkg_dir)
+        for f in files
+        if f.endswith(".py")
+    )
+    if not os.path.exists(zip_path) or os.path.getmtime(zip_path) < src_mtime:
         shutil.make_archive(zip_base, "zip", os.path.dirname(pkg_dir),
                             os.path.basename(pkg_dir))
     spark.sparkContext.addPyFile(zip_path)
