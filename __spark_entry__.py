@@ -306,6 +306,32 @@ def _sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann_topk(emb, query_id=0, k=10)
 
 
+def _kb_ingest_ntriples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from entity_extraction_svc_spark.fixtures import ensure_fixtures
+    from entity_extraction_svc_spark.sources.ntriples import parse_ntriples
+
+    ensure_fixtures(FIXTURES)
+    lines = spark.read.text(f"{FIXTURES}/custom_kb.nt")
+    return parse_ntriples(lines)
+
+
+def _kb_ingest_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from entity_extraction_svc_spark.fixtures import ensure_fixtures
+    from entity_extraction_svc_spark.sources.ntriples import (
+        build_kb_entities,
+        parse_ntriples,
+    )
+
+    ensure_fixtures(FIXTURES)
+    lines = spark.read.text(f"{FIXTURES}/custom_kb.nt")
+    return build_kb_entities(
+        parse_ntriples(lines),
+        label_rel="label",
+        type_rel="P31",
+        type_to_tag={"Q5": "PER", "Q515": "CITY", "Q6256": "COUNTRY"},
+    ).select("qid", "label", "tag", "num_rels")
+
+
 def _mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from entity_extraction_svc_spark.fixtures import ensure_fixtures
     from entity_extraction_svc_spark.operators.multimodal import binary_meta
@@ -356,6 +382,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "sim_cosine_topk": _sim_cosine_topk,
         "sim_lsh_ann": _sim_lsh_ann,  # rows-only (LSH probe set, no SQL oracle)
+        # custom-KB ingest ETL (S7/S8)
+        "kb_ingest_ntriples": _kb_ingest_ntriples,
+        "kb_ingest_entities": _kb_ingest_entities,
         # multimodal binary-column plumbing
         "mm_binary_meta": _mm_binary_meta,
         "mm_features": _mm_features,  # rows-only (pandas-UDF featurizer)
@@ -381,6 +410,9 @@ _SHINGLES = (
     f"else [{_NORM}] end"
 )
 _H64 = "('0x' || substr(md5({X}), 1, 15))::BIGINT"
+
+# N-triples line pattern (sources/ntriples.py NT_RE), single-quote escaped
+NT_RE_SQL = '^<([^>]+)>\\s+<([^>]+)>\\s+(?:<([^>]+)>|"([^"]*)")\\s*\\.\\s*$'
 
 
 def _minhash_sql_mins() -> str:
@@ -625,6 +657,65 @@ def oracle_sql() -> dict[str, str]:
                    round(n_shared / (a.n_sh + b.n_sh - n_shared), 6) AS jaccard
             FROM shared JOIN sizes a ON id_a = a.id JOIN sizes b ON id_b = b.id
             WHERE n_shared / (a.n_sh + b.n_sh - n_shared) >= 0.5
+            """
+        ),
+        "kb_ingest_ntriples": (
+            f"""
+            WITH lines AS (
+              SELECT value FROM read_csv('{fx}/custom_kb.nt', delim='|',
+                                         header=false, quote='',
+                                         columns={{'value': 'VARCHAR'}})
+            ), p AS (
+              SELECT regexp_extract(value, '{NT_RE_SQL}', 1) AS s_iri,
+                     regexp_extract(value, '{NT_RE_SQL}', 2) AS p_iri,
+                     regexp_extract(value, '{NT_RE_SQL}', 3) AS o_iri,
+                     regexp_extract(value, '{NT_RE_SQL}', 4) AS o_lit
+              FROM lines
+            )
+            SELECT string_split(s_iri, '/')[-1] AS subj,
+                   string_split(p_iri, '/')[-1] AS pred,
+                   CASE WHEN o_iri != '' THEN string_split(o_iri, '/')[-1]
+                        ELSE o_lit END AS obj
+            FROM p
+            WHERE s_iri != '' AND p_iri != ''
+              AND (CASE WHEN o_iri != '' THEN string_split(o_iri, '/')[-1]
+                        ELSE o_lit END) != ''
+            """
+        ),
+        "kb_ingest_entities": (
+            f"""
+            WITH lines AS (
+              SELECT value FROM read_csv('{fx}/custom_kb.nt', delim='|',
+                                         header=false, quote='',
+                                         columns={{'value': 'VARCHAR'}})
+            ), p AS (
+              SELECT regexp_extract(value, '{NT_RE_SQL}', 1) AS s_iri,
+                     regexp_extract(value, '{NT_RE_SQL}', 2) AS p_iri,
+                     regexp_extract(value, '{NT_RE_SQL}', 3) AS o_iri,
+                     regexp_extract(value, '{NT_RE_SQL}', 4) AS o_lit
+              FROM lines
+            ), t AS (
+              SELECT string_split(s_iri, '/')[-1] AS subj,
+                     string_split(p_iri, '/')[-1] AS pred,
+                     CASE WHEN o_iri != '' THEN string_split(o_iri, '/')[-1]
+                          ELSE o_lit END AS obj
+              FROM p WHERE s_iri != '' AND p_iri != ''
+            ), agg AS (
+              SELECT subj,
+                     max(CASE WHEN pred = 'label' THEN obj END) AS label,
+                     list_sort(list_distinct(
+                       list_filter(list(CASE WHEN pred = 'P31' THEN obj END),
+                                   x -> x IS NOT NULL))) AS p31,
+                     count(*) AS num_rels
+              FROM t WHERE obj != '' GROUP BY subj
+            )
+            SELECT subj AS qid, label,
+                   coalesce(CASE p31[1] WHEN 'Q5' THEN 'PER'
+                                        WHEN 'Q515' THEN 'CITY'
+                                        WHEN 'Q6256' THEN 'COUNTRY' END,
+                            'MISC') AS tag,
+                   num_rels
+            FROM agg WHERE label IS NOT NULL
             """
         ),
         "mm_binary_meta": (

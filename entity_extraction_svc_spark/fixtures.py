@@ -509,9 +509,12 @@ def write_fixtures(out_dir: str, n_docs: int = 200, shards: int = 1) -> None:
     a Spark scan gets ``shards`` splits (a single parquet file is one input
     partition no matter its row-group count — a serial-scan bottleneck the
     two-parallelism bench must avoid)."""
+    import os
+
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    os.makedirs(out_dir, exist_ok=True)
     kb = build_kb()
     ent_rows, alias_rows, triple_rows, gaz_rows = kb_rows(kb)
     pages, gm, gl = generate_pages(n_docs)
@@ -565,6 +568,18 @@ def write_fixtures(out_dir: str, n_docs: int = 200, shards: int = 1) -> None:
                     gt_seen.add(k)
                     gt_rows.append(t)
     write("golden_triples", gt_rows)
+
+    # custom-KB ingest fixture (reference S7 parse_custom_database input):
+    # N-triples lines covering every triple + a label line per entity
+    with open(f"{out_dir}/custom_kb.nt", "w") as f:
+        for e in kb:
+            f.write(f'<http://we/{e.qid}> <http://wl/label> "{e.label}" .\n')
+        for t in triple_rows:
+            f.write(
+                f"<http://we/{t['subj']}> <http://wpd/{t['pred']}> "
+                f"<http://we/{t['obj']}> .\n"
+            )
+        f.write("malformed line that the parser must drop\n")
 
 
 def ensure_fixtures(out_dir: str, n_docs: int = 200, shards: int = 1) -> str:

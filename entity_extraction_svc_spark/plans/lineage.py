@@ -30,7 +30,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from entity_extraction_svc_spark.plans.pipeline import PipelineArtifacts, build_pipeline_df
+from entity_extraction_svc_spark.plans.fused import build_fused
 
 
 def new_run_id() -> str:
@@ -57,23 +57,21 @@ def processed_urls(spark: SparkSession, out_dir: str) -> DataFrame | None:
         return None
 
 
-def per_url_metrics(arts: PipelineArtifacts, run_id: str) -> DataFrame:
+def per_url_metrics(pages: DataFrame, linked: DataFrame, run_id: str) -> DataFrame:
     """One lineage row per processed url: partition id, mention/link counts,
     max link score.  The partition id is the physical partition that carried
-    the url through the doc-grouped link stage."""
-    mentions = arts.mentions.groupBy("url").agg(F.count("*").alias("n_mentions"))
-    linked = (
-        arts.linked.filter((F.col("rank") == 0) & F.col("qid").isNotNull())
-        .groupBy("url")
-        .agg(
-            F.count("*").alias("n_linked"),
-            F.max("conf").alias("max_link_score"),
-        )
+    the url through the doc-grouped link stage.  Pages with zero mentions
+    still get a lineage row (they are processed — resume must skip them)."""
+    per_url = linked.groupBy("url").agg(
+        F.countDistinct("mention_id").alias("n_mentions"),
+        F.count(
+            F.when((F.col("rank") == 0) & F.col("qid").isNotNull(), 1)
+        ).alias("n_linked"),
+        F.max(F.when(F.col("rank") == 0, F.col("conf"))).alias("max_link_score"),
     )
     return (
-        arts.extracted.select("url")
-        .join(mentions, "url", "left")
-        .join(linked, "url", "left")
+        pages.select("url")
+        .join(per_url, "url", "left")
         .select(
             F.lit(run_id).alias("run_id"),
             F.spark_partition_id().alias("partition_id"),
@@ -115,16 +113,17 @@ def run_checkpointed(
         pages.unpersist()
         return {"run_id": run_id, "n_pages": 0, "n_triples": 0}
 
-    arts = build_pipeline_df(spark, pages, kb_dir, source=source)
+    linked, triples = build_fused(spark, pages, kb_dir, source=source)
+    linked = linked.persist()
 
     # materialize lineage BEFORE any append touches lineage_path: its plan
     # contains the resume anti-join against that very path, so writing first
     # and refreshing would invalidate the cache and re-plan against the
     # post-append state (yielding an empty frame)
-    lineage = per_url_metrics(arts, run_id).persist()
+    lineage = per_url_metrics(pages, linked, run_id).persist()
     lineage.count()
 
-    arts.triples.write.mode("append").parquet(triples_path(out_dir))
+    triples.write.mode("append").parquet(triples_path(out_dir))
     metrics = lineage.groupBy("run_id", "partition_id").agg(
         F.count("*").alias("n_urls"),
         F.sum("n_mentions").alias("n_mentions"),
@@ -144,6 +143,7 @@ def run_checkpointed(
     spark.catalog.refreshByPath(metrics_path(out_dir))
     n_triples = spark.read.parquet(triples_path(out_dir)).distinct().count()
     lineage.unpersist()
+    linked.unpersist()
     pages.unpersist()
     return {"run_id": run_id, "n_pages": n_pages, "n_triples": n_triples}
 

@@ -1,0 +1,91 @@
+"""Custom-KB ingest: N-triples lines -> KB tables (reference S7/S8).
+
+The reference parses ``"<subj> <rel> <obj> ."`` lines, groups them by
+subject, and inserts label/type rows into its FTS5 index
+(``src/entity_linking.py:202-267`` ``parse_custom_database``; single-row
+upsert ``add_entity`` at ``entity_linking.py:188-200``).  Here the same ETL
+is a line scan -> regexp projection -> groupBy(subj) aggregation -> KB
+tables, all JVM-side:
+
+    lines -> parse_ntriples -> triples(subj, pred, obj)
+          -> build_kb_entities -> (qid, label, tag, num_rels, p31)
+
+At corpus scale the line source is a distributed text scan (one task per
+split); the only shuffle is the per-subject aggregation, map-side-combined.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# "<subj> <rel> <obj> ." with <obj> either an IRI or a quoted literal
+NT_RE = r'^<([^>]+)>\s+<([^>]+)>\s+(?:<([^>]+)>|"([^"]*)")\s*\.\s*$'
+
+
+def parse_ntriples(lines: DataFrame, col: str = "value") -> DataFrame:
+    """Text lines -> (subj, pred, obj); malformed lines are dropped.
+
+    The IRI prefix is stripped to the local name (the reference keys
+    everything by bare QID/PID, ``wiki_parser.py:30-37``)."""
+    local = lambda c: F.element_at(F.split(c, "/"), -1)  # noqa: E731
+    parsed = lines.select(
+        F.regexp_extract(F.col(col), NT_RE, 1).alias("s_iri"),
+        F.regexp_extract(F.col(col), NT_RE, 2).alias("p_iri"),
+        F.regexp_extract(F.col(col), NT_RE, 3).alias("o_iri"),
+        F.regexp_extract(F.col(col), NT_RE, 4).alias("o_lit"),
+    )
+    return (
+        parsed.filter((F.col("s_iri") != "") & (F.col("p_iri") != ""))
+        .select(
+            local(F.col("s_iri")).alias("subj"),
+            local(F.col("p_iri")).alias("pred"),
+            F.when(F.col("o_iri") != "", local(F.col("o_iri")))
+            .otherwise(F.col("o_lit"))
+            .alias("obj"),
+        )
+        .filter(F.col("obj") != "")
+    )
+
+
+def build_kb_entities(triples: DataFrame, label_rel: str = "label",
+                      type_rel: str = "P31",
+                      type_to_tag: dict[str, str] | None = None) -> DataFrame:
+    """Per-subject KB rows: label, routing tag (via the type->tag map, the
+    reference's ``type_to_tag`` parameter), popularity prior num_rels.
+
+    One groupBy(subj) with map-side partial aggregation; the type->tag map
+    rides as a column literal (no join needed — it is config, not data)."""
+    type_to_tag = type_to_tag or {}
+    tag_map = (
+        F.create_map(*[F.lit(x) for kv in type_to_tag.items() for x in kv])
+        if type_to_tag
+        else None
+    )
+    agg = triples.groupBy("subj").agg(
+        F.max(F.when(F.col("pred") == label_rel, F.col("obj"))).alias("label"),
+        F.sort_array(
+            F.collect_set(F.when(F.col("pred") == type_rel, F.col("obj")))
+        ).alias("p31"),
+        F.count("*").alias("num_rels"),
+    )
+    tag = F.lit("MISC")
+    if tag_map is not None:
+        tag = F.coalesce(tag_map[F.element_at(F.col("p31"), 1)], F.lit("MISC"))
+    return agg.select(
+        F.col("subj").alias("qid"),
+        "label",
+        tag.alias("tag"),
+        F.col("num_rels").cast("long").alias("num_rels"),
+        "p31",
+    ).filter(F.col("label").isNotNull())
+
+
+def upsert_entities(existing: DataFrame, new_rows: DataFrame,
+                    key: str = "qid") -> DataFrame:
+    """S8 MERGE semantics without a table format: new rows win on key
+    collision (an Iceberg deployment replaces this with MERGE INTO)."""
+    cols = existing.columns
+    return new_rows.select(cols).unionByName(
+        existing.join(new_rows.select(key), key, "left_anti")
+    )
