@@ -51,15 +51,21 @@ def cosine_topk(embeddings: DataFrame, query_id: int, k: int = 10,
     — no shuffle of the big side); scoring is a narrow map; the final top-k
     is a TakeOrdered, not a full sort.
     """
+    qvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    # query norm precomputed on the (1-row) broadcast side — otherwise the
+    # whole sqrt-aggregate re-evaluates per scanned row
     q = embeddings.filter(F.col(id_col) == query_id).select(
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qvec")
+        qvec.alias("qvec"), _norm(qvec).alias("qnorm")
     )
+    emb_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     scored = (
         embeddings.filter(F.col(id_col) != query_id)
         .crossJoin(F.broadcast(q))
         .select(
             F.col(id_col),
-            F.round(cosine(F.col(vec_col), F.col("qvec")), 6).alias("cos_sim"),
+            F.round(
+                _dot(emb_d, F.col("qvec")) / (_norm(emb_d) * F.col("qnorm")), 6
+            ).alias("cos_sim"),
         )
     )
     return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
