@@ -306,6 +306,16 @@ def _sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann_topk(emb, query_id=0, k=10)
 
 
+def _kg_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from entity_extraction_svc_spark.operators.annotations import assemble_annotations
+
+    arts = _fixtures_pipeline(spark)
+    kb = spark.read.parquet(f"{FIXTURES}/kb_entities.parquet")
+    return assemble_annotations(arts.linked, kb).select(
+        "url", "spot", "start", "end", "id", "title", "wiki_uri", "abstract"
+    )
+
+
 def _kb_ingest_ntriples(spark: SparkSession, sf_dir: str) -> DataFrame:
     from entity_extraction_svc_spark.fixtures import ensure_fixtures
     from entity_extraction_svc_spark.sources.ntriples import parse_ntriples
@@ -362,6 +372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_types_2hop": _kg_types_2hop,
         "kg_intersection": _kg_intersection,
         "kg_canonical": _kg_canonical,
+        "kg_annotations": _kg_annotations,
         # relational skeletons (SURVEY §2.10) on the driver's tables
         "rel_topk_window": _rel_topk_window,
         "rel_running_offset": _rel_running_offset,
@@ -657,6 +668,16 @@ def oracle_sql() -> dict[str, str]:
                    round(n_shared / (a.n_sh + b.n_sh - n_shared), 6) AS jaccard
             FROM shared JOIN sizes a ON id_a = a.id JOIN sizes b ON id_b = b.id
             WHERE n_shared / (a.n_sh + b.n_sh - n_shared) >= 0.5
+            """
+        ),
+        "kg_annotations": (
+            f"""
+            SELECT g.url, g.substr AS spot, g.start, g."end", g.qid AS id,
+                   e.page AS title,
+                   'https://en.wikipedia.org/wiki/' || replace(e.page, ' ', '_') AS wiki_uri,
+                   e.descr AS abstract
+            FROM read_parquet('{fx}/golden_links.parquet') g
+            LEFT JOIN read_parquet('{fx}/kb_entities.parquet') e ON g.qid = e.qid
             """
         ),
         "kb_ingest_ntriples": (

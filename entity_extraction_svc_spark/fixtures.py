@@ -271,6 +271,20 @@ def _expected_text(title: str, body: str) -> str:
     return text
 
 
+def _decoded_substr(surface: str) -> str:
+    """Template-side model of the reference's mention decode: word/punct
+    tokenize, space-join, replace map (entity_detection_parser.py:160-176) —
+    e.g. "Paris, Kentucky" detects as "paris , kentucky"."""
+    toks = re.findall(r"[\w']+|[^\w ]", surface.lower())
+    while toks and toks[-1] == ",":
+        toks = toks[:-1]
+    s = " ".join(toks)
+    for old, new in [(" - ", "-"), ("'s", ""), (" .", ""), ("{", ""), ("}", ""),
+                     ("  ", " "), ('"', "'"), ("(", ""), (")", "")]:
+        s = s.replace(old, new)
+    return s
+
+
 @dataclass
 class GoldenMention:
     substr: str          # decoded, lowercased mention substring
@@ -348,13 +362,13 @@ def generate_pages(n_docs: int = 200) -> tuple[list[dict], list[dict], list[dict
     def gold(ent: Ent, surface: str | None = None) -> GoldenMention:
         s = surface or ent.label
         owner = surface_owner.get(s.lower(), ent)
-        return GoldenMention(substr=s.lower(), qid=owner.qid,
+        return GoldenMention(substr=_decoded_substr(s), qid=owner.qid,
                              tag=FINE_TO_COARSE.get(owner.fine, "MISC"), surface=s)
 
     def gold_ctx(ent: Ent, surface: str | None = None) -> GoldenMention:
         """Golden pinned to this entity — context must disambiguate."""
         s = surface or ent.label
-        return GoldenMention(substr=s.lower(), qid=ent.qid,
+        return GoldenMention(substr=_decoded_substr(s), qid=ent.qid,
                              tag=FINE_TO_COARSE.get(ent.fine, "MISC"), surface=s)
 
     for i in range(n_docs):
@@ -387,7 +401,7 @@ def generate_pages(n_docs: int = 200) -> tuple[list[dict], list[dict], list[dict
             body = f"Critics said â€œbrilliantâ€\x9d about {p.label}â€™s work"
             # offsets span the trailing "'s" token (as the reference's
             # token-offset decode does); the decoded substr drops it
-            ms = [GoldenMention(substr=p.label.lower(), qid=p.qid, tag="PER",
+            ms = [GoldenMention(substr=_decoded_substr(p.label), qid=p.qid, tag="PER",
                                 surface=f"{p.label}'s")]
             emit(i, "Reviews", body, "en", ms,
                  text_override=_expected_text("Reviews", body))
