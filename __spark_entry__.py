@@ -127,6 +127,31 @@ def _kg_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return find_intersection(kb, "Q66", "Q23548", "P17")
 
 
+def _kg_triples_per_subject_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from entity_extraction_svc_spark.operators.kgquery import triples_per_subject
+
+    kb = spark.read.parquet(f"{FIXTURES}/kb_triples.parquet")
+    return triples_per_subject(kb, salt=16)
+
+
+def _kg_connection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from entity_extraction_svc_spark.operators.kgquery import find_connection
+
+    kb = spark.read.parquet(f"{FIXTURES}/kb_triples.parquet")
+    # the two Mona Lisas: direct edges absent, shared creator via P170
+    return find_connection(kb, "Q12418", "Q2126369", rels=["P170", "P276", "P131"])
+
+
+def _kg_date_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from entity_extraction_svc_spark.operators.kgquery import format_date_col
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.select(
+        "event_id",
+        format_date_col(F.date_format("ts", "yyyy-MM-dd")).alias("pretty_date"),
+    )
+
+
 def _kg_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     from entity_extraction_svc_spark.operators.canonicalize import canonical_qids
 
@@ -373,6 +398,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_intersection": _kg_intersection,
         "kg_canonical": _kg_canonical,
         "kg_annotations": _kg_annotations,
+        "kg_triples_per_subject_salted": _kg_triples_per_subject_salted,
+        "kg_connection": _kg_connection,
+        "kg_date_format": _kg_date_format,
         # relational skeletons (SURVEY §2.10) on the driver's tables
         "rel_topk_window": _rel_topk_window,
         "rel_running_offset": _rel_running_offset,
@@ -669,6 +697,32 @@ def oracle_sql() -> dict[str, str]:
             FROM shared JOIN sizes a ON id_a = a.id JOIN sizes b ON id_b = b.id
             WHERE n_shared / (a.n_sh + b.n_sh - n_shared) >= 0.5
             """
+        ),
+        "kg_triples_per_subject_salted": (
+            f"SELECT subj, count(*) AS n_triples "
+            f"FROM read_parquet('{fx}/kb_triples.parquet') GROUP BY subj"
+        ),
+        "kg_connection": (
+            f"""
+            WITH t AS (SELECT * FROM read_parquet('{fx}/kb_triples.parquet')),
+            direct AS (
+              SELECT pred, NULL::VARCHAR AS via FROM t
+              WHERE (subj = 'Q12418' AND obj = 'Q2126369')
+                 OR (subj = 'Q2126369' AND obj = 'Q12418')
+            ),
+            e1 AS (SELECT pred, obj FROM t WHERE subj = 'Q12418'
+                   AND pred IN ('P170','P276','P131')),
+            e2 AS (SELECT pred, obj FROM t WHERE subj = 'Q2126369'
+                   AND pred IN ('P170','P276','P131')),
+            shared AS (
+              SELECT e1.pred, e1.obj AS via FROM e1
+              JOIN e2 ON e1.obj = e2.obj AND e1.pred = e2.pred
+            )
+            SELECT DISTINCT * FROM (SELECT * FROM direct UNION ALL SELECT * FROM shared)
+            """
+        ),
+        "kg_date_format": (
+            "SELECT event_id, strftime(ts, '%d %B %Y') AS pretty_date FROM events"
         ),
         "kg_annotations": (
             f"""

@@ -98,10 +98,90 @@ def find_intersection(triples: DataFrame, entity1: str, entity2: str,
     return o1.intersect(o2)
 
 
-def triples_per_subject(triples: DataFrame, top_n: int | None = None) -> DataFrame:
+def find_labels(labels: DataFrame, entities: DataFrame) -> DataFrame:
+    """W2 (wiki_parser.py:210-258 find_label): entity -> @en label via a
+    broadcast join against the labels dimension."""
+    return entities.select("qid").distinct().join(
+        F.broadcast(labels.select("qid", "label")), "qid", "left"
+    )
+
+
+def format_date_col(col) -> "F.Column":
+    """W2 date cleanup (wiki_parser.py:194-207 format_date): a literal
+    ``YYYY-MM-DD`` timestamp renders as ``dd MMMM yyyy`` unless the day is
+    00 (year only); non-dates pass through with +/- stripped."""
+    date_re = r"([\d]{3,4})-([\d]{1,2})-([\d]{1,2})"
+    year = F.regexp_extract(col, date_re, 1)
+    day = F.regexp_extract(col, date_re, 3)
+    return (
+        F.when(year == "", F.regexp_replace(col, r"^[+-]+", ""))
+        .when(day == "00", year)
+        .otherwise(
+            F.date_format(F.to_date(F.regexp_extract(col, date_re, 0)), "dd MMMM yyyy")
+        )
+    )
+
+
+def age_col(birth_date) -> "F.Column":
+    """W11 age calc (wiki_parser.py:587-593): current year - birth year."""
+    return F.year(F.current_date()) - F.year(F.to_date(birth_date))
+
+
+# relations the reference probes for entity-pair connections
+# (wiki_parser.py:371-405: spouse/partner first, then shared works/teams)
+CONNECTION_RELS = ["P26", "P451", "P175", "P54", "P102", "P463", "P800"]
+
+
+def find_connection(triples: DataFrame, entity1: str, entity2: str,
+                    rels: list[str] | None = None) -> DataFrame:
+    """W10 (wiki_parser.py:371-405): how two entities connect — direct edges
+    either way, plus shared objects over the connection relations.
+
+    Returns (rel, via) rows: via = NULL for a direct edge, else the shared
+    object.  One pass over the (pred-pruned) triples of the two entities —
+    a self-join on obj instead of the reference's per-rel probe cascade."""
+    rels = rels or CONNECTION_RELS
+    pair = triples.filter(
+        F.col("subj").isin([entity1, entity2]) & F.col("pred").isin(rels)
+    )
+    direct = (
+        triples.filter(
+            ((F.col("subj") == entity1) & (F.col("obj") == entity2))
+            | ((F.col("subj") == entity2) & (F.col("obj") == entity1))
+        )
+        .select("pred", F.lit(None).cast("string").alias("via"))
+    )
+    e1 = pair.filter(F.col("subj") == entity1).select("pred", "obj")
+    e2 = pair.filter(F.col("subj") == entity2).select(
+        F.col("pred").alias("pred2"), F.col("obj").alias("obj2")
+    )
+    shared = (
+        e1.join(e2, (e1["obj"] == e2["obj2"]) & (e1["pred"] == e2["pred2"]))
+        .select("pred", F.col("obj").alias("via"))
+    )
+    return direct.union(shared).distinct()
+
+
+def triples_per_subject(triples: DataFrame, top_n: int | None = None,
+                        salt: int | None = None) -> DataFrame:
     """W12 (wiki_parser.py:72-125): triple count per subject; optional top-n
-    (the reference's precomputed top-people cache)."""
-    counts = triples.groupBy("subj").agg(F.count("*").alias("n_triples"))
+    (the reference's precomputed top-people cache).
+
+    ``salt`` enables the two-stage skew-safe aggregation for head subjects
+    (north rule: high-frequency QIDs like Q30/Q5 concentrate rows): partial
+    counts per (subj, salt-bucket) first — so no single reducer sees a whole
+    hot key — then the cheap re-aggregation over at most ``salt`` rows per
+    subject.  Results are identical; at 10^12 triples the first stage is
+    also where map-side combine collapses the hot key per task."""
+    if salt:
+        partial = (
+            triples.withColumn("_salt", F.pmod(F.xxhash64("pred", "obj"), F.lit(salt)))
+            .groupBy("subj", "_salt")
+            .agg(F.count("*").alias("c"))
+        )
+        counts = partial.groupBy("subj").agg(F.sum("c").cast("long").alias("n_triples"))
+    else:
+        counts = triples.groupBy("subj").agg(F.count("*").alias("n_triples"))
     if top_n is not None:
         return counts.orderBy(F.desc("n_triples"), F.asc("subj")).limit(top_n)
     return counts

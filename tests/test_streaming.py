@@ -1,0 +1,80 @@
+"""Streaming ingestion: the file-source stream through the fused plan must
+produce the same triples as the batch pipeline, exactly once per url."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import tempfile
+
+import duckdb
+from pyspark.sql import functions as F
+
+from entity_extraction_svc_spark.plans import lineage as L
+from entity_extraction_svc_spark.streaming.ingest import (
+    ingest_stream,
+    stream_pages,
+    windowed_page_counts,
+)
+
+
+def _staged_src(fixture_dir: str) -> str:
+    """Stage the fixture pages as multiple files 'landing' in a stream dir."""
+    src = tempfile.mkdtemp(prefix="kg_stream_src_")
+    import pyarrow.parquet as pq
+
+    table = pq.read_table(f"{fixture_dir}/pages.parquet")
+    per = (table.num_rows + 3) // 4
+    for s in range(4):
+        sl = table.slice(s * per, per)
+        if sl.num_rows:
+            pq.write_table(sl, os.path.join(src, f"part-{s:05d}.parquet"))
+    return src
+
+
+def test_stream_ingest_matches_goldens(spark, fixture_dir):
+    src = _staged_src(fixture_dir)
+    out = tempfile.mkdtemp(prefix="kg_stream_out_")
+    ckpt = tempfile.mkdtemp(prefix="kg_stream_ckpt_")
+    q = ingest_stream(spark, src, fixture_dir, out, ckpt)
+    q.awaitTermination(300)
+
+    got = {(r.subj, r.pred, r.obj) for r in L.read_triples(spark, out).collect()}
+    want = {
+        tuple(r)
+        for r in duckdb.sql(
+            f"select subj, pred, obj from '{fixture_dir}/golden_triples.parquet'"
+        ).fetchall()
+    }
+    assert got == want
+
+    lin = spark.read.parquet(L.lineage_path(out))
+    assert lin.count() == lin.select("url").distinct().count() == 200
+
+    # restart on the same checkpoint: backlog already consumed -> no new work
+    q2 = ingest_stream(spark, src, fixture_dir, out, ckpt)
+    q2.awaitTermination(300)
+    spark.catalog.refreshByPath(L.lineage_path(out))
+    assert spark.read.parquet(L.lineage_path(out)).count() == 200
+
+    shutil.rmtree(src)
+
+
+def test_windowed_counts_semantics(spark, fixture_dir):
+    """The windowed aggregation runs as a batch plan too (same code path
+    semantics): fixture warc_ts values are 1s apart from t0."""
+    pages = spark.read.parquet(f"{fixture_dir}/pages.parquet")
+    # batch equivalent of the streaming agg (window + groupBy)
+    agg = (
+        pages.groupBy(F.window("warc_ts", "1 minute").alias("w"), "lang")
+        .agg(F.count("*").alias("n_pages"))
+    )
+    rows = agg.collect()
+    assert sum(r.n_pages for r in rows) == 200
+    # 200 docs at 1s apart span at least 3 one-minute windows
+    assert len({r.w.start for r in rows}) >= 3
+
+    # and the streaming variant is accepted by the engine (plan validates)
+    s = windowed_page_counts(stream_pages(spark, _staged_src(fixture_dir)))
+    assert s.isStreaming
