@@ -317,6 +317,20 @@ def _dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
 
 
+def _dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from entity_extraction_svc_spark.operators.dedup import embedding_dup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_dup_pairs(emb, threshold=0.35)
+
+
+def _dedup_embedding_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from entity_extraction_svc_spark.operators.dedup import embedding_dup_pairs_lsh
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_dup_pairs_lsh(emb, threshold=0.35)
+
+
 def _sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from entity_extraction_svc_spark.operators.simsearch import cosine_topk
 
@@ -419,6 +433,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_pairs": _dedup_minhash_pairs,
         "dedup_simhash": _dedup_simhash,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
+        "dedup_embedding_pairs": _dedup_embedding_pairs,
+        "dedup_embedding_pairs_lsh": _dedup_embedding_pairs_lsh,  # rows-only (LSH bucketing)
         "sim_cosine_topk": _sim_cosine_topk,
         "sim_lsh_ann": _sim_lsh_ann,  # rows-only (LSH probe set, no SQL oracle)
         # custom-KB ingest ETL (S7/S8)
@@ -801,6 +817,23 @@ def oracle_sql() -> dict[str, str]:
                         WHEN substring(decode(html), 1, 5) = '<html' THEN 'html'
                         ELSE 'unknown' END AS media_kind
             FROM read_parquet('{fx}/pages.parquet')
+            """
+        ),
+        "dedup_embedding_pairs": (
+            """
+            WITH e AS (
+              SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+              FROM embeddings
+            ), pairs AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     list_sum(list_transform(generate_series(1, len(a.v)),
+                                             i -> a.v[i] * b.v[i]))
+                     / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                        * sqrt(list_sum(list_transform(b.v, x -> x * x)))) AS cos_sim
+              FROM e a JOIN e b ON a.vec_id < b.vec_id
+            )
+            SELECT id_a, id_b, round(cos_sim, 6) AS cos_sim
+            FROM pairs WHERE cos_sim >= 0.35
             """
         ),
         "sim_cosine_topk": (

@@ -298,6 +298,77 @@ def simhash_dup_pairs(docs: DataFrame, text_col: str = "text",
 
 
 # ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_dup_pairs(embeddings: DataFrame, threshold: float = 0.9,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """All pairs with cosine similarity >= threshold — the exact baseline.
+
+    Self-join on id_a < id_b; the exact form is O(n^2) and exists as the
+    correctness oracle.  The scale path is ``embedding_dup_pairs_lsh``:
+    random-hyperplane buckets bound the candidate set so only near-colliding
+    vectors ever pairwise-score.
+    """
+    from entity_extraction_svc_spark.operators.simsearch import cosine
+
+    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+    )
+
+
+def embedding_dup_pairs_lsh(embeddings: DataFrame, threshold: float = 0.9,
+                            id_col: str = "vec_id", vec_col: str = "embedding",
+                            bits: int = 16, bands: int = 8) -> DataFrame:
+    """Near-dup pairs at scale: random-hyperplane signature banded into
+    ``bands`` chunks; candidates share >= 1 exact chunk (the SimHash
+    pigeonhole trick applied to embeddings), then exact cosine filters."""
+    from entity_extraction_svc_spark.operators.simsearch import cosine, rp_signature
+
+    dim = len(embeddings.select(vec_col).first()[0])
+    sigd = embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        rp_signature(F.col(vec_col), dim, bits).alias("sig"),
+    )
+    chunk_bits = bits // bands
+    mask = (1 << chunk_bits) - 1
+    chunks = sigd.select(
+        "id", "v",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), "
+                f"b -> shiftright(sig, b * {chunk_bits}) & {mask}L)"
+            )
+        ).alias("band", "chunk"),
+    )
+    l, r = chunks.alias("l"), chunks.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
+            F.col("l.v").alias("va"), F.col("r.v").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("cos_sim", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # n-gram Jaccard (exact, inverted-index joined)
 # ---------------------------------------------------------------------------
 

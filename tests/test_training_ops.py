@@ -78,6 +78,26 @@ def test_cosine_topk_exact_and_ann(spark):
     assert recall >= 0.5, f"ANN recall {recall}"
 
 
+def test_embedding_dup_pairs(spark):
+    from entity_extraction_svc_spark.operators.dedup import (
+        embedding_dup_pairs,
+        embedding_dup_pairs_lsh,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    brute = {(r.id_a, r.id_b): r.cos_sim for r in
+             embedding_dup_pairs(emb, threshold=0.4).collect()}
+    lsh = {(r.id_a, r.id_b): r.cos_sim for r in
+           embedding_dup_pairs_lsh(emb, threshold=0.4).collect()}
+    assert brute, "threshold should yield pairs on the sf0.01 embeddings"
+    # every LSH pair is a true pair with the identical score (no false hits)
+    for k, v in lsh.items():
+        assert brute.get(k) == v
+    # recall floor (rp-LSH at a low 0.4-cosine threshold is intentionally
+    # lossy; production near-dup thresholds >= 0.9 recall far higher)
+    assert len(lsh) / len(brute) >= 0.4
+
+
 def test_lang_id_and_stats(docs):
     from entity_extraction_svc_spark.operators.textstats import doc_stats, lang_id
 
