@@ -284,9 +284,15 @@ def _doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """On the fixture corpus: repeated payload bodies make real dup groups
+    (the sf documents table has no exact dups — a 0-row check proves
+    nothing)."""
+    from entity_extraction_svc_spark.fixtures import ensure_fixtures
     from entity_extraction_svc_spark.operators.dedup import exact_dup_groups
 
-    return exact_dup_groups(_docs(spark, sf_dir))
+    ensure_fixtures(FIXTURES)
+    pages = spark.read.parquet(f"{FIXTURES}/pages.parquet")
+    return exact_dup_groups(pages, text_col="text", id_col="url")
 
 
 def _dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -649,8 +655,8 @@ def oracle_sql() -> dict[str, str]:
             f"('0x' || substr(md5({_NORM}), 1, 15))::BIGINT AS fp_int64 FROM documents"
         ),
         "dedup_exact": (
-            f"SELECT md5({_NORM}) AS fp_md5, count(*) AS n_docs, min(doc_id) AS keeper_id "
-            "FROM documents GROUP BY 1 HAVING count(*) > 1"
+            f"SELECT md5({_NORM}) AS fp_md5, count(*) AS n_docs, min(url) AS keeper_id "
+            f"FROM read_parquet('{fx}/pages.parquet') GROUP BY 1 HAVING count(*) > 1"
         ),
         "dedup_minhash_sig": (
             f"WITH s AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents) "
