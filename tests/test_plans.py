@@ -1,0 +1,72 @@
+"""Physical-plan regression tests: the properties that matter at 100 TB.
+
+These lock in what `.explain("formatted")` showed during tuning — if a
+refactor reintroduces a full-column scan, drops a broadcast, or turns the
+top-k into a global sort, these fail before any benchmark does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_fused_scan_prunes_columns(spark, fixture_dir):
+    """The pages scan must read only (url, html) — never text/warc_ts/lang
+    (html dominates row size; the rest is pure waste at petabyte scan)."""
+    from entity_extraction_svc_spark.plans.fused import build_fused
+
+    pages = spark.read.parquet(f"{fixture_dir}/pages.parquet")
+    linked, _ = build_fused(spark, pages, fixture_dir)
+    plan = _plan(linked)
+    assert "ReadSchema: struct<url:string,html:binary>" in plan
+    # one narrow pass: no exchange anywhere before the UDF
+    assert "Exchange" not in plan
+
+
+def test_triples_plan_broadcast_semi_and_pushdown(spark, fixture_dir):
+    """Triples materialization: pred whitelist reaches the parquet scan as a
+    pushed filter; the distinct-QID set broadcasts (never shuffles the
+    triple store); output repartitions by subject hash."""
+    from entity_extraction_svc_spark.plans.fused import build_fused
+
+    pages = spark.read.parquet(f"{fixture_dir}/pages.parquet")
+    _, triples = build_fused(spark, pages, fixture_dir)
+    plan = _plan(triples)
+    assert "PushedFilters: [In(pred, " in plan
+    assert "BroadcastHashJoin LeftSemi" in plan.replace("  ", " ")
+    assert "xxhash64(subj" in plan
+
+
+def test_cosine_topk_plan(spark):
+    """Top-k must be TakeOrderedAndProject (no global sort) with the query
+    vector broadcast and the id filter pushed to the scan."""
+    from entity_extraction_svc_spark.operators.simsearch import cosine_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    plan = _plan(cosine_topk(emb, 0, 10))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "PushedFilters: [IsNotNull(vec_id), Not(EqualTo(vec_id,0))]" in plan
+
+
+def test_eltags_join_is_broadcast(spark, fixture_dir, pipeline):
+    """The gazetteer dimension join must stay broadcast (never sort-merge)."""
+    plan = _plan(pipeline.mentions)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_minhash_is_shuffle_free(spark):
+    """Signature computation is row-local: no exchange in the plan."""
+    from entity_extraction_svc_spark.operators.dedup import minhash_signatures
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    plan = _plan(minhash_signatures(docs))
+    assert "Exchange" not in plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
