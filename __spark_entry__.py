@@ -23,6 +23,23 @@ if REPO not in sys.path:
 FIXTURES = os.path.join(REPO, "fixtures")
 
 _PIPELINE_CACHE: dict = {}
+_SHIPPED: set = set()
+
+
+def _prep(spark: SparkSession) -> None:
+    """Ship the package zip to this session's executors (the driver creates
+    its own SparkSession without our get_spark, so pandas-UDF closures would
+    otherwise fail to unpickle on workers launched outside the repo root)."""
+    key = id(spark)
+    if key not in _SHIPPED:
+        from entity_extraction_svc_spark.session import _ship_package
+
+        try:
+            _ship_package(spark)
+        except Exception:
+            pass  # already-added file or a restricted session — imports may
+            # still resolve via the driver's cwd
+        _SHIPPED.add(key)
 
 
 def _fixtures_pipeline(spark: SparkSession):
@@ -31,6 +48,7 @@ def _fixtures_pipeline(spark: SparkSession):
 
     key = id(spark)
     if key not in _PIPELINE_CACHE:
+        _prep(spark)
         ensure_fixtures(FIXTURES)
         _PIPELINE_CACHE.clear()
         _PIPELINE_CACHE[key] = build_pipeline(
@@ -46,6 +64,7 @@ def entry(spark: SparkSession) -> DataFrame:
     from entity_extraction_svc_spark.fixtures import ensure_fixtures
     from entity_extraction_svc_spark.plans.pipeline import build_pipeline_df
 
+    _prep(spark)
     ensure_fixtures(FIXTURES)
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     pages = docs.select(
@@ -405,7 +424,19 @@ def _mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(pages, bin_col="html", key_col="url")
 
 
+def _with_prep(fn: Callable[[SparkSession, str], DataFrame]):
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _prep(spark)
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {k: _with_prep(v) for k, v in _raw_queries().items()}
+
+
+def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # KG pipeline (SURVEY §2.2-2.9) on the deterministic fixture corpus
         "kg_extract_text": _kg_extract_text,
