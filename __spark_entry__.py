@@ -171,6 +171,27 @@ def _kg_date_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kg_pattern_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from entity_extraction_svc_spark.operators.kgquery import pattern_search
+
+    kb = spark.read.parquet(f"{FIXTURES}/kb_triples.parquet")
+    return pattern_search(kb, pred="P131")
+
+
+def _kg_find_rels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from entity_extraction_svc_spark.operators.kgquery import find_rels
+
+    kb = spark.read.parquet(f"{FIXTURES}/kb_triples.parquet")
+    return find_rels(kb, "Q30")
+
+
+def _kg_find_objects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from entity_extraction_svc_spark.operators.kgquery import find_objects
+
+    kb = spark.read.parquet(f"{FIXTURES}/kb_triples.parquet")
+    return find_objects(kb, "Q30", "P17", direction="backw")
+
+
 def _kg_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     from entity_extraction_svc_spark.operators.canonicalize import canonical_qids
 
@@ -447,6 +468,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_find_types": _kg_find_types,
         "kg_types_2hop": _kg_types_2hop,
         "kg_intersection": _kg_intersection,
+        "kg_pattern_search": _kg_pattern_search,
+        "kg_find_rels": _kg_find_rels,
+        "kg_find_objects": _kg_find_objects,
         "kg_canonical": _kg_canonical,
         "kg_annotations": _kg_annotations,
         "kg_triples_per_subject_salted": _kg_triples_per_subject_salted,
@@ -562,6 +586,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT obj AS value FROM t WHERE subj = 'Q66' AND pred = 'P17' "
             "INTERSECT "
             "SELECT obj AS value FROM t WHERE subj = 'Q23548' AND pred = 'P17'"
+        ),
+        "kg_pattern_search": (
+            f"SELECT subj, pred, obj FROM read_parquet('{fx}/kb_triples.parquet') "
+            "WHERE pred = 'P131'"
+        ),
+        "kg_find_rels": (
+            f"WITH t AS (SELECT * FROM read_parquet('{fx}/kb_triples.parquet')) "
+            "SELECT DISTINCT pred FROM ("
+            "SELECT pred FROM t WHERE subj = 'Q30' "
+            "UNION ALL SELECT pred FROM t WHERE obj = 'Q30')"
+        ),
+        "kg_find_objects": (
+            f"SELECT subj AS value FROM read_parquet('{fx}/kb_triples.parquet') "
+            "WHERE obj = 'Q30' AND pred = 'P17'"
         ),
         "kg_canonical": (
             # connected components over (alias-node, qid-node) edges via
