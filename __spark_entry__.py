@@ -391,6 +391,18 @@ def _sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann_topk(emb, query_id=0, k=10)
 
 
+def _kg_canonical_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from entity_extraction_svc_spark.operators.canonicalize import (
+        canonical_qids,
+        canonicalize_triples,
+    )
+
+    arts = _fixtures_pipeline(spark)
+    ents = spark.read.parquet(f"{FIXTURES}/kb_entities.parquet")
+    aliases = spark.read.parquet(f"{FIXTURES}/kb_aliases.parquet")
+    return canonicalize_triples(arts.triples, canonical_qids(ents, aliases))
+
+
 def _kg_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
     from entity_extraction_svc_spark.operators.annotations import assemble_annotations
 
@@ -473,6 +485,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_find_objects": _kg_find_objects,
         "kg_canonical": _kg_canonical,
         "kg_annotations": _kg_annotations,
+        "kg_canonical_triples": _kg_canonical_triples,
         "kg_triples_per_subject_salted": _kg_triples_per_subject_salted,
         "kg_connection": _kg_connection,
         "kg_date_format": _kg_date_format,
@@ -814,6 +827,37 @@ def oracle_sql() -> dict[str, str]:
         ),
         "kg_date_format": (
             "SELECT event_id, strftime(ts, '%d %B %Y') AS pretty_date FROM events"
+        ),
+        "kg_canonical_triples": (
+            f"WITH RECURSIVE ents AS (SELECT qid, label FROM read_parquet('{fx}/kb_entities.parquet')), "
+            f"als AS (SELECT alias, qid FROM read_parquet('{fx}/kb_aliases.parquet')), "
+            "edges AS ("
+            "  SELECT 'a:' || trim(regexp_replace(lower(label), '\\s+', ' ', 'g')) AS src, "
+            "         'q:' || qid AS dst FROM ents "
+            "  UNION "
+            "  SELECT 'a:' || trim(regexp_replace(lower(alias), '\\s+', ' ', 'g')), "
+            "         'q:' || qid FROM als"
+            "), sym AS ("
+            "  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges"
+            "), reach AS ("
+            "  SELECT DISTINCT src AS node, src AS r FROM sym"
+            "  UNION"
+            "  SELECT reach.node, sym.dst FROM reach JOIN sym ON reach.r = sym.src"
+            "), comp AS ("
+            "  SELECT node, min(r) AS comp FROM reach GROUP BY node"
+            "), qn AS ("
+            "  SELECT substr(node, 3) AS qid, comp FROM comp WHERE node LIKE 'q:%'"
+            "), canon AS ("
+            "  SELECT qn.qid, c.canonical_qid FROM qn "
+            "  JOIN (SELECT comp, min(qid) AS canonical_qid FROM qn GROUP BY comp) c "
+            "  USING (comp)"
+            "), g AS ("
+            f"  SELECT * FROM read_parquet('{fx}/golden_triples.parquet')"
+            ") "
+            "SELECT DISTINCT coalesce(ms.canonical_qid, g.subj) AS subj, g.pred, "
+            "       coalesce(mo.canonical_qid, g.obj) AS obj "
+            "FROM g LEFT JOIN canon ms ON g.subj = ms.qid "
+            "LEFT JOIN canon mo ON g.obj = mo.qid"
         ),
         "kg_annotations": (
             f"""
