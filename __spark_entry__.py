@@ -439,6 +439,13 @@ def _kb_ingest_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("qid", "label", "tag", "num_rels")
 
 
+def _sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from entity_extraction_svc_spark.operators.simsearch import centroid_ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return centroid_ivf_topk(emb, query_id=0, k=10, n_lists=8, n_probe=4)
+
+
 def _mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from entity_extraction_svc_spark.fixtures import ensure_fixtures
     from entity_extraction_svc_spark.operators.multimodal import binary_meta
@@ -511,6 +518,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_pairs_lsh": _dedup_embedding_pairs_lsh,  # rows-only (LSH bucketing)
         "sim_cosine_topk": _sim_cosine_topk,
         "sim_lsh_ann": _sim_lsh_ann,  # rows-only (LSH probe set, no SQL oracle)
+        "sim_ivf_topk": _sim_ivf_topk,  # rows-only (IVF probe set, no SQL oracle)
         # custom-KB ingest ETL (S7/S8)
         "kb_ingest_ntriples": _kb_ingest_ntriples,
         "kb_ingest_entities": _kb_ingest_entities,

@@ -98,6 +98,20 @@ def test_embedding_dup_pairs(spark):
     assert len(lsh) / len(brute) >= 0.4
 
 
+def test_ivf_ann_recall(spark):
+    from entity_extraction_svc_spark.operators.simsearch import (
+        centroid_ivf_topk,
+        cosine_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    exact = {r.vec_id for r in cosine_topk(emb, query_id=0, k=10).collect()}
+    ivf = {r.vec_id for r in
+           centroid_ivf_topk(emb, query_id=0, k=10, n_lists=8, n_probe=4).collect()}
+    assert len(ivf) == 10
+    assert len(ivf & exact) / 10 >= 0.5  # probing half the lists
+
+
 def test_lang_id_and_stats(docs):
     from entity_extraction_svc_spark.operators.textstats import doc_stats, lang_id
 
