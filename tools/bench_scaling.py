@@ -52,13 +52,20 @@ pages = spark.read.parquet(f"{d}/pages.parquet")
 wl, wt = build_fused(spark, pages.limit(64), d)
 wt.count()
 
-linked, triples = build_fused(spark, pages, d)
-linked = linked.persist()
-t0 = time.time()
-n_linked = linked.filter(F.col("rank") == 0).count()
-n_triples = triples.count()
-wall = time.time() - t0
+# min-of-3: this box carries variable background load (other tenants);
+# the minimum wall is the closest to the contention-free cost of the job
+walls = []
+for _ in range(3):
+    linked, triples = build_fused(spark, pages, d)
+    linked = linked.persist()
+    t0 = time.time()
+    n_linked = linked.filter(F.col("rank") == 0).count()
+    n_triples = triples.count()
+    walls.append(time.time() - t0)
+    linked.unpersist()
+wall = min(walls)
 print(json.dumps({"cpus": cpus, "docs": n_docs, "wall_sec": round(wall, 2),
+                  "walls": [round(w, 2) for w in walls],
                   "docs_per_sec": round(n_docs / wall, 1),
                   "n_linked": n_linked, "n_triples": n_triples,
                   "triples_per_sec": round(n_triples / wall, 2)}))
