@@ -126,7 +126,16 @@ def main() -> None:
         "pass": eff >= 0.8,
     }
     print(json.dumps(report))
-    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
+    # preserve hand-written sections (sustained throughput, reference
+    # comparison) below the generated scaling block
+    bench_path = os.path.join(REPO, "BENCH.md")
+    tail = ""
+    if os.path.exists(bench_path):
+        prev = open(bench_path).read()
+        idx = prev.find("\n## Sustained")
+        if idx >= 0:
+            tail = prev[idx:]
+    with open(bench_path, "w") as f:
         f.write(
             "# BENCH — two-parallelism scaling evidence (north rule N vs 4N)\n\n"
             "Identical fused KG-pipeline job (HTML → text → chunk → NER → link →\n"
@@ -146,6 +155,7 @@ def main() -> None:
             f"(target ≥ 0.8: {'PASS' if report['pass'] else 'FAIL'}; "
             f"hardware ceiling {ceiling/mult:.2f})\n\n"
             "Run: `python tools/bench_scaling.py [n_docs] [N] [mult]`\n"
+            + tail
         )
     print("wrote BENCH.md")
 
