@@ -388,15 +388,16 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
         F.array_distinct(F.col("_sh")).alias("sh"),
     )
     sizes = sh.select("id", F.size("sh").alias("n_sh"))
+    # document frequency as a window count over the exploded index: one
+    # shuffle on shingle that the planner reuses for the self-join below
+    # (a groupBy+join formulation re-evaluates the explode three times)
+    from pyspark.sql.window import Window
+
     inv = (
         sh.select("id", F.explode("sh").alias("shingle"))
-        .join(
-            sh.select("id", F.explode("sh").alias("shingle"))
-            .groupBy("shingle").agg(F.count("*").alias("df"))
-            .filter(F.col("df") <= max_df)
-            .select("shingle"),
-            "shingle",
-        )
+        .withColumn("df", F.count("*").over(Window.partitionBy("shingle")))
+        .filter(F.col("df") <= max_df)
+        .drop("df")
     )
     l, r = inv.alias("l"), inv.alias("r")
     shared = (
