@@ -180,10 +180,31 @@ def minhash_dup_pairs(docs: DataFrame, text_col: str = "text",
     hash is also the natural partition key (uniform by construction).
     """
     sigs = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_n)
-    buckets = lsh_buckets(sigs, id_col, bands)
+    # the signature rides through the bucket explode so the agreement
+    # estimate needs no re-join back to the signature table (which would
+    # re-evaluate the minhash expressions once per join side)
+    rows_per_band = num_hashes // bands
+    buckets = sigs.select(
+        F.col(id_col),
+        F.col("sig"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.md5(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                            lambda x: x.cast("string"),
+                        ),
+                    )
+                ),
+            )
+        ).alias("band", "band_hash"),
+    )
     left = buckets.alias("l")
     right = buckets.alias("r")
-    cand = (
+    est = (
         left.join(
             right,
             (F.col("l.band") == F.col("r.band"))
@@ -191,15 +212,12 @@ def minhash_dup_pairs(docs: DataFrame, text_col: str = "text",
             & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
         )
         .select(
-            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l.sig").alias("sig_a"),
+            F.col("r.sig").alias("sig_b"),
         )
-        .distinct()
-    )
-    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
-    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
-    est = (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
+        .dropDuplicates(["id_a", "id_b"])
         .select(
             "id_a",
             "id_b",
