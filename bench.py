@@ -59,6 +59,12 @@ def run_benches(spark, sf_dir: str, bench_docs: int = BENCH_DOCS) -> dict[str, d
     # generated page corpus
     fixdir = _bench_fixture_dir(bench_docs)
 
+    # warm-up: python worker pool + codegen, tiny slice (steady-state
+    # throughput is the comparable number; session startup is not)
+    _wp = spark.read.parquet(f"{fixdir}/pages.parquet").limit(64)
+    _, _wt = build_fused(spark, _wp, fixdir)
+    _wt.count()
+
     def kg_run():
         pages = spark.read.parquet(f"{fixdir}/pages.parquet")
         linked, triples = build_fused(spark, pages, fixdir)

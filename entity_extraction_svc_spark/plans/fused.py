@@ -124,7 +124,9 @@ def fused_link(pages: DataFrame, tagger_bc, dicts_bc, fine_bc,
 def build_fused(spark: SparkSession, pages: DataFrame, kb_dir: str,
                 source: str = "html", num_partitions: int = 32):
     """Returns (linked, triples) via the fused plan."""
-    gaz_rows = [r.asDict() for r in spark.read.parquet(f"{kb_dir}/gazetteer.parquet").collect()]
+    from entity_extraction_svc_spark.sources.kb import read_dim_rows
+
+    gaz_rows = read_dim_rows(spark, f"{kb_dir}/gazetteer.parquet")
     tagger_bc = spark.sparkContext.broadcast(GazetteerTagger.from_rows(gaz_rows))
     fine_bc = spark.sparkContext.broadcast(_fine_tag_lookup(gaz_rows))
     dicts_bc = spark.sparkContext.broadcast(collect_linker_dicts(spark, kb_dir))

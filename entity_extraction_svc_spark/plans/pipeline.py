@@ -79,8 +79,10 @@ def build_pipeline_df(
     if cache_chunks:
         chunks = chunks.persist(StorageLevel.MEMORY_AND_DISK)
 
+    from entity_extraction_svc_spark.sources.kb import read_dim_rows
+
     gaz_df = spark.read.parquet(f"{kb_dir}/gazetteer.parquet")
-    gaz_rows = [r.asDict() for r in gaz_df.collect()]
+    gaz_rows = read_dim_rows(spark, f"{kb_dir}/gazetteer.parquet")
     tagger_bc = spark.sparkContext.broadcast(GazetteerTagger.from_rows(gaz_rows))
     dicts_bc = spark.sparkContext.broadcast(collect_linker_dicts(spark, kb_dir))
 
