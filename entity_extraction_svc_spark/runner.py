@@ -1,0 +1,65 @@
+"""spark-submit entry point (north rule: ``spark-submit --py-files`` run).
+
+    zip -r pkg.zip entity_extraction_svc_spark
+    spark-submit --py-files pkg.zip -m entity_extraction_svc_spark/runner.py \
+        --pages s3://.../pages --kb s3://.../kb --out s3://.../kg \
+        [--source html|text] [--resume] [--max-docs N]
+
+Local smoke:
+    python -m entity_extraction_svc_spark.runner \
+        --pages fixtures/pages.parquet --kb fixtures --out /tmp/kg_out --resume
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description="KG-construction pipeline runner")
+    ap.add_argument("--pages", required=True, help="pages table path (parquet)")
+    ap.add_argument("--kb", required=True, help="KB dir (kb_entities/kb_aliases/kb_triples/gazetteer parquet)")
+    ap.add_argument("--out", required=True, help="output dir (triples/lineage/metrics)")
+    ap.add_argument("--source", default="html", choices=["html", "text"])
+    ap.add_argument("--resume", action="store_true",
+                    help="checkpointed run: skip urls already in the lineage table")
+    ap.add_argument("--max-docs", type=int, default=None)
+    ap.add_argument("--master", default=None, help="override spark master (local dev)")
+    args = ap.parse_args(argv)
+
+    from entity_extraction_svc_spark.session import get_spark
+
+    spark = get_spark(app_name="kg-runner", master=args.master)
+    t0 = time.time()
+    if args.resume:
+        from entity_extraction_svc_spark.plans.lineage import run_checkpointed
+
+        stats = run_checkpointed(
+            spark, args.pages, args.kb, args.out,
+            source=args.source, max_docs=args.max_docs,
+        )
+    else:
+        from pyspark.sql import functions as F
+
+        from entity_extraction_svc_spark.plans.fused import build_fused
+        from entity_extraction_svc_spark.operators.triples import write_triples
+
+        pages = spark.read.parquet(args.pages)
+        if args.max_docs:
+            pages = pages.limit(args.max_docs)
+        linked, triples = build_fused(spark, pages, args.kb, source=args.source)
+        linked = linked.persist()
+        n_linked = linked.filter((F.col("rank") == 0) & F.col("qid").isNotNull()).count()
+        write_triples(triples, f"{args.out}/triples")
+        stats = {"n_linked": n_linked,
+                 "n_triples": spark.read.parquet(f"{args.out}/triples").count()}
+    stats["wall_sec"] = round(time.time() - t0, 2)
+    print(json.dumps(stats))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
