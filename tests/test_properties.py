@@ -1,0 +1,118 @@
+"""Property-based tests (hypothesis) over the pure-Python operator cores.
+
+No Spark session needed — these pin invariants of the functions that run
+inside the UDFs, where a crash would kill an executor task at scale.
+"""
+
+from __future__ import annotations
+
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from entity_extraction_svc_spark.functions import htmltext
+from entity_extraction_svc_spark.operators.chunker import chunk_doc
+from entity_extraction_svc_spark.operators.ner import (
+    decode_bio,
+    tokenize_with_offsets,
+)
+from entity_extraction_svc_spark.sources.kb import normalize_label
+
+text_strategy = st.text(
+    alphabet=st.characters(codec="utf-8", exclude_categories=["Cs"]),
+    max_size=400,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(text_strategy)
+def test_preprocess_html_total(s):
+    """The extraction chain never raises and never emits raw whitespace runs."""
+    out = htmltext.preprocess_html(f"<html><body><p>{s}</p></body></html>")
+    assert "  " not in out
+    assert "\n" not in out and "\t" not in out
+    if out:
+        assert out[-1] in ".,?!" or not out.strip()
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=300))
+def test_preprocess_html_arbitrary_bytes(b):
+    """Arbitrary (possibly invalid-utf8) payload bytes never crash the UDF."""
+    htmltext.preprocess_html(b)
+
+
+@settings(max_examples=100, deadline=None)
+@given(text_strategy)
+def test_chunk_doc_reassembles(s):
+    """Chunks cover the sanitized doc: every sentence offset indexes into its
+    chunk text, and chunk lengths are bounded."""
+    for chunk_text, sents, offs in chunk_doc(s):
+        assert len(sents) == len(offs)
+        if chunk_text == "а":
+            # C4 empty-doc placeholder: the reference emits chunk "а" while
+            # the sentence list carries the raw doc (ner_chunker.py:166-170)
+            continue
+        for sent, (a, b) in zip(sents, offs):
+            assert 0 <= a <= b <= len(chunk_text) + 2
+            # the chunk text is .strip().strip(",")-ed AFTER sentence offsets
+            # are computed (reference ner_chunker.py:160), so first/last
+            # sentences may differ from their slice by edge whitespace/commas
+            assert chunk_text[a:b].strip().strip(",").strip() == \
+                sent.strip().strip(",").strip()
+
+
+@settings(max_examples=200, deadline=None)
+@given(text_strategy)
+def test_tokenize_offsets_are_exact(s):
+    tokens, offsets = tokenize_with_offsets(s)
+    assert len(tokens) == len(offsets)
+    for tok, (a, b) in zip(tokens, offsets):
+        assert s[a:b] == tok
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.sampled_from(["Alpha", "beta", "Gamma,", "42", ",", "x"]),
+                max_size=12))
+def test_decode_bio_invariants(tokens):
+    """Decoded mentions are lowercase, len>2, offsets ordered and in range."""
+    text = " ".join(tokens)
+    toks, offs = tokenize_with_offsets(text)
+    tags = ["B-PER" if i % 3 == 0 else ("I-PER" if i % 3 == 1 else "O")
+            for i in range(len(toks))]
+    probas = [0.9] * len(toks)
+    for substr, start, end, proba, tag in decode_bio(toks, tags, probas, offs):
+        assert substr == substr.lower() and len(substr) > 2
+        assert 0 <= start < end <= len(text)
+        assert 0.0 <= proba <= 1.0
+        assert tag == "PER"
+
+
+@settings(max_examples=200, deadline=None)
+@given(text_strategy)
+def test_normalize_label_idempotent(s):
+    once = normalize_label(s)
+    assert normalize_label(once) == once
+    assert "  " not in once
+    assert not set(once) & set(".,&-'/:")
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(alphabet=string.printable, max_size=200))
+def test_decoded_substr_matches_pipeline_decode(surface):
+    """The fixture generator's independent mini-decoder agrees with the real
+    decode pipeline on arbitrary printable surfaces (the oracle-vs-engine
+    agreement that makes golden substr values trustworthy)."""
+    from entity_extraction_svc_spark.fixtures import _decoded_substr
+
+    toks, offs = tokenize_with_offsets(surface.lower())
+    if not toks:
+        return
+    tags = ["B-MISC"] + ["I-MISC"] * (len(toks) - 1)
+    decoded = decode_bio(toks, tags, [0.9] * len(toks), offs)
+    expected = _decoded_substr(surface)
+    if decoded:
+        # pipeline applies extra filters (stopwords, len>2, printable); when
+        # it emits, the surface form must match the template-side decoder
+        assert decoded[0][0] == expected
