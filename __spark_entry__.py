@@ -128,6 +128,20 @@ def _kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _fixtures_pipeline(spark).triples.select("subj", "pred", "obj")
 
 
+def _kg_linked_top1_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production (fused, shuffle-free) plan against the same goldens —
+    the driver gate validates both plans, not just the staged one."""
+    from entity_extraction_svc_spark.fixtures import ensure_fixtures
+    from entity_extraction_svc_spark.plans.fused import build_fused
+
+    ensure_fixtures(FIXTURES)
+    pages = spark.read.parquet(f"{FIXTURES}/pages.parquet")
+    linked, _ = build_fused(spark, pages, FIXTURES)
+    return linked.filter((F.col("rank") == 0) & F.col("qid").isNotNull()).select(
+        "url", "start", "end", "qid"
+    )
+
+
 def _kg_triples_per_subject(spark: SparkSession, sf_dir: str) -> DataFrame:
     from entity_extraction_svc_spark.operators.kgquery import triples_per_subject
 
@@ -492,6 +506,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_extract_text": _kg_extract_text,
         "kg_mentions": _kg_mentions,
         "kg_linked_top1": _kg_linked_top1,
+        "kg_linked_top1_fused": _kg_linked_top1_fused,
         "kg_triples": _kg_triples,
         "kg_triples_per_subject": _kg_triples_per_subject,
         "kg_find_types": _kg_find_types,
@@ -587,6 +602,10 @@ def oracle_sql() -> dict[str, str]:
             f"FROM read_parquet('{fx}/golden_mentions.parquet')"
         ),
         "kg_linked_top1": (
+            f"SELECT url, start, \"end\", qid "
+            f"FROM read_parquet('{fx}/golden_links.parquet')"
+        ),
+        "kg_linked_top1_fused": (
             f"SELECT url, start, \"end\", qid "
             f"FROM read_parquet('{fx}/golden_links.parquet')"
         ),
