@@ -359,6 +359,14 @@ def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dup_groups(pages, text_col="text", id_col="url")
 
 
+def _dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup keys over the driver's documents table (no dup groups
+    exist there, so this checks the full fingerprint column instead)."""
+    from entity_extraction_svc_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir))
+
+
 def _dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     from entity_extraction_svc_spark.operators.dedup import minhash_signatures
 
@@ -535,6 +543,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang_id": _doc_lang_id,
         "doc_fingerprint": _doc_fingerprint,
         "dedup_exact": _dedup_exact,
+        "dedup_exact_docs": _dedup_exact_docs,
         "dedup_minhash_sig": _dedup_minhash_sig,
         "dedup_minhash_pairs": _dedup_minhash_pairs,
         "dedup_simhash": _dedup_simhash,
@@ -776,6 +785,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": (
             f"SELECT md5({_NORM}) AS fp_md5, count(*) AS n_docs, min(url) AS keeper_id "
             f"FROM read_parquet('{fx}/pages.parquet') GROUP BY 1 HAVING count(*) > 1"
+        ),
+        "dedup_exact_docs": (
+            f"SELECT min(doc_id) AS doc_id, md5({_NORM}) AS fp_md5 "
+            "FROM documents GROUP BY 2"
         ),
         "dedup_minhash_sig": (
             f"WITH s AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents) "
