@@ -67,6 +67,24 @@ def ingest_stream(spark: SparkSession, src_dir: str, kb_dir: str, out_dir: str,
     return writer.start()
 
 
+def stream_dedup(pages_stream: DataFrame, watermark: str = "24 hours") -> DataFrame:
+    """Stateful cross-batch exact dedup: the first page per normalized-text
+    fingerprint passes; later copies (typical crawl re-fetches) drop.
+
+    Built-in streaming state (`dropDuplicates` keyed on the fingerprint)
+    does the bookkeeping; the event-time watermark bounds the state store —
+    a re-fetch older than the watermark may pass again, which is the right
+    trade at web scale (state can't grow with the crawl forever)."""
+    fp = F.md5(
+        F.trim(F.regexp_replace(F.lower(F.coalesce(F.col("text"), F.lit(""))), r"\s+", " "))
+    )
+    return (
+        pages_stream.withColumn("fp_md5", fp)
+        .withWatermark("warc_ts", watermark)
+        .dropDuplicates(["fp_md5"])
+    )
+
+
 def windowed_page_counts(pages_stream: DataFrame, window: str = "1 hour",
                          watermark: str = "2 hours") -> DataFrame:
     """Event-time pages-per-language-per-window with late-data watermark —

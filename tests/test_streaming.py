@@ -61,6 +61,34 @@ def test_stream_ingest_matches_goldens(spark, fixture_dir):
     shutil.rmtree(src)
 
 
+def test_stream_dedup_state(spark, fixture_dir):
+    """Cross-batch stateful dedup: duplicated fixture bodies collapse to one
+    surviving page per fingerprint across the whole stream."""
+    from entity_extraction_svc_spark.streaming.ingest import stream_dedup
+
+    src = _staged_src(fixture_dir)
+    out = tempfile.mkdtemp(prefix="kg_sdedup_out_")
+    ckpt = tempfile.mkdtemp(prefix="kg_sdedup_ckpt_")
+    q = (
+        stream_dedup(stream_pages(spark, src))
+        .select("url", "fp_md5")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(out)
+    n_fp = duckdb.sql(
+        "select count(distinct md5(trim(regexp_replace(lower(coalesce(text,'')),"
+        f" '\\s+', ' ', 'g')))) from '{fixture_dir}/pages.parquet'"
+    ).fetchone()[0]
+    assert got.count() == got.select("fp_md5").distinct().count() == n_fp
+    assert got.count() < 200  # the corpus really contains duplicates
+    shutil.rmtree(src)
+
+
 def test_windowed_counts_semantics(spark, fixture_dir):
     """The windowed aggregation runs as a batch plan too (same code path
     semantics): fixture warc_ts values are 1s apart from t0."""
