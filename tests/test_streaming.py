@@ -89,6 +89,43 @@ def test_stream_dedup_state(spark, fixture_dir):
     shutil.rmtree(src)
 
 
+def test_stateful_crawl_counters(spark, fixture_dir):
+    """applyInPandasWithState: per-lang counters accumulate across the
+    micro-batches of the backlog (maxFilesPerTrigger=16 over 4 files still
+    batches, state carries the running totals)."""
+    from entity_extraction_svc_spark.streaming.state import crawl_counters
+
+    src = _staged_src(fixture_dir)
+    out = tempfile.mkdtemp(prefix="kg_state_out_")
+    ckpt = tempfile.mkdtemp(prefix="kg_state_ckpt_")
+    stream = stream_pages(spark, src).withWatermark("warc_ts", "1 hour")
+    q = (
+        crawl_counters(stream)
+        .writeStream.foreachBatch(
+            lambda df, _id: df.write.mode("append").parquet(out)
+        )
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(out)
+    # the LAST update per lang carries the final running totals
+    final = {
+        r.lang: r.n_pages
+        for r in got.orderBy("lang", "n_pages").collect()
+    }
+    want = {
+        lang: n
+        for (lang, n) in duckdb.sql(
+            f"select lang, count(*) from '{fixture_dir}/pages.parquet' group by 1"
+        ).fetchall()
+    }
+    assert final == want
+    shutil.rmtree(src)
+
+
 def test_windowed_counts_semantics(spark, fixture_dir):
     """The windowed aggregation runs as a batch plan too (same code path
     semantics): fixture warc_ts values are 1s apart from t0."""
