@@ -312,6 +312,22 @@ def _rel_count_per_subject(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rel_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min gap) per user over the events table — the
+    batch face of streaming sessionization (F.session_window works in both)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def _rel_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return ev.select(
@@ -537,6 +553,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_two_hop": _rel_two_hop,
         "rel_intersect": _rel_intersect,
         "rel_count_per_subject": _rel_count_per_subject,
+        "rel_session_windows": _rel_session_windows,
         "rel_scalar_funcs": _rel_scalar_funcs,
         # training-data pipeline operators
         "doc_stats": _doc_stats,
@@ -722,6 +739,28 @@ def oracle_sql() -> dict[str, str]:
         "rel_count_per_subject": (
             "SELECT user_id, event_type, count(*) AS n_events, "
             "round(sum(value), 4) AS sum_value FROM events GROUP BY user_id, event_type"
+        ),
+        "rel_session_windows": (
+            # gaps-and-islands: a new session starts when the gap from the
+            # previous event of the same user exceeds 30 minutes
+            """
+            WITH marked AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                               > INTERVAL 30 MINUTE
+                          OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                          THEN 1 ELSE 0 END AS new_session
+              FROM events
+            ), sess AS (
+              SELECT user_id, ts, value,
+                     sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+              FROM marked
+            )
+            SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM sess GROUP BY user_id, sid
+            """
         ),
         "rel_scalar_funcs": (
             "SELECT event_id, regexp_replace(event_type, '[aeiou]', '', 'g') AS stripped_type, "
