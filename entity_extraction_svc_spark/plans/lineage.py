@@ -123,7 +123,19 @@ def run_checkpointed(
     lineage = per_url_metrics(pages, linked, run_id).persist()
     lineage.count()
 
+    def _triple_files() -> set[str]:
+        p = triples_path(out_dir)
+        if not os.path.isdir(p):
+            return set()
+        return {
+            os.path.join(p, f) for f in os.listdir(p)
+            if f.endswith(".parquet") and not f.startswith("_")
+        }
+
+    before = _triple_files()
     triples.write.mode("append").parquet(triples_path(out_dir))
+    added = sorted(_triple_files() - before)
+    _write_snapshot(out_dir, run_id, seq=len(_read_snapshots(out_dir)), files=added)
     metrics = lineage.groupBy("run_id", "partition_id").agg(
         F.count("*").alias("n_urls"),
         F.sum("n_mentions").alias("n_mentions"),
@@ -162,6 +174,52 @@ def run_to_completion(spark: SparkSession, pages_path: str, kb_dir: str,
     return stats
 
 
-def read_triples(spark: SparkSession, out_dir: str) -> DataFrame:
-    """The materialized KG across all committed runs (set semantics)."""
-    return spark.read.parquet(triples_path(out_dir)).distinct()
+def snapshots_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "_snapshots")
+
+
+def _write_snapshot(out_dir: str, run_id: str, seq: int, files: list[str]) -> None:
+    """Manifest-based snapshot (the parquet-only stand-in for an Iceberg
+    snapshot commit): one JSON per run listing the triple files it added.
+    ``read_triples(as_of=run_id)`` time-travels by unioning manifests up to
+    that run — the SURVEY §7.4 degradation path when no table format is
+    available."""
+    import json
+
+    os.makedirs(snapshots_path(out_dir), exist_ok=True)
+    with open(os.path.join(snapshots_path(out_dir), f"{seq:06d}-{run_id}.json"), "w") as f:
+        json.dump({"run_id": run_id, "seq": seq, "files": sorted(files)}, f)
+
+
+def _read_snapshots(out_dir: str) -> list[dict]:
+    import json
+
+    p = snapshots_path(out_dir)
+    if not os.path.isdir(p):
+        return []
+    out = []
+    for name in sorted(os.listdir(p)):
+        if name.endswith(".json"):
+            with open(os.path.join(p, name)) as f:
+                out.append(json.load(f))
+    return out
+
+
+def read_triples(spark: SparkSession, out_dir: str,
+                 as_of: str | None = None) -> DataFrame:
+    """The materialized KG across committed runs (set semantics).
+
+    ``as_of=<run_id>`` time-travels to the state after that run's commit
+    using the snapshot manifests; default reads the current state."""
+    if as_of is None:
+        return spark.read.parquet(triples_path(out_dir)).distinct()
+    files: list[str] = []
+    for snap in _read_snapshots(out_dir):
+        files.extend(snap["files"])
+        if snap["run_id"] == as_of:
+            break
+    else:
+        raise ValueError(f"unknown snapshot run_id: {as_of}")
+    if not files:
+        raise ValueError(f"snapshot {as_of} carries no files")
+    return spark.read.parquet(*files).distinct()

@@ -46,3 +46,12 @@ def test_resume_after_partial_run(spark, fixture_dir):
     assert {r.run_id for r in met.select("run_id").distinct().collect()} == {
         s1["run_id"], s2["run_id"]
     }
+
+    # snapshot time-travel: as_of run1 shows only run1's triples (a strict
+    # subset), as_of run2 equals the full current state
+    t1 = {(r.subj, r.pred, r.obj)
+          for r in L.read_triples(spark, out, as_of=s1["run_id"]).collect()}
+    t2 = {(r.subj, r.pred, r.obj)
+          for r in L.read_triples(spark, out, as_of=s2["run_id"]).collect()}
+    assert t1 < t2 == got
+    assert len(t1) == s1["n_triples"]
