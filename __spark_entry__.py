@@ -312,6 +312,24 @@ def _rel_count_per_subject(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rel_cube_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets over the documents corpus: cube(lang, source)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.cube("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+def _rel_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per group (median + p95 of extended price)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95"),
+    )
+
+
 def _rel_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (30-min gap) per user over the events table — the
     batch face of streaming sessionization (F.session_window works in both)."""
@@ -553,6 +571,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_two_hop": _rel_two_hop,
         "rel_intersect": _rel_intersect,
         "rel_count_per_subject": _rel_count_per_subject,
+        "rel_cube_stats": _rel_cube_stats,
+        "rel_percentiles": _rel_percentiles,
         "rel_session_windows": _rel_session_windows,
         "rel_scalar_funcs": _rel_scalar_funcs,
         # training-data pipeline operators
@@ -739,6 +759,16 @@ def oracle_sql() -> dict[str, str]:
         "rel_count_per_subject": (
             "SELECT user_id, event_type, count(*) AS n_events, "
             "round(sum(value), 4) AS sum_value FROM events GROUP BY user_id, event_type"
+        ),
+        "rel_cube_stats": (
+            "SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS sum_chars "
+            "FROM documents GROUP BY CUBE (lang, source)"
+        ),
+        "rel_percentiles": (
+            "SELECT l_returnflag, "
+            "round(quantile_cont(l_extendedprice, 0.5), 4) AS p50, "
+            "round(quantile_cont(l_extendedprice, 0.95), 4) AS p95 "
+            "FROM lineitem GROUP BY l_returnflag"
         ),
         "rel_session_windows": (
             # gaps-and-islands: a new session starts when the gap from the
