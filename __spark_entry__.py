@@ -381,6 +381,24 @@ def _doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(_docs(spark, sf_dir))
 
 
+def _doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from entity_extraction_svc_spark.operators.textstats import quality_filter
+
+    out = quality_filter(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id", "keep", F.concat_ws(",", "reasons").alias("reasons_csv")
+    )
+
+
+def _rel_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+
+
 def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """On the fixture corpus: repeated payload bodies make real dup groups
     (the sf documents table has no exact dups — a 0-row check proves
@@ -579,6 +597,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stats": _doc_stats,
         "doc_lang_id": _doc_lang_id,
         "doc_fingerprint": _doc_fingerprint,
+        "doc_quality_filter": _doc_quality_filter,
+        "rel_pivot": _rel_pivot,
         "dedup_exact": _dedup_exact,
         "dedup_exact_docs": _dedup_exact_docs,
         "dedup_minhash_sig": _dedup_minhash_sig,
@@ -850,6 +870,47 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": (
             f"SELECT doc_id, md5({_NORM}) AS fp_md5, "
             f"('0x' || substr(md5({_NORM}), 1, 15))::BIGINT AS fp_int64 FROM documents"
+        ),
+        "doc_quality_filter": (
+            f"""
+            WITH base AS (
+              SELECT doc_id, coalesce(text, '') AS text, {toks_lower} AS toks FROM documents
+            ), m AS (
+              SELECT doc_id,
+                     length(text) AS n_chars,
+                     len(toks) AS n_ws_tokens,
+                     length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,
+                     {sw_count} AS n_stop
+              FROM base
+            ), s AS (
+              SELECT doc_id, n_ws_tokens,
+                     CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END AS punct_ratio,
+                     round(CASE WHEN n_chars > 0 THEN
+                       least(n_ws_tokens / 50.0, 1.0) * 0.4
+                       + (1.0 - least((CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END) * 4.0, 1.0)) * 0.3
+                       + least((CASE WHEN n_ws_tokens > 0 THEN n_stop / n_ws_tokens ELSE 0.0 END) * 3.0, 1.0) * 0.3
+                     ELSE 0.0 END, 6) AS quality_score
+              FROM m
+            ), r AS (
+              SELECT doc_id,
+                     list_filter([
+                       CASE WHEN n_ws_tokens < 5 THEN 'too_short' END,
+                       CASE WHEN round(punct_ratio, 6) > 0.2 THEN 'punct_soup' END,
+                       CASE WHEN quality_score < 0.5 THEN 'low_quality' END
+                     ], x -> x IS NOT NULL) AS reasons
+              FROM s
+            )
+            SELECT doc_id, len(reasons) = 0 AS keep,
+                   coalesce(array_to_string(reasons, ','), '') AS reasons_csv
+            FROM r
+            """
+        ),
+        "rel_pivot": (
+            "SELECT l_linestatus, "
+            "round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2) AS A, "
+            "round(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2) AS N, "
+            "round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2) AS R "
+            "FROM lineitem GROUP BY l_linestatus"
         ),
         "dedup_exact": (
             f"SELECT md5({_NORM}) AS fp_md5, count(*) AS n_docs, min(url) AS keeper_id "

@@ -99,6 +99,29 @@ def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     )
 
 
+def quality_filter(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                   min_score: float = 0.5, min_tokens: int = 5,
+                   max_punct_ratio: float = 0.2) -> DataFrame:
+    """Training-corpus keep/drop decision with reason codes.
+
+    Returns (id, keep, reasons) where reasons lists every violated rule —
+    the auditable form a data pipeline needs (silent drops are undebuggable
+    at 10^12 docs).  Pure column expressions over doc_stats."""
+    stats = doc_stats(docs, text_col, id_col)
+    reasons = F.array_compact(
+        F.array(
+            F.when(F.col("n_ws_tokens") < min_tokens, F.lit("too_short")),
+            F.when(F.col("punct_ratio") > max_punct_ratio, F.lit("punct_soup")),
+            F.when(F.col("quality_score") < min_score, F.lit("low_quality")),
+        )
+    )
+    return stats.select(
+        F.col(id_col),
+        (F.size(reasons) == 0).alias("keep"),
+        reasons.alias("reasons"),
+    )
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Deterministic document fingerprint: md5 of the whitespace-normalized
     lowercased text (the exact-dedup key), plus a 64-bit rolling-hash variant
