@@ -318,7 +318,15 @@ def generate_pages(n_docs: int = 200) -> tuple[list[dict], list[dict], list[dict
     for v in by_fine.values():
         v.sort(key=lambda e: -e.num_rels)
     persons = sorted([e for e in kb if e.tag == "PER"], key=lambda e: -e.num_rels)
-    cities = by_fine.get("CITY", [])
+    # generic templates draw only surface-unambiguous cities: for a shared
+    # surface ("Springfield") the template context legitimately steers
+    # connection ranking either way, so a context-free golden would be wrong
+    # there — the dedicated kind-7 probe covers the ambiguous case instead
+    all_cities = by_fine.get("CITY", [])
+    surface_counts: dict[str, int] = {}
+    for e in all_cities:
+        surface_counts[e.label.lower()] = surface_counts.get(e.label.lower(), 0) + 1
+    cities = [e for e in all_cities if surface_counts[e.label.lower()] == 1]
     orgs = sorted(by_fine.get("ORG", []) + by_fine.get("BUSINESS", []),
                   key=lambda e: -e.num_rels)
     works = sorted(by_fine.get("WORK_OF_ART", []) + by_fine.get("LITERARY_WORK", [])
@@ -425,7 +433,14 @@ def generate_pages(n_docs: int = 200) -> tuple[list[dict], list[dict], list[dict
             # by its country in the same sentence
             amb = next(e for e in kb if e.label == "Springfield" and e.num_rels < 10)
             country = next(e for e in kb if e.qid == amb.p131[0])
-            org = orgs[_zipf_pick(rng.random(), len(orgs))]
+            pop = next(e for e in kb if e.label == "Springfield" and e.num_rels >= 10)
+            # the org must not drag KG edges toward the POPULAR Springfield's
+            # country, or the probe's context stops being decisive (the
+            # reference's connection ranking would rightly flip it)
+            org = next(
+                o for o in orgs
+                if all(t != ("P17", pop.p131[0]) for t in o.triples)
+            )
             body = (f"{org.label} opened a plant in Springfield, a town in "
                     f"{country.label}.")
             emit(i, "Regional", body, "en",
@@ -445,8 +460,14 @@ def generate_pages(n_docs: int = 200) -> tuple[list[dict], list[dict], list[dict
                 emit(i, "Business", body, "en", [gold(o), gold(p)])
             elif t == 2:
                 w = works[_zipf_pick(rng.random(), len(works))]
-                f_ = facs[_zipf_pick(rng.random(), len(facs))]
-                # the facility's city provides connection-ranking signal
+                # use the work's OWN P276 facility when it has one: a random
+                # facility can contradict the KG ("Mona Lisa (Prado) is held
+                # at Louvre") and connection ranking would rightly follow the
+                # context rather than the surface — making a surface-pinned
+                # golden wrong by construction
+                w_fac = next((o for (p, o) in w.triples if p == "P276"), None)
+                f_ = next((e for e in facs if e.qid == w_fac), None) or \
+                    facs[_zipf_pick(rng.random(), len(facs))]
                 city_qid = f_.p131[0] if f_.p131 else None
                 c = next((e for e in kb if e.qid == city_qid), cities[0])
                 body = f"{w.label} is held at {f_.label} in {c.label}."

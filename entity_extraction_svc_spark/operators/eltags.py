@@ -33,7 +33,7 @@ def norm_expr(col):
     collapse whitespace) — keeps the join key computation in codegen."""
     x = F.lower(col)
     x = F.translate(x, ".,&", "")
-    x = F.translate(x, "-'/:", "    ")
+    x = F.translate(x, "-'/:()\"", "       ")
     x = F.regexp_replace(x, r"\s+", " ")
     return F.trim(x)
 

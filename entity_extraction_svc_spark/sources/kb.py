@@ -33,7 +33,11 @@ def normalize_label(label: str) -> str:
     lowercase, drop '.'/',', hyphens/apostrophes/etc -> space, collapse ws.
     """
     s = label.lower().replace(".", "").replace(",", "")
-    for old, new in (("-", " "), ("'", " "), ("&", ""), ("/", " "), (":", " ")):
+    # parens/quotes are tokenized away by FTS5 too — without this, the index
+    # key for "Mona Lisa (Prado)" keeps its parens while the decoded mention
+    # drops them, and the exact match misses
+    for old, new in (("-", " "), ("'", " "), ("&", ""), ("/", " "), (":", " "),
+                     ("(", " "), (")", " "), ('"', " ")):
         s = s.replace(old, new)
     return _NORM_WS.sub(" ", s).strip()
 
