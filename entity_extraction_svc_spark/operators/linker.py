@@ -305,6 +305,30 @@ def get_cand_ent(d: LinkerDicts, entity_substr: str, entity_substr_split: list[s
     return sorted(cand_ent_scores, key=lambda x: (x[1][0], x[1][1]), reverse=True)
 
 
+def get_cand_ent_cached(d: LinkerDicts, entity_substr: str,
+                        entity_substr_split: list[str], tags_for_search: list[str],
+                        cur_p641: list[str], short_text: bool):
+    """Per-worker memo over get_cand_ent: the function is pure in its
+    hashable arguments, and web text is Zipfian — the same (surface, tags)
+    pair recurs across thousands of documents, so candidate generation is
+    the ideal cache line.  The cache lives on the broadcast LinkerDicts
+    instance (one per executor process, reset with the broadcast)."""
+    cache = getattr(d, "_cand_cache", None)
+    if cache is None:
+        cache = {}
+        d._cand_cache = cache
+    key = (entity_substr, tuple(entity_substr_split), tuple(tags_for_search),
+           tuple(cur_p641), short_text)
+    hit = cache.get(key)
+    if hit is None:
+        if len(cache) > 200_000:  # runaway guard; recurrence makes this moot
+            cache.clear()
+        hit = get_cand_ent(d, entity_substr, entity_substr_split,
+                           tags_for_search, cur_p641, short_text)
+        cache[key] = hit
+    return list(hit)
+
+
 # ---------------------------------------------------------------------------
 # G13-G15: 5-pass candidate search with doc-level state
 # (entity_linking.py:437-504)
@@ -361,7 +385,7 @@ def get_cand_ent_all(d: LinkerDicts, entity_substr_list, entity_substr_split_lis
                                     cur_p641.append(tp)
                             if cur_p641:
                                 break
-                        cand_ent_scores = get_cand_ent(
+                        cand_ent_scores = get_cand_ent_cached(
                             d, entity_substr, entity_substr_split, tags_for_search,
                             sorted(set(cur_p641)), short_text)
                         if cand_ent_scores:
