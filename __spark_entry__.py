@@ -545,7 +545,16 @@ def _mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_fixtures(FIXTURES)
     pages = spark.read.parquet(f"{FIXTURES}/pages.parquet")
-    return extract_features(pages, bin_col="html", key_col="url")
+    out = extract_features(pages, bin_col="html", key_col="url")
+    # project the vector to a string: the driver canonicalizer sorts columns
+    # by value and dies on list cells (unhashable) — same trick as
+    # _dedup_minhash_sig above
+    return out.select(
+        "url",
+        F.concat_ws(
+            ",", F.transform("feature", lambda x: F.round(x, 6).cast("string"))
+        ).alias("feature_csv"),
+    )
 
 
 def _with_prep(fn: Callable[[SparkSession, str], DataFrame]):
@@ -781,7 +790,9 @@ def oracle_sql() -> dict[str, str]:
             "round(sum(value), 4) AS sum_value FROM events GROUP BY user_id, event_type"
         ),
         "rel_cube_stats": (
-            "SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS sum_chars "
+            # CAST: DuckDB sum(int) is HUGEINT which lands in pandas as
+            # float64 and hash-mismatches Spark's BIGINT ('73327.0' vs '73327')
+            "SELECT lang, source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars "
             "FROM documents GROUP BY CUBE (lang, source)"
         ),
         "rel_percentiles": (
@@ -956,11 +967,13 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             )
             SELECT doc_id,
-                   CASE WHEN len(hs) > 0 THEN
+                   -- CAST: list_sum on BIGINTs yields HUGEINT -> pandas float64,
+                   -- which hash-mismatches Spark's bit-identical BIGINT values
+                   CAST(CASE WHEN len(hs) > 0 THEN
                      list_sum(list_transform(generate_series(0, 31), j ->
                        CASE WHEN list_sum(list_transform(hs, h -> ((h >> j) & 1) * 2 - 1)) > 0
                             THEN (1::BIGINT << j) ELSE 0::BIGINT END))
-                   ELSE 0 END AS simhash
+                   ELSE 0 END AS BIGINT) AS simhash
             FROM base
             """
         ),
