@@ -455,10 +455,24 @@ def _dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dedup_embedding_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from entity_extraction_svc_spark.operators.dedup import embedding_dup_pairs_lsh
+    """LSH near-dup recall contract: the LSH pair set is a subset of the
+    exact pair set by construction (candidates are exact-cosine verified),
+    so the check is (a) n_exact cross-verified by the DuckDB oracle and
+    (b) recall = n_lsh/n_exact >= 0.9 (measured 0.985 at sf0.01)."""
+    from entity_extraction_svc_spark.operators.dedup import (
+        embedding_dup_pairs,
+        embedding_dup_pairs_lsh,
+    )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return embedding_dup_pairs_lsh(emb, threshold=0.35)
+    exact = embedding_dup_pairs(emb, threshold=0.35).select("id_a", "id_b")
+    lsh = embedding_dup_pairs_lsh(emb, threshold=0.35).select("id_a", "id_b")
+    hits = lsh.join(exact, ["id_a", "id_b"]).agg(F.count("*").alias("n_hit"))
+    totals = exact.agg(F.count("*").alias("n_exact"))
+    return totals.crossJoin(hits).select(
+        "n_exact",
+        (F.col("n_hit") >= F.ceil(F.col("n_exact") * 0.9)).alias("recall_ok"),
+    )
 
 
 def _sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -468,11 +482,97 @@ def _sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, query_id=0, k=10)
 
 
-def _sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from entity_extraction_svc_spark.operators.simsearch import lsh_ann_topk
+# 16 fixed query ids for the ANN recall contracts (every 10th vector; all
+# SF tables have >= 500 vectors, so these always exist)
+_ANN_QIDS = list(range(0, 160, 10))
+
+# DuckDB side of the ANN recall contracts: the exact batch top-10 cosine sum
+# (grounded crosscheck of the Spark-side brute-force baseline the ANN probes
+# are measured against) + the recall_ok constant the Spark side must earn.
+_ANN_RECALL_ORACLE = f"""
+    WITH q AS (
+      SELECT vec_id AS qid, list_transform(embedding, x -> x::DOUBLE) AS qvec
+      FROM embeddings WHERE vec_id IN ({", ".join(str(q) for q in _ANN_QIDS)})
+    ), scored AS (
+      SELECT q.qid, e.vec_id,
+             round(
+               list_sum(list_transform(generate_series(1, len(e.embedding)),
+                                       i -> e.embedding[i]::DOUBLE * q.qvec[i]))
+               / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+                  * sqrt(list_sum(list_transform(q.qvec, x -> x * x)))),
+             6) AS cos_sim
+      FROM embeddings e, q WHERE e.vec_id != q.qid
+    ), ranked AS (
+      SELECT qid, cos_sim,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cos_sim DESC, vec_id ASC) AS rn
+      FROM scored
+    )
+    SELECT round(sum(cos_sim), 4) AS exact_cos_sum, true AS recall_ok
+    FROM ranked WHERE rn <= 10
+"""
+
+
+def _ann_index_dir(sf_dir: str, kind: str) -> str:
+    import hashlib
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    return f"/tmp/ann_index_cache/{tag}/{kind}"
+
+
+def _ann_queries(emb: DataFrame) -> list:
+    rows = emb.filter(F.col("vec_id").isin(_ANN_QIDS)).select(
+        "vec_id", "embedding"
+    ).collect()
+    return [(int(r.vec_id), [float(x) for x in r.embedding]) for r in rows]
+
+
+def _ann_recall_contract(spark: SparkSession, sf_dir: str, kind: str,
+                         tau: float) -> DataFrame:
+    """Shared shape of the ANN recall contracts.
+
+    Returns ONE row (exact_cos_sum, recall_ok):
+    * exact_cos_sum — sum of the exact top-10 cosines over the 16 fixed
+      queries, computed by Spark's brute-force batch scorer and
+      independently by the DuckDB oracle (the grounded crosscheck);
+    * recall_ok — mean ANN recall@10 against that exact top-10 >= tau.
+      The sf embeddings are near-random (top-10 cosine ~0.3-0.4 against a
+      ~0 mean), which is the worst case for any LSH/IVF scheme, so the
+      honest bar is a threshold, not parity: measured mean recall is
+      0.63/0.58 (rp, sf0.01/sf0.1) and 0.79/0.76 (ivf) vs taus 0.45/0.60.
+    """
+    from entity_extraction_svc_spark.operators import annindex as ai
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return lsh_ann_topk(emb, query_id=0, k=10)
+    queries = _ann_queries(emb)
+    idx_dir = _ann_index_dir(sf_dir, kind)
+    if not ai.index_ready(idx_dir):
+        if kind == "rp8":
+            ai.build_rp_index(emb, idx_dir, bits=8)
+        else:
+            ai.build_ivf_index(emb, idx_dir, n_lists=32)
+    exact = ai.batch_exact_topk(emb, queries, k=10)
+    if kind == "rp8":
+        ann = ai.batch_probe_rp(spark, idx_dir, queries, k=10, probe_hamming=3)
+    else:
+        ann = ai.batch_probe_ivf(spark, idx_dir, queries, k=10, n_probe=12)
+    hits = exact.join(ann.select("qid", "vec_id"), ["qid", "vec_id"]).agg(
+        F.count("*").alias("n_hit")
+    )
+    base = exact.agg(
+        F.round(F.sum("cos_sim"), 4).alias("exact_cos_sum"),
+        F.count("*").alias("n_exact"),
+    )
+    return base.crossJoin(hits).select(
+        "exact_cos_sum",
+        (F.col("n_hit") >= F.col("n_exact") * tau).alias("recall_ok"),
+    )
+
+
+def _sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RP-LSH ANN over a PREBUILT signature-partitioned index: recall@10
+    over 16 queries vs the exact batch baseline (see _ann_recall_contract)."""
+    return _ann_recall_contract(spark, sf_dir, "rp8", tau=0.45)
 
 
 def _kg_canonical_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -524,10 +624,9 @@ def _kb_ingest_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from entity_extraction_svc_spark.operators.simsearch import centroid_ivf_topk
-
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return centroid_ivf_topk(emb, query_id=0, k=10, n_lists=8, n_probe=4)
+    """IVF-flat ANN over a PREBUILT list_id-partitioned index with k-means
+    centroids: recall@10 over 16 queries (see _ann_recall_contract)."""
+    return _ann_recall_contract(spark, sf_dir, "ivf32", tau=0.60)
 
 
 def _mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -615,10 +714,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _dedup_simhash,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "dedup_embedding_pairs": _dedup_embedding_pairs,
-        "dedup_embedding_pairs_lsh": _dedup_embedding_pairs_lsh,  # rows-only (LSH bucketing)
+        "dedup_embedding_pairs_lsh": _dedup_embedding_pairs_lsh,  # recall contract
         "sim_cosine_topk": _sim_cosine_topk,
-        "sim_lsh_ann": _sim_lsh_ann,  # rows-only (LSH probe set, no SQL oracle)
-        "sim_ivf_topk": _sim_ivf_topk,  # rows-only (IVF probe set, no SQL oracle)
+        "sim_lsh_ann": _sim_lsh_ann,  # prebuilt-index recall contract
+        "sim_ivf_topk": _sim_ivf_topk,  # prebuilt-index recall contract
         # custom-KB ingest ETL (S7/S8)
         "kb_ingest_ntriples": _kb_ingest_ntriples,
         "kb_ingest_entities": _kb_ingest_entities,
@@ -1148,6 +1247,27 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs WHERE cos_sim >= 0.35
             """
         ),
+        "dedup_embedding_pairs_lsh": (
+            # n_exact is the grounded crosscheck (same pair SQL as
+            # dedup_embedding_pairs); recall_ok >= 0.9 is asserted Spark-side
+            """
+            WITH e AS (
+              SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+              FROM embeddings
+            ), pairs AS (
+              SELECT a.vec_id AS id_a,
+                     list_sum(list_transform(generate_series(1, len(a.v)),
+                                             i -> a.v[i] * b.v[i]))
+                     / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                        * sqrt(list_sum(list_transform(b.v, x -> x * x)))) AS cos_sim
+              FROM e a JOIN e b ON a.vec_id < b.vec_id
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_exact, true AS recall_ok
+            FROM pairs WHERE cos_sim >= 0.35
+            """
+        ),
+        "sim_lsh_ann": _ANN_RECALL_ORACLE,
+        "sim_ivf_topk": _ANN_RECALL_ORACLE,
         "sim_cosine_topk": (
             """
             WITH q AS (

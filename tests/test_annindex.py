@@ -1,0 +1,171 @@
+"""Persisted ANN index lifecycle: build-once/probe-pruned semantics.
+
+Covers the round-2 requirements: a probe must read only the matching
+partitions of the prebuilt index (< 1/4 of the files), indexed signatures
+must agree with the on-the-fly ``rp_signature`` expression bit-for-bit, the
+k-means fit must be deterministic, and ANN recall vs the exact baseline must
+clear the contract thresholds on the driver's own embeddings table.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from entity_extraction_svc_spark.operators import annindex as ai
+
+SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
+QIDS = list(range(0, 160, 10))
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def rp_dir(spark, emb, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("annidx") / "rp")
+    ai.build_rp_index(emb, d, bits=8)
+    return d
+
+
+@pytest.fixture(scope="module")
+def ivf_dir(spark, emb, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("annidx") / "ivf")
+    ai.build_ivf_index(emb, d, n_lists=32)
+    return d
+
+
+@pytest.fixture(scope="module")
+def queries(emb):
+    rows = emb.filter(F.col("vec_id").isin(QIDS)).collect()
+    return [(int(r.vec_id), [float(x) for x in r.embedding]) for r in rows]
+
+
+def _exact_sets(emb, queries, k=10):
+    exact = ai.batch_exact_topk(emb, queries, k=k).collect()
+    out: dict[int, set] = {}
+    for r in exact:
+        out.setdefault(r.qid, set()).add(r.vec_id)
+    return out
+
+
+def test_rp_signature_parity(spark, emb, rp_dir):
+    """Indexed signatures == the on-the-fly Catalyst rp_signature expr."""
+    from entity_extraction_svc_spark.operators.simsearch import rp_signature
+
+    dim = len(emb.select("embedding").first()[0])
+    live = emb.select(
+        "vec_id", rp_signature(F.col("embedding"), dim, 8).alias("sig")
+    )
+    stored = spark.read.parquet(rp_dir).select(
+        "vec_id", F.col("rp_sig").cast("long").alias("sig")
+    )
+    assert live.exceptAll(stored).count() == 0
+    assert stored.exceptAll(live).count() == 0
+
+
+def test_rp_probe_partition_pruning(spark, rp_dir, queries):
+    """A single-query probe scans < 1/4 of the index's parquet files."""
+    qvec = queries[0][1]
+    meta = ai.read_meta(rp_dir)
+    qsig = ai.rp_sig_of(qvec, ai._planes(meta["dim"], meta["bits"]))
+    sigs = ai._hamming_ball(qsig, meta["bits"], 2)  # 37/256 buckets
+    scan = spark.read.parquet(rp_dir).filter(F.col("rp_sig").isin(sigs))
+    total = ai.files_in_index(rp_dir)
+    assert ai.files_scanned(scan) < total / 4
+    # and the pruning is in the PLAN, not just the row counts
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "rp_sig" in plan
+
+
+def test_ivf_probe_partition_pruning(spark, ivf_dir, queries):
+    qvec = np.asarray(queries[0][1])
+    meta = ai.read_meta(ivf_dir)
+    C = np.asarray(meta["centroids"])
+    probe = np.argsort(-(C @ (qvec / np.linalg.norm(qvec))))[:6].tolist()
+    scan = spark.read.parquet(ivf_dir).filter(F.col("list_id").isin(probe))
+    total = ai.files_in_index(ivf_dir)
+    assert ai.files_scanned(scan) < total / 4
+
+
+def test_rp_recall_threshold(spark, emb, rp_dir, queries):
+    exact = _exact_sets(emb, queries)
+    got = ai.batch_probe_rp(spark, rp_dir, queries, k=10, probe_hamming=3)
+    hits: dict[int, set] = {}
+    for r in got.collect():
+        hits.setdefault(r.qid, set()).add(r.vec_id)
+    recalls = [len(hits.get(q, set()) & exact[q]) / 10 for q in exact]
+    assert sum(recalls) / len(recalls) >= 0.45
+
+
+def test_ivf_recall_threshold(spark, emb, ivf_dir, queries):
+    exact = _exact_sets(emb, queries)
+    got = ai.batch_probe_ivf(spark, ivf_dir, queries, k=10, n_probe=12)
+    hits: dict[int, set] = {}
+    for r in got.collect():
+        hits.setdefault(r.qid, set()).add(r.vec_id)
+    recalls = [len(hits.get(q, set()) & exact[q]) / 10 for q in exact]
+    assert sum(recalls) / len(recalls) >= 0.60
+
+
+def test_ivf_beats_random_pruning(spark, emb, ivf_dir, queries):
+    """k-means lists must be *informative*: probing the TOP n_probe lists
+    must find more exact neighbors than the same number of arbitrary lists
+    (guards against the round-1 failure mode of random centroids)."""
+    meta = ai.read_meta(ivf_dir)
+    C = np.asarray(meta["centroids"])
+    exact = _exact_sets(emb, queries)
+    top_hits, bottom_hits = 0, 0
+    idx = spark.read.parquet(ivf_dir)
+    for q, v in queries[:4]:
+        qv = np.asarray(v)
+        qv = qv / np.linalg.norm(qv)
+        order = np.argsort(-(C @ qv))
+        for sel, acc in ((order[:12].tolist(), "top"), (order[-12:].tolist(), "bot")):
+            cand = idx.filter(F.col("list_id").isin(sel) & (F.col("vec_id") != q))
+            ids = {r.vec_id for r in cand.select("vec_id").collect()}
+            n = len(ids & exact[q])
+            if acc == "top":
+                top_hits += n
+            else:
+                bottom_hits += n
+    assert top_hits > bottom_hits
+
+
+def test_kmeans_deterministic(emb):
+    c1 = ai.kmeans_centroids(emb, n_lists=8, iters=5)
+    c2 = ai.kmeans_centroids(emb, n_lists=8, iters=5)
+    assert np.allclose(c1, c2)
+
+
+def test_probe_single_query_matches_batch(spark, emb, rp_dir, ivf_dir, queries):
+    q, v = queries[0]
+    single = {
+        r.vec_id
+        for r in ai.probe_rp_index(
+            spark, rp_dir, v, k=10, probe_hamming=3, exclude_id=q
+        ).collect()
+    }
+    batch = {
+        r.vec_id
+        for r in ai.batch_probe_rp(spark, rp_dir, [(q, v)], k=10, probe_hamming=3)
+        .collect()
+    }
+    assert single == batch
+    single_ivf = {
+        r.vec_id
+        for r in ai.probe_ivf_index(
+            spark, ivf_dir, v, k=10, n_probe=12, exclude_id=q
+        ).collect()
+    }
+    batch_ivf = {
+        r.vec_id
+        for r in ai.batch_probe_ivf(spark, ivf_dir, [(q, v)], k=10, n_probe=12)
+        .collect()
+    }
+    assert single_ivf == batch_ivf
