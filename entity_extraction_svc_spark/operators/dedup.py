@@ -140,6 +140,43 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
     return hashed.select(F.col(id_col), mins.alias("sig"))
 
 
+def cap_lsh_buckets(buckets: DataFrame, key_cols: list[str],
+                    max_bucket: int) -> DataFrame:
+    """Drop every row of an LSH bucket larger than ``max_bucket``.
+
+    A bucket of size m contributes m(m-1)/2 candidate pairs, so ONE
+    boilerplate-heavy bucket (near-identical crawl pages are exactly the
+    input to a dedup job) goes quadratic on a single join key.  The cap is
+    the same stop-element guard ``ngram_jaccard_pairs`` applies per shingle:
+    a window count over the bucket key — the window shuffle is on the same
+    key as the self-join that follows, so the planner reuses the exchange.
+
+    Pairs inside a dropped MinHash bucket can still surface via their other
+    bands; for SimHash/embedding banding a dropped bucket removes its pairs
+    (recall trade, bounded work) — use ``hot_bucket_report`` to see what was
+    cut before trusting a capped run.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*key_cols)
+    return (
+        buckets.withColumn("_bsz", F.count("*").over(w))
+        .filter(F.col("_bsz") <= max_bucket)
+        .drop("_bsz")
+    )
+
+
+def hot_bucket_report(buckets: DataFrame, key_cols: list[str],
+                      max_bucket: int) -> DataFrame:
+    """The buckets a cap of ``max_bucket`` would drop: (key..., bucket_size).
+    Run alongside a capped dedup to account for the skipped work."""
+    return (
+        buckets.groupBy(*key_cols)
+        .agg(F.count("*").alias("bucket_size"))
+        .filter(F.col("bucket_size") > max_bucket)
+    )
+
+
 def lsh_buckets(signatures: DataFrame, id_col: str = "doc_id",
                 bands: int = 4) -> DataFrame:
     """Band the signature: (band, band_hash, id).  Equal band_hash within a
@@ -171,13 +208,15 @@ def lsh_buckets(signatures: DataFrame, id_col: str = "doc_id",
 def minhash_dup_pairs(docs: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", num_hashes: int = 16,
                       bands: int = 4, threshold: float = 0.6,
-                      shingle_n: int = 3) -> DataFrame:
+                      shingle_n: int = 3, max_bucket: int = 2000) -> DataFrame:
     """Near-duplicate pairs: LSH-bucket join, then exact signature-agreement
     estimate filtered at ``threshold``.
 
     The self-join is on (band, band_hash) — only colliding docs meet, so the
     shuffle is proportional to bucket sizes, not n^2.  At 100 TB the band
-    hash is also the natural partition key (uniform by construction).
+    hash is also the natural partition key (uniform by construction), and
+    ``max_bucket`` bounds the quadratic blowup of any one hot bucket
+    (see ``cap_lsh_buckets``).
     """
     sigs = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_n)
     # the signature rides through the bucket explode so the agreement
@@ -202,6 +241,7 @@ def minhash_dup_pairs(docs: DataFrame, text_col: str = "text",
             )
         ).alias("band", "band_hash"),
     )
+    buckets = cap_lsh_buckets(buckets, ["band", "band_hash"], max_bucket)
     left = buckets.alias("l")
     right = buckets.alias("r")
     est = (
@@ -272,11 +312,13 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 def simhash_dup_pairs(docs: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", bits: int = 32,
-                      max_hamming: int = 3, bands: int = 4) -> DataFrame:
+                      max_hamming: int = 3, bands: int = 4,
+                      max_bucket: int = 2000) -> DataFrame:
     """Near-dup pairs by SimHash: band the key into ``bands`` chunks — any
     pair within ``max_hamming < bands`` distance shares at least one exact
     chunk (pigeonhole), so candidates come from an equi-join, then the exact
-    Hamming distance filters."""
+    Hamming distance filters.  ``max_bucket`` bounds hot chunks
+    (see ``cap_lsh_buckets``)."""
     sh = simhash(docs, text_col, id_col, bits)
     chunk_bits = bits // bands
     mask = (1 << chunk_bits) - 1
@@ -291,6 +333,7 @@ def simhash_dup_pairs(docs: DataFrame, text_col: str = "text",
             )
         ).alias("band", "chunk"),
     )
+    chunks = cap_lsh_buckets(chunks, ["band", "chunk"], max_bucket)
     l, r = chunks.alias("l"), chunks.alias("r")
     cand = (
         l.join(
@@ -343,10 +386,12 @@ def embedding_dup_pairs(embeddings: DataFrame, threshold: float = 0.9,
 
 def embedding_dup_pairs_lsh(embeddings: DataFrame, threshold: float = 0.9,
                             id_col: str = "vec_id", vec_col: str = "embedding",
-                            bits: int = 16, bands: int = 8) -> DataFrame:
+                            bits: int = 16, bands: int = 8,
+                            max_bucket: int = 2000) -> DataFrame:
     """Near-dup pairs at scale: random-hyperplane signature banded into
     ``bands`` chunks; candidates share >= 1 exact chunk (the SimHash
-    pigeonhole trick applied to embeddings), then exact cosine filters."""
+    pigeonhole trick applied to embeddings), then exact cosine filters.
+    ``max_bucket`` bounds hot chunks (see ``cap_lsh_buckets``)."""
     from entity_extraction_svc_spark.operators.simsearch import cosine, rp_signature
 
     dim = len(embeddings.select(vec_col).first()[0])
@@ -365,6 +410,7 @@ def embedding_dup_pairs_lsh(embeddings: DataFrame, threshold: float = 0.9,
             )
         ).alias("band", "chunk"),
     )
+    chunks = cap_lsh_buckets(chunks, ["band", "chunk"], max_bucket)
     l, r = chunks.alias("l"), chunks.alias("r")
     cand = (
         l.join(

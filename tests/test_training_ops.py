@@ -164,3 +164,58 @@ def test_canonicalize_components(spark):
     canon = {r.qid: r.canonical_qid for r in canonical_qids(ents, aliases).collect()}
     # Q1-Q2 share surface "apple"; Q3-Q4 share normalized "banana fruit"
     assert canon == {"Q1": "Q1", "Q2": "Q1", "Q3": "Q3", "Q4": "Q3"}
+
+
+def test_hot_bucket_cap_bounds_candidates(spark):
+    """One boilerplate-heavy LSH bucket must not go quadratic: with the cap,
+    a 120-identical-doc group contributes ZERO join work; without it, 7140
+    pairs.  Distinct docs in small buckets are unaffected."""
+    from entity_extraction_svc_spark.operators.dedup import (
+        hot_bucket_report,
+        lsh_buckets,
+        minhash_dup_pairs,
+        minhash_signatures,
+        simhash_dup_pairs,
+    )
+
+    boiler = [(i, "cookie banner accept terms privacy policy " * 5, "en")
+              for i in range(120)]
+    normal = [
+        (1000, "a genuinely unique article about spark shuffles today", "en"),
+        (1001, "a genuinely unique article about spark shuffles tonight", "en"),
+    ]
+    docs = spark.createDataFrame(boiler + normal,
+                                 "doc_id long, text string, lang string")
+
+    uncapped = minhash_dup_pairs(docs, threshold=0.3, max_bucket=10**9)
+    capped = minhash_dup_pairs(docs, threshold=0.3, max_bucket=50)
+    n_unc, n_cap = uncapped.count(), capped.count()
+    assert n_unc >= 120 * 119 / 2  # the quadratic bucket
+    assert n_cap < 100  # bounded: only the small-bucket pairs survive
+    # the near-dup pair in a small bucket still comes through
+    assert {(r.id_a, r.id_b) for r in capped.collect()} >= {(1000, 1001)}
+
+    # the dropped work is accounted for, not silent
+    sigs = minhash_signatures(docs)
+    report = hot_bucket_report(lsh_buckets(sigs), ["band", "band_hash"], 50)
+    assert report.count() >= 1
+    assert report.agg(F.max("bucket_size")).first()[0] == 120
+
+    # simhash path: same guard
+    cap_sh = simhash_dup_pairs(docs, max_hamming=3, max_bucket=50).count()
+    unc_sh = simhash_dup_pairs(docs, max_hamming=3, max_bucket=10**9).count()
+    assert unc_sh >= 120 * 119 / 2 and cap_sh < 100
+
+
+def test_embedding_lsh_cap(spark):
+    """Same guard on the embedding banding path."""
+    from entity_extraction_svc_spark.operators.dedup import embedding_dup_pairs_lsh
+
+    vec = [1.0] * 8
+    rows = [(i, vec) for i in range(80)] + [
+        (100, [1.0, -1.0] * 4), (101, [1.0, -0.9] * 4)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    unc = embedding_dup_pairs_lsh(emb, threshold=0.9, max_bucket=10**9).count()
+    cap = embedding_dup_pairs_lsh(emb, threshold=0.9, max_bucket=40).count()
+    assert unc >= 80 * 79 / 2
+    assert cap < 50
