@@ -181,24 +181,29 @@ def with_offset_shift(chunks: DataFrame) -> DataFrame:
     )
 
 
-def detect_mentions(chunks_with_shift: DataFrame, gazetteer_bc) -> DataFrame:
-    """chunk rows (+offset_shift) -> mention rows with doc-level offsets."""
+def detect_mentions(chunks_with_shift: DataFrame, tagger_bc) -> DataFrame:
+    """chunk rows (+offset_shift) -> mention rows with doc-level offsets.
+
+    ``tagger_bc`` broadcasts any ``tag_batch`` protocol tagger
+    (operators/tagger.py): the model sees ONE batch per Arrow batch,
+    spanning chunks of many documents; the O-threshold decode (N4) and BIO
+    decode (N5) run on the returned distributions.
+    """
 
     def _ner_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        tagger: GazetteerTagger = gazetteer_bc.value
+        from entity_extraction_svc_spark.operators.tagger import decode_tagged
+
+        tagger = tagger_bc.value
         for pdf in batches:
+            # soft-hyphen strip (H7, ner_chunker.py:243)
+            texts = [(t or "").replace("\xad", " ") for t in pdf["chunk_text"]]
+            tagged = tagger.tag_batch(texts)  # one model call per Arrow batch
             rows = []
-            for url, chunk_id, chunk_text, shift in zip(
-                pdf["url"], pdf["chunk_id"], pdf["chunk_text"], pdf["offset_shift"]
+            for tt, url, chunk_id, shift in zip(
+                tagged, pdf["url"], pdf["chunk_id"], pdf["offset_shift"]
             ):
-                # soft-hyphen strip (H7, ner_chunker.py:243)
-                text = (chunk_text or "").replace("\xad", " ")
-                tokens, offsets = tokenize_with_offsets(text)
-                if not tokens:
-                    continue
-                tags, probas = tagger.tag(tokens)
-                for substr, start, end, proba, tag in decode_bio(
-                    tokens, tags, probas, offsets
+                for substr, start, end, proba, tag in decode_tagged(
+                    tt, tagger.tags_init
                 ):
                     rows.append(
                         {

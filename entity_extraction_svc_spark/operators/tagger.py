@@ -1,0 +1,433 @@
+"""The model seam: batched token taggers + soft-probability decode (N2-N4)
+and the two-headed MergeMarkups decode with MISC gating (T2 seam).
+
+The reference's core model surface is a BERT token tagger emitting, per
+word-level token, a probability distribution over a BIO tag vocabulary
+(``annotators/entity_extraction_base/src/torch_transformers_sequence_tagger.py:303-344``),
+decoded through an O-threshold rule
+(``src/entity_detection_parser.py:108-138``).  This module makes that a
+*protocol* so a real checkpoint and the deterministic test stand-in share
+every line of pipeline code:
+
+``Tagger.tag_batch(texts) -> list[TaggedText]``
+    One call per Arrow batch with the chunk texts of EVERY document in the
+    batch (cross-document batching — the unit of model work is the Arrow
+    batch, not the document).  Implementations:
+
+    * ``SoftGazetteerTagger`` — the deterministic stand-in; emits full
+      per-token distributions (concentrated on the greedy gazetteer match)
+      so the O-threshold decode actually executes, and a ``soft_overrides``
+      surface for tests that need borderline probabilities.
+    * ``HFTokenTagger`` — real `transformers` checkpoint, import-gated
+      (torch isn't in this sandbox).  Weights load lazily ONCE per executor
+      process and are dropped from the pickled closure (__getstate__), so
+      broadcasting the tagger ships only the spec.
+
+``tags_from_probas`` is the faithful N4 port: argmax, but if p(O) <
+thres_proba the best non-O tag is forced; texts of <= 3 tokens use the
+stricter 0.9 threshold (``entity_detection_parser.py:107-111,119-138``;
+thres_proba = 0.81 in the deployed EN config).
+
+``merge_markups`` ports the two-headed (span BIO + per-token type
+distribution) decode of ``src/torch_transformers_preprocessor.py:231-356``
+including the MISC gate the deployed compose enables
+(``docker-compose.yml: INCLUDE_MISC=1, MISC_THRES=0.88``): a MISC span whose
+averaged type confidence exceeds ``misc_thres`` keeps the fine tag,
+otherwise it stays MISC; non-MISC spans gate on ``long_ent_thres`` /
+``ent_thres`` (two-word rule).
+
+Model selection is env-driven at plan build: ``SPARK_KG_MODEL`` =
+``gazetteer`` (default) | ``hf:<checkpoint>``; see ``load_tagger``.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import NamedTuple, Sequence
+
+import numpy as np
+
+from entity_extraction_svc_spark.operators.ner import (
+    GAZETTEER_PROBA,
+    _norm_token,
+    tokenize_with_offsets,
+)
+
+THRES_PROBA = 0.81      # entity_detection config thres_proba (SURVEY N4)
+SHORT_TEXT_THRES = 0.9  # <=3-token texts, entity_detection_parser.py:108-111
+
+
+class TaggedText(NamedTuple):
+    """One tagged chunk: word tokens, char offsets, and the (n_tokens,
+    n_tags) probability matrix over ``tags_init`` (O first)."""
+
+    tokens: list[str]
+    offsets: list[tuple[int, int]]
+    probas: np.ndarray
+
+
+def build_tags_init(coarse_tags: Sequence[str]) -> list[str]:
+    """BIO vocabulary with O at index 0 (the reference reads it from the
+    checkpoint's tag file; index 0 = O is what the O-threshold rule needs)."""
+    out = ["O"]
+    for t in coarse_tags:
+        out.extend((f"B-{t}", f"I-{t}"))
+    return out
+
+
+def tags_from_probas(probas: np.ndarray, tags_init: Sequence[str],
+                     thres_proba: float = THRES_PROBA,
+                     short_text: bool = False) -> tuple[list[str], list[float]]:
+    """N4: per-token argmax with the O-threshold override.
+
+    Port of entity_detection_parser.py:119-138: tag = argmax(p); if
+    p(O) < thres the best NON-O tag is forced (even when O is the argmax).
+    ``short_text`` selects the 0.9 threshold used for <= 3-token texts.
+    """
+    cur = SHORT_TEXT_THRES if short_text else thres_proba
+    tags: list[str] = []
+    tag_probas: list[float] = []
+    for p in probas:
+        k = int(np.argmax(p))
+        if p[0] < cur:
+            k = int(np.argmax(p[1:])) + 1
+        tags.append(tags_init[k])
+        tag_probas.append(float(p[k]))
+    return tags, tag_probas
+
+
+def decode_tagged(tt: TaggedText, tags_init: Sequence[str],
+                  thres_proba: float = THRES_PROBA):
+    """N4 + N5 on one tagged chunk -> mention tuples
+    (substr, start, end, proba, tag)."""
+    from entity_extraction_svc_spark.operators.ner import decode_bio
+
+    if not tt.tokens:
+        return []
+    tags, tag_probas = tags_from_probas(
+        tt.probas, tags_init, thres_proba, short_text=len(tt.tokens) <= 3
+    )
+    return decode_bio(tt.tokens, tags, tag_probas, tt.offsets)
+
+
+# ---------------------------------------------------------------------------
+# deterministic stand-in (soft-probability gazetteer)
+# ---------------------------------------------------------------------------
+
+class SoftGazetteerTagger:
+    """Gazetteer stand-in emitting FULL distributions.
+
+    A greedy longest match assigns the BIO tag; the emitted row is
+    concentrated: p(matched tag) = 0.97, p(O) = 0.03 (so the O-threshold
+    branch fires exactly as it would for a confident BERT prediction);
+    unmatched tokens get p(O) = 1.  ``soft_overrides`` maps a normalized
+    token to a custom (tag -> proba) dict for threshold-edge tests.
+
+    Decoded output is identical to the round-1 hard ``GazetteerTagger``
+    (same matches, same 0.97 probas) — asserted by tests/test_tagger.py —
+    so the fused/staged plans and all goldens are unchanged by the seam.
+    """
+
+    def __init__(self, surfaces: dict[tuple[str, ...], str],
+                 coarse_tags: Sequence[str],
+                 match_proba: float = GAZETTEER_PROBA,
+                 soft_overrides: dict[str, dict[str, float]] | None = None):
+        self.surfaces = surfaces
+        self.max_len = max((len(k) for k in surfaces), default=1)
+        self.tags_init = build_tags_init(coarse_tags)
+        self._idx = {t: i for i, t in enumerate(self.tags_init)}
+        self.match_proba = match_proba
+        self.soft_overrides = soft_overrides or {}
+
+    @classmethod
+    def from_rows(cls, rows: list[dict], **kw) -> "SoftGazetteerTagger":
+        from entity_extraction_svc_spark.operators.chunker import RE_TOKENIZER
+
+        surf: dict[tuple[str, ...], str] = {}
+        tags: set[str] = set()
+        for r in rows:
+            toks = tuple(_norm_token(t) for t in RE_TOKENIZER.findall(r["surface"]))
+            if toks:
+                surf.setdefault(toks, r["coarse_tag"])
+            tags.add(r["coarse_tag"])
+        return cls(surf, sorted(tags), **kw)
+
+    def _tag_one(self, text: str) -> TaggedText:
+        tokens, offsets = tokenize_with_offsets(text)
+        n = len(tokens)
+        probas = np.zeros((n, len(self.tags_init)), dtype=np.float64)
+        probas[:, 0] = 1.0
+        norm = [_norm_token(t) for t in tokens]
+        i = 0
+        while i < n:
+            over = self.soft_overrides.get(norm[i])
+            if over is not None:
+                probas[i, :] = 0.0
+                for tag, p in over.items():
+                    probas[i, self._idx[tag]] = p
+                i += 1
+                continue
+            matched = False
+            for ln in range(min(self.max_len, n - i), 0, -1):
+                coarse = self.surfaces.get(tuple(norm[i : i + ln]))
+                if coarse is not None:
+                    for j in range(i, i + ln):
+                        bio = "B" if j == i else "I"
+                        probas[j, 0] = 1.0 - self.match_proba
+                        probas[j, self._idx[f"{bio}-{coarse}"]] = self.match_proba
+                    i += ln
+                    matched = True
+                    break
+            if not matched:
+                i += 1
+        return TaggedText(tokens, offsets, probas)
+
+    def tag_batch(self, texts: list[str]) -> list[TaggedText]:
+        return [self._tag_one(t) for t in texts]
+
+
+# ---------------------------------------------------------------------------
+# real-checkpoint tagger (import-gated; lazy per-executor load)
+# ---------------------------------------------------------------------------
+
+_HF_CACHE: dict[str, tuple] = {}  # per-process (executor) model cache
+
+
+class HFTokenTagger:
+    """`transformers` token-classification tagger behind the same protocol.
+
+    Mirrors the reference forward path
+    (torch_transformers_sequence_tagger.py:303-344): word-split tokenize
+    with subword alignment, padded batch forward, softmax, and the
+    first-subword-per-word gather (the reference's ``token_from_subtoken``
+    selects startofword positions).  The label vocabulary is reordered so O
+    is index 0 (required by the O-threshold decode).
+
+    Scale shape: the object pickles WITHOUT weights (only the checkpoint
+    spec travels in the broadcast/closure); each executor process loads the
+    checkpoint once from its local HF cache on first use.
+    """
+
+    def __init__(self, checkpoint: str, max_length: int = 512,
+                 batch_size: int = 64):
+        self.checkpoint = checkpoint
+        self.max_length = max_length
+        self.batch_size = batch_size
+        self.tags_init: list[str] | None = None  # filled on first load
+
+    def __getstate__(self):
+        return {
+            "checkpoint": self.checkpoint,
+            "max_length": self.max_length,
+            "batch_size": self.batch_size,
+            "tags_init": None,
+        }
+
+    def _ensure(self):
+        if self.checkpoint in _HF_CACHE:
+            tok, model, order, tags = _HF_CACHE[self.checkpoint]
+        else:
+            try:
+                import torch  # noqa: F401
+                from transformers import (
+                    AutoModelForTokenClassification,
+                    AutoTokenizer,
+                )
+            except ImportError as ex:  # sandbox has no torch — honest gate
+                raise NotImplementedError(
+                    "SPARK_KG_MODEL=hf:... needs `torch` + `transformers` on "
+                    "the executors; this environment has neither. The "
+                    "gazetteer stand-in exercises the identical decode path."
+                ) from ex
+            tok = AutoTokenizer.from_pretrained(self.checkpoint)
+            model = AutoModelForTokenClassification.from_pretrained(self.checkpoint)
+            model.eval()
+            id2label = model.config.id2label
+            labels = [id2label[i] for i in range(len(id2label))]
+            # reorder so O is index 0 (tags_from_probas contract)
+            order = sorted(range(len(labels)), key=lambda i: (labels[i] != "O", i))
+            tags = [labels[i] for i in order]
+            _HF_CACHE[self.checkpoint] = (tok, model, order, tags)
+        self.tags_init = tags
+        return tok, model, order
+
+    def tag_batch(self, texts: list[str]) -> list[TaggedText]:
+        tok, model, order = self._ensure()  # raises the honest gate w/o torch
+        import torch
+        toks_offs = [tokenize_with_offsets(t) for t in texts]
+        out: list[TaggedText | None] = [None] * len(texts)
+        idxs = [i for i, (tks, _) in enumerate(toks_offs) if tks]
+        for s in range(0, len(idxs), self.batch_size):
+            chunk = idxs[s : s + self.batch_size]
+            enc = tok(
+                [toks_offs[i][0] for i in chunk],
+                is_split_into_words=True,
+                truncation=True,
+                max_length=self.max_length,
+                padding=True,
+                return_tensors="pt",
+            )
+            with torch.no_grad():
+                logits = model(**enc).logits
+            probas = torch.softmax(logits, dim=-1).numpy()[:, :, order]
+            for row, i in enumerate(chunk):
+                tokens, offsets = toks_offs[i]
+                word_ids = enc.word_ids(batch_index=row)
+                first_sub = {}
+                for pos, w in enumerate(word_ids):
+                    if w is not None and w not in first_sub:
+                        first_sub[w] = pos
+                mat = np.zeros((len(tokens), probas.shape[2]))
+                mat[:, 0] = 1.0  # truncated tail words decode as O
+                for w, pos in first_sub.items():
+                    mat[w] = probas[row, pos]
+                out[i] = TaggedText(tokens, offsets, mat)
+        for i, (tks, offs) in enumerate(toks_offs):
+            if out[i] is None:
+                out[i] = TaggedText(tks, offs, np.zeros((0, 1)))
+        return out  # type: ignore[return-value]
+
+
+def load_tagger(gaz_rows: list[dict], spec: str | None = None):
+    """``SPARK_KG_MODEL`` switch: 'gazetteer' (default) or 'hf:<checkpoint>'."""
+    spec = spec or os.environ.get("SPARK_KG_MODEL", "gazetteer")
+    if spec.startswith("hf:"):
+        return HFTokenTagger(spec[3:])
+    if spec == "gazetteer":
+        return SoftGazetteerTagger.from_rows(gaz_rows)
+    raise ValueError(f"unknown SPARK_KG_MODEL spec: {spec!r}")
+
+
+# ---------------------------------------------------------------------------
+# MergeMarkups: two-headed decode with the MISC gate (T2 seam)
+# ---------------------------------------------------------------------------
+
+def merge_markups_text(tokens: list[str], y_types: Sequence[Sequence[float]],
+                       y_spans: Sequence[str], tags_list: Sequence[str],
+                       *, use_o_tag: bool = False,
+                       long_ent_thres: float = 0.4, ent_thres: float = 0.4,
+                       top_n: int = 1, include_misc: bool = True,
+                       misc_thres: float = 0.88,
+                       stopwords: set[str] | None = None) -> dict:
+    """Faithful port of MergeMarkups.__call__ for ONE text
+    (src/torch_transformers_preprocessor.py:256-356).
+
+    Inputs: word tokens, the types head's per-token distribution over
+    ``tags_list`` (prepend an O column and set use_o_tag=True to skip it),
+    and the spans head's BIO strings.  A span opens on B- (or I- at start /
+    after O); its type distribution is averaged over the span's tokens
+    (round 3) and sorted; the keep-gate is
+    ``(not misc and (conf > long_ent_thres or (num_words <= 2 and conf >
+    ent_thres))) or (misc and conf > misc_thres)``; a kept MISC span keeps
+    the fine tag only when conf > misc_thres, else stays 'MISC'
+    (the INCLUDE_MISC=1 / MISC_THRES=0.88 deployment knobs).
+    """
+    if stopwords is None:
+        from entity_extraction_svc_spark.functions.stopwords import (
+            ENGLISH_STOPWORDS,
+        )
+
+        stopwords = ENGLISH_STOPWORDS
+    y_types = [list(row) for row in y_types]
+    y_list: list[str] = []
+    label = ""
+    is_misc = False
+    conf = 0.0
+    num_words = 0  # persists across tokens: the I- gate below reuses the
+    # last opened span's count, exactly like the reference's loop scope
+    entities, positions, tags, probas = [], [], [], []
+    n = len(y_types)
+    for i in range(n):
+        span = y_spans[i]
+        opens = span.startswith("B-") or (
+            span.startswith("I-") and (i == 0 or y_spans[i - 1] == "O")
+        )
+        if opens:
+            if "MISC" not in span or ("MISC" in span and include_misc):
+                is_misc = "MISC" in span
+                acc = {tag: 0.0 for tag in tags_list}
+                num_words = 0
+                start_k = 1 if use_o_tag else 0
+                for k in range(start_k, len(y_types[i])):
+                    acc[tags_list[k - start_k]] += y_types[i][k]
+                num_words += 1
+                for j in range(i + 1, n):
+                    if y_spans[j].startswith("I-"):
+                        for k in range(start_k, len(y_types[j])):
+                            acc[tags_list[k - start_k]] += y_types[j][k]
+                        num_words += 1
+                    else:
+                        break
+                twp = sorted(
+                    ((tag, round(s / num_words, 3)) for tag, s in acc.items()),
+                    key=lambda x: x[1],
+                    reverse=True,
+                )
+                label, conf = twp[0][0], twp[0][1]
+                keep = (
+                    not is_misc
+                    and (conf > long_ent_thres
+                         or (num_words <= 2 and conf > ent_thres))
+                ) or (is_misc and conf > misc_thres)
+                if keep:
+                    y_list.append("B-MISC" if is_misc else f"B-{label}")
+                    new_entity = " ".join(tokens[i : i + num_words])
+                    if new_entity.lower() not in stopwords:
+                        entities.append(new_entity)
+                        positions.append(list(range(i, i + num_words)))
+                        if top_n == 1:
+                            if is_misc:
+                                tags.append(twp[0][0] if twp[0][1] > misc_thres
+                                            else "MISC")
+                                probas.append(conf)
+                            else:
+                                tags.append(twp[0][0])
+                                probas.append(twp[0][1])
+                        else:
+                            if is_misc:
+                                if twp[0][1] > misc_thres:
+                                    tags.append(["MISC", twp[0][0]])
+                                    probas.append([conf, conf])
+                                else:
+                                    tags.append(["MISC"])
+                                    probas.append([conf])
+                            else:
+                                tags.append([e[0] for e in twp[:top_n]])
+                                probas.append([e[1] for e in twp[:top_n]])
+                else:
+                    y_list.append("O")
+            else:
+                y_list.append("O")
+        elif span.startswith("I-"):
+            if "MISC" not in span or ("MISC" in span and include_misc):
+                keep = (
+                    not is_misc
+                    and (conf > long_ent_thres
+                         or (num_words <= 2 and conf > ent_thres))
+                ) or (is_misc and conf > misc_thres)
+                if keep:
+                    y_list.append("I-MISC" if is_misc else f"I-{label}")
+                else:
+                    y_list.append("O")
+            else:
+                y_list.append("O")
+        else:
+            y_list.append("O")
+            label = ""
+            conf = 0.0
+    return {
+        "y": y_list,
+        "entities": entities,
+        "positions": positions,
+        "tags": tags,
+        "probas": probas,
+    }
+
+
+def merge_markups(tokens_batch, y_types_batch, y_spans_batch, tags_list,
+                  **kw) -> list[dict]:
+    """Batch wrapper matching the reference component's call shape."""
+    return [
+        merge_markups_text(t, ty, sp, tags_list, **kw)
+        for t, ty, sp in zip(tokens_batch, y_types_batch, y_spans_batch)
+    ]

@@ -34,10 +34,9 @@ from entity_extraction_svc_spark.operators.linker import (
     LINKED_SCHEMA,
     link_doc,
 )
-from entity_extraction_svc_spark.operators.ner import (
-    GazetteerTagger,
-    decode_bio,
-    tokenize_with_offsets,
+from entity_extraction_svc_spark.operators.tagger import (
+    decode_tagged,
+    load_tagger,
 )
 from entity_extraction_svc_spark.operators.triples import materialize_triples
 from entity_extraction_svc_spark.sources.kb import (
@@ -58,42 +57,65 @@ def _fine_tag_lookup(gaz_rows: list[dict]) -> dict[str, str]:
     return {k: v[1] for k, v in best.items()}
 
 
-def link_page(d, tagger: GazetteerTagger, fine_lookup: dict[str, str],
-              url: str, text: str) -> list[dict]:
-    """One document end-to-end: chunk, tag, decode, classify, link."""
-    if not text:
-        return []
-    chunks = chunk_doc(text)
+def _chunk_doc_for_tagging(text: str, texts_flat: list[str]):
+    """Chunk one doc, append the (soft-hyphen-stripped) chunk texts to the
+    batch-wide ``texts_flat`` accumulator, and return per-chunk metadata
+    (flat index, doc offset shift, sentences, sentence offsets)."""
+    metas = []
     shift = 0
+    for chunk_text, sents, soffs in chunk_doc(text):
+        metas.append((len(texts_flat), shift, sents, soffs))
+        texts_flat.append(chunk_text.replace("\xad", " "))  # H7
+        shift += len(chunk_text) + 1
+    return metas
+
+
+def _assemble_doc(d, tagger, fine_lookup, url, text, metas, tagged) -> list[dict]:
+    """Decode the tagged chunks of one doc and link it (N4-N8, G-R-P)."""
     mentions: list[dict] = []
     sentences: list[str] = []
     sentences_offsets: list[tuple[int, int]] = []
-    for chunk_text, sents, soffs in chunks:
-        ctext = chunk_text.replace("\xad", " ")  # H7
-        tokens, offsets = tokenize_with_offsets(ctext)
-        if tokens:
-            tags, probas = tagger.tag(tokens)
-            for substr, start, end, proba, tag in decode_bio(tokens, tags, probas, offsets):
-                fine = fine_lookup.get(normalize_label(substr))
-                mentions.append({
-                    "url": url, "substr": substr, "start": start + shift,
-                    "end": end + shift, "proba": proba, "tag": tag,
-                    "fine_tag": fine,
-                    "alt_tag": ALT_FINE.get(fine or "", "MISC") if fine else "MISC",
-                })
+    for ti, shift, sents, soffs in metas:
+        for substr, start, end, proba, tag in decode_tagged(
+            tagged[ti], tagger.tags_init
+        ):
+            fine = fine_lookup.get(normalize_label(substr))
+            mentions.append({
+                "url": url, "substr": substr, "start": start + shift,
+                "end": end + shift, "proba": proba, "tag": tag,
+                "fine_tag": fine,
+                "alt_tag": ALT_FINE.get(fine or "", "MISC") if fine else "MISC",
+            })
         for sent, (s, e) in zip(sents, soffs):
             sentences.append(sent)
             sentences_offsets.append((s + shift, e + shift))
-        shift += len(chunk_text) + 1
     if not mentions:
         return []
     mentions.sort(key=lambda m: (m["start"], m["end"], m["substr"]))
     return link_doc(d, text, sentences, sentences_offsets, mentions)
 
 
+def link_page(d, tagger, fine_lookup: dict[str, str],
+              url: str, text: str) -> list[dict]:
+    """One document end-to-end: chunk, tag, decode, classify, link.
+    ``tagger`` is any ``tag_batch`` protocol implementation."""
+    if not text:
+        return []
+    texts_flat: list[str] = []
+    metas = _chunk_doc_for_tagging(text, texts_flat)
+    tagged = tagger.tag_batch(texts_flat)
+    return _assemble_doc(d, tagger, fine_lookup, url, text, metas, tagged)
+
+
 def fused_link(pages: DataFrame, tagger_bc, dicts_bc, fine_bc,
                source: str = "html") -> DataFrame:
-    """pages -> linked rows, one narrow mapInPandas (no shuffle)."""
+    """pages -> linked rows, one narrow mapInPandas (no shuffle).
+
+    Model work is batched ACROSS documents: every chunk text of the Arrow
+    batch goes through ONE ``tag_batch`` call (a real checkpoint sees one
+    padded forward per Arrow batch, not one per chunk or per doc — the
+    tag_batch protocol of operators/tagger.py).
+    """
     if source == "html":
         cols = pages.select("url", F.col("html").alias("payload"))
     else:
@@ -101,13 +123,14 @@ def fused_link(pages: DataFrame, tagger_bc, dicts_bc, fine_bc,
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         d = dicts_bc.value
-        tagger: GazetteerTagger = tagger_bc.value
+        tagger = tagger_bc.value
         fine_lookup: dict[str, str] = fine_bc.value
         out_cols = ["url", "mention_id", "substr", "start", "end", "rank", "qid",
                     "conf", "page", "ent_tag", "substr_score", "num_rels",
                     "conn_score_notag", "conn_score_tag"]
         for pdf in batches:
-            rows: list[dict] = []
+            docs: list[tuple[str, str, list]] = []
+            texts_flat: list[str] = []
             for url, payload in zip(pdf["url"], pdf["payload"]):
                 if payload is None:
                     continue
@@ -115,7 +138,15 @@ def fused_link(pages: DataFrame, tagger_bc, dicts_bc, fine_bc,
                     text = htmltext.preprocess_html(payload)
                 else:
                     text = htmltext.preprocess_text(payload)
-                rows.extend(link_page(d, tagger, fine_lookup, url, text))
+                if not text:
+                    continue
+                docs.append((url, text, _chunk_doc_for_tagging(text, texts_flat)))
+            tagged = tagger.tag_batch(texts_flat)  # one model call per batch
+            rows: list[dict] = []
+            for url, text, metas in docs:
+                rows.extend(
+                    _assemble_doc(d, tagger, fine_lookup, url, text, metas, tagged)
+                )
             yield pd.DataFrame(rows, columns=out_cols)
 
     return cols.mapInPandas(_run, LINKED_SCHEMA)
@@ -127,7 +158,9 @@ def build_fused(spark: SparkSession, pages: DataFrame, kb_dir: str,
     from entity_extraction_svc_spark.sources.kb import read_dim_rows
 
     gaz_rows = read_dim_rows(spark, f"{kb_dir}/gazetteer.parquet")
-    tagger_bc = spark.sparkContext.broadcast(GazetteerTagger.from_rows(gaz_rows))
+    # SPARK_KG_MODEL switch: gazetteer stand-in (default) or hf:<checkpoint>
+    # (HF weights are NOT in the broadcast — each executor lazy-loads once)
+    tagger_bc = spark.sparkContext.broadcast(load_tagger(gaz_rows))
     fine_bc = spark.sparkContext.broadcast(_fine_tag_lookup(gaz_rows))
     dicts_bc = spark.sparkContext.broadcast(collect_linker_dicts(spark, kb_dir))
     linked = fused_link(pages, tagger_bc, dicts_bc, fine_bc, source)

@@ -22,10 +22,10 @@ from entity_extraction_svc_spark.operators.eltags import classify_tags
 from entity_extraction_svc_spark.operators.extract import extract_text
 from entity_extraction_svc_spark.operators.linker import link_entities_df
 from entity_extraction_svc_spark.operators.ner import (
-    GazetteerTagger,
     detect_mentions,
     with_offset_shift,
 )
+from entity_extraction_svc_spark.operators.tagger import load_tagger
 from entity_extraction_svc_spark.operators.triples import materialize_triples
 from entity_extraction_svc_spark.sources.kb import collect_linker_dicts
 
@@ -83,7 +83,7 @@ def build_pipeline_df(
 
     gaz_df = spark.read.parquet(f"{kb_dir}/gazetteer.parquet")
     gaz_rows = read_dim_rows(spark, f"{kb_dir}/gazetteer.parquet")
-    tagger_bc = spark.sparkContext.broadcast(GazetteerTagger.from_rows(gaz_rows))
+    tagger_bc = spark.sparkContext.broadcast(load_tagger(gaz_rows))
     dicts_bc = spark.sparkContext.broadcast(collect_linker_dicts(spark, kb_dir))
 
     raw_mentions = detect_mentions(chunks, tagger_bc)

@@ -8,7 +8,7 @@ from __future__ import annotations
 import time
 
 from entity_extraction_svc_spark.operators.linker import link_doc
-from entity_extraction_svc_spark.operators.ner import GazetteerTagger
+from entity_extraction_svc_spark.operators.tagger import SoftGazetteerTagger
 from entity_extraction_svc_spark.plans.fused import _fine_tag_lookup, link_page
 from entity_extraction_svc_spark.fixtures import MONA_LISA_TEXT, build_kb, kb_rows
 from entity_extraction_svc_spark.sources.kb import build_linker_dicts
@@ -46,7 +46,7 @@ def test_large_kb_build_and_link():
     assert build_sec < 30, f"broadcast image build took {build_sec:.1f}s"
     assert len(dicts.entity_ranking_dict) > 20000
 
-    tagger = GazetteerTagger.from_rows(gaz_rows)
+    tagger = SoftGazetteerTagger.from_rows(gaz_rows)
     fine = _fine_tag_lookup(gaz_rows)
     rows = link_page(dicts, tagger, fine, "u1", MONA_LISA_TEXT + ".")
     top1 = {r["substr"]: r["qid"] for r in rows if r["rank"] == 0}
