@@ -597,6 +597,20 @@ def _kg_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kg_annotations_unlisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unlinked mentions emitted as the agent's unlisted_annotations array
+    (agent/server.py:292-331): fixture pages 200-202 carry gazetteer-only
+    surfaces with no KB entity."""
+    from entity_extraction_svc_spark.operators.annotations import (
+        assemble_unlisted_annotations,
+    )
+
+    arts = _fixtures_pipeline(spark)
+    return assemble_unlisted_annotations(arts.linked).select(
+        "url", "spot", "start", "end", "id", "tag"
+    )
+
+
 def _kb_ingest_ntriples(spark: SparkSession, sf_dir: str) -> DataFrame:
     from entity_extraction_svc_spark.fixtures import ensure_fixtures
     from entity_extraction_svc_spark.sources.ntriples import parse_ntriples
@@ -685,6 +699,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_find_objects": _kg_find_objects,
         "kg_canonical": _kg_canonical,
         "kg_annotations": _kg_annotations,
+        "kg_annotations_unlisted": _kg_annotations_unlisted,
         "kg_canonical_triples": _kg_canonical_triples,
         "kg_triples_per_subject_salted": _kg_triples_per_subject_salted,
         "kg_connection": _kg_connection,
@@ -1159,6 +1174,12 @@ def oracle_sql() -> dict[str, str]:
                    e.descr AS abstract
             FROM read_parquet('{fx}/golden_links.parquet') g
             LEFT JOIN read_parquet('{fx}/kb_entities.parquet') e ON g.qid = e.qid
+            """
+        ),
+        "kg_annotations_unlisted": (
+            f"""
+            SELECT url, spot, start, "end", CAST(NULL AS VARCHAR) AS id, tag
+            FROM read_parquet('{fx}/golden_unlisted.parquet')
             """
         ),
         "kb_ingest_ntriples": (

@@ -305,8 +305,20 @@ def _zipf_pick(rng_val: float, n: int, a: float = 1.1) -> int:
     return n - 1
 
 
-def generate_pages(n_docs: int = 200) -> tuple[list[dict], list[dict], list[dict]]:
-    """Returns (pages_rows, golden_mentions_rows, golden_links_rows).
+# Detection-only surfaces: present in the gazetteer, absent from the KB (no
+# entity, no alias, no shared word with any KB label so the fuzzy word-level
+# lookup G8 finds nothing).  Their mentions are detected but UNLINKABLE —
+# the agent reports them in `unlisted_annotations` (agent/server.py:292-331).
+UNLINKABLE_SURFACES = [
+    ("Zorblatt Vextrion", "BUSINESS"),
+    ("Quuxlandia", "CITY"),
+    ("Blorptharn Wexley", "PER"),
+]
+
+
+def generate_pages(n_docs: int = 200) -> tuple[list[dict], list[dict], list[dict], list[dict]]:
+    """Returns (pages_rows, golden_mentions_rows, golden_links_rows,
+    golden_unlisted_rows).
 
     pages_rows: url, warc_ts, html(bytes), text, lang
     goldens are computed template-side (independent of pipeline code).
@@ -490,7 +502,31 @@ def generate_pages(n_docs: int = 200) -> tuple[list[dict], list[dict], list[dict
                 if o2.qid != o1.qid:
                     ms.append(gold(o2))
                 emit(i, "Markets", body, "en", ms)
-    return pages, gm_rows, gl_rows
+
+    # unlinkable-mention pages APPENDED after the main loop (extra pages
+    # don't shift the rng stream, so every existing page/golden is
+    # byte-identical to the pre-unlisted fixture set)
+    gu_rows: list[dict] = []
+    for k, (surface, fine) in enumerate(UNLINKABLE_SURFACES):
+        i = n_docs + k
+        known = cities[k % len(cities)]
+        body = f"Reports mention {surface} alongside {known.label} today."
+        emit(i, "Unverified", body, "en", [gold(known)])
+        url = f"https://example.org/doc/{i:08d}"
+        text = _expected_text("Unverified", body)
+        start = text.find(surface)
+        coarse = FINE_TO_COARSE.get(fine, "MISC")
+        gu_rows.append({
+            "url": url, "spot": _decoded_substr(surface), "start": start,
+            "end": start + len(surface), "tag": coarse,
+        })
+        # the unlinkable surface IS a detected mention (golden_mentions
+        # tracks detection; golden_links tracks linking)
+        gm_rows.append({
+            "url": url, "substr": _decoded_substr(surface), "start": start,
+            "end": start + len(surface), "tag": coarse,
+        })
+    return pages, gm_rows, gl_rows, gu_rows
 
 
 # --------------------------------------------------------------------------
@@ -526,6 +562,11 @@ def kb_rows(kb: list[Ent]):
             gaz_rows.append({"surface": s.lower(), "fine_tag": e.fine,
                              "coarse_tag": FINE_TO_COARSE.get(e.fine, "MISC"),
                              "num_rels": e.num_rels})
+    # detection-only surfaces (no KB entity -> unlisted_annotations path)
+    for s, fine in UNLINKABLE_SURFACES:
+        gaz_rows.append({"surface": s.lower(), "fine_tag": fine,
+                         "coarse_tag": FINE_TO_COARSE.get(fine, "MISC"),
+                         "num_rels": 1})
     # dedupe triples
     seen = set()
     uniq = []
@@ -552,7 +593,7 @@ def write_fixtures(out_dir: str, n_docs: int = 200, shards: int = 1) -> None:
     os.makedirs(out_dir, exist_ok=True)
     kb = build_kb()
     ent_rows, alias_rows, triple_rows, gaz_rows = kb_rows(kb)
-    pages, gm, gl = generate_pages(n_docs)
+    pages, gm, gl, gu = generate_pages(n_docs)
 
     def write(name: str, rows: list[dict], schema: pa.Schema | None = None,
               n_shards: int = 1):
@@ -588,6 +629,7 @@ def write_fixtures(out_dir: str, n_docs: int = 200, shards: int = 1) -> None:
     write("gazetteer", gaz_rows)
     write("golden_mentions", gm)
     write("golden_links", gl)
+    write("golden_unlisted", gu)
     occ_rows = [{"occ_qid": k, "fine_tag": v} for k, v in OCC_LABELS.items()]
     write("kb_occ_labels", occ_rows)
     # golden triples: golden links x kb_triples over the whitelist

@@ -34,11 +34,37 @@ def add_info(kb_entities: DataFrame) -> DataFrame:
     )
 
 
+def assemble_unlisted_annotations(linked: DataFrame) -> DataFrame:
+    """Unlinked mentions as the agent's ``unlisted_annotations`` array
+    (``agent/server.py:292-331``): a mention whose top candidate has no
+    Wikidata id is still reported — BaseEntityAnnotation shape (spot, span,
+    tags) with a null id — so recall audits see every detected span.
+
+    Same narrow filter/projection as the listed side; no join needed (there
+    is no add-info for an unlinked mention).
+    """
+    return (
+        linked.filter((F.col("rank") == 0) & F.col("qid").isNull())
+        .select(
+            "url",
+            "mention_id",
+            F.col("substr").alias("spot"),
+            "start",
+            "end",
+            F.lit(None).cast("string").alias("id"),
+            F.col("ent_tag").alias("tag"),
+        )
+    )
+
+
 def assemble_annotations(linked: DataFrame, kb_entities: DataFrame) -> DataFrame:
     """Top-1 candidates joined to add-info, with extras collected per mention.
 
     Person-filter on dbpedia types (entity_linking.py:1589-1594: drop
     Animal/Eukaryote/Species when Person present) rides as an array expr.
+    The unlinked complement is ``assemble_unlisted_annotations`` —
+    together they partition the mention set exactly like the agent's
+    (annotations, unlisted_annotations) response pair.
     """
     info = add_info(kb_entities)
     top = linked.filter((F.col("rank") == 0) & F.col("qid").isNotNull()).select(

@@ -976,7 +976,11 @@ def link_doc(d: LinkerDicts, raw_text: str, sentences: list[str],
             out_rows.append({
                 "url": m["url"], "mention_id": n, "substr": entity_substr_list[n],
                 "start": m["start"], "end": m["end"], "rank": 0, "qid": None,
-                "conf": 0.0, "page": None, "ent_tag": ent_tags_list[n][0] if ent_tags_list[n] else None,
+                # an unlinked mention still reports its detected tag (the
+                # agent's unlisted_annotations carry tags, server.py:286-289)
+                "conf": 0.0, "page": None,
+                "ent_tag": (ent_tags_list[n][0] if ent_tags_list[n]
+                            else m.get("tag")),
                 "substr_score": None, "num_rels": None,
                 "conn_score_notag": None, "conn_score_tag": None,
             })

@@ -14,17 +14,17 @@ def test_resume_after_partial_run(spark, fixture_dir):
     out = tempfile.mkdtemp(prefix="kg_ckpt_")
     pages_path = f"{fixture_dir}/pages.parquet"
 
-    # simulated crash: only 60 of 200 docs processed before the kill
+    # simulated crash: only 60 of 203 docs processed before the kill
     s1 = L.run_checkpointed(spark, pages_path, fixture_dir, out, max_docs=60)
     assert s1["n_pages"] == 60
     lin1 = spark.read.parquet(L.lineage_path(out))
     assert lin1.select("url").distinct().count() == 60
 
-    # resume: drains the remaining 140, never reprocesses a url
+    # resume: drains the remaining 143, never reprocesses a url
     s2 = L.run_checkpointed(spark, pages_path, fixture_dir, out)
-    assert s2["n_pages"] == 140
+    assert s2["n_pages"] == 143
     lin = spark.read.parquet(L.lineage_path(out))
-    assert lin.count() == lin.select("url").distinct().count() == 200
+    assert lin.count() == lin.select("url").distinct().count() == 203
 
     # a third run is a no-op (idempotence)
     s3 = L.run_checkpointed(spark, pages_path, fixture_dir, out)
@@ -42,7 +42,7 @@ def test_resume_after_partial_run(spark, fixture_dir):
 
     # metrics table aggregates lineage per (run, partition)
     met = spark.read.parquet(L.metrics_path(out))
-    assert met.agg(F.sum("n_urls")).first()[0] == 200
+    assert met.agg(F.sum("n_urls")).first()[0] == 203
     assert {r.run_id for r in met.select("run_id").distinct().collect()} == {
         s1["run_id"], s2["run_id"]
     }

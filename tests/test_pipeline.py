@@ -108,3 +108,27 @@ def test_offsets_point_into_text(pipeline):
         if not surface.lower().startswith(r.substr[:3]):
             bad.append((r.substr, surface))
     assert bad == [], bad[:5]
+
+
+def test_unlisted_annotations_match_golden(spark, pipeline, fixture_dir):
+    """Unlinkable mentions (gazetteer-only surfaces) surface as
+    unlisted_annotations with null id and their detected tag — the agent's
+    recall-audit array (agent/server.py:292-331)."""
+    import duckdb
+
+    from entity_extraction_svc_spark.operators.annotations import (
+        assemble_unlisted_annotations,
+    )
+
+    got = {
+        (r.url, r.spot, r.start, r.end, r.id, r.tag)
+        for r in assemble_unlisted_annotations(pipeline.linked).collect()
+    }
+    gold = {
+        (u, s, st, e, None, t)
+        for (u, s, st, e, t) in duckdb.sql(
+            f"select url, spot, start, \"end\", tag from "
+            f"'{fixture_dir}/golden_unlisted.parquet'"
+        ).fetchall()
+    }
+    assert got == gold and len(gold) == 3
