@@ -78,6 +78,7 @@ class Ent:
     triples: list[tuple[str, str]] = field(default_factory=list)  # (pred, obj)
     page: str = ""
     descr: str = ""
+    lang: str = "en"
 
     def __post_init__(self):
         if not self.page:
@@ -242,9 +243,36 @@ def _filler_entities(rng: random.Random) -> list[Ent]:
     return ents
 
 
+def _ru_entities() -> list[Ent]:
+    """RU slice (BASELINE cites sample EN/RU docs; the reference's linker and
+    chunker are lang-parameterized — entity_linking.py:49,96-101,
+    ner_chunker.py:54).  Inflected forms ride as aliases, the usual RU-KB
+    shape.  Cyrillic-only surfaces: zero overlap with the EN gazetteer."""
+    return [
+        Ent("Q159", "Россия", "COUNTRY", "COUNTRY", 280,
+            aliases=["России", "Российская Федерация"], p31=["Q6256"],
+            triples=[("P36", "Q649")], lang="ru"),
+        Ent("Q649", "Москва", "CITY", "CITY", 160,
+            aliases=["Москве", "Москвы"], p31=["Q515"], p131=["Q159"],
+            triples=[("P131", "Q159"), ("P17", "Q159"), ("P1376", "Q159")],
+            lang="ru"),
+        Ent("Q656", "Санкт-Петербург", "CITY", "CITY", 120,
+            aliases=["Петербург", "Санкт-Петербурге"], p31=["Q515"],
+            p131=["Q159"], triples=[("P131", "Q159"), ("P17", "Q159")],
+            lang="ru"),
+        Ent("Q7200", "Александр Пушкин", "PER", "WRITER", 95,
+            aliases=["Пушкин", "Пушкина"], p31=["Q5"],
+            triples=[("P27", "Q159"), ("P19", "Q649"), ("P106", "Q36180")],
+            lang="ru"),
+        Ent("Q132783", "Эрмитаж", "FAC", "FAC", 60,
+            aliases=["Эрмитаже"], p31=["Q33506"], p131=["Q656"],
+            triples=[("P131", "Q656"), ("P17", "Q159")], lang="ru"),
+    ]
+
+
 def build_kb() -> list[Ent]:
     rng = random.Random(SEED)
-    return _core_entities() + _filler_entities(rng)
+    return _core_entities() + _filler_entities(rng) + _ru_entities()
 
 
 # --------------------------------------------------------------------------
@@ -324,12 +352,15 @@ def generate_pages(n_docs: int = 200) -> tuple[list[dict], list[dict], list[dict
     goldens are computed template-side (independent of pipeline code).
     """
     kb = build_kb()
+    # EN template pools draw EN entities only: a Cyrillic label on an EN page
+    # is (correctly) dropped by the agent's printable filter (server.py:134)
+    kb_en = [e for e in kb if e.lang == "en"]
     by_fine: dict[str, list[Ent]] = {}
-    for e in kb:
+    for e in kb_en:
         by_fine.setdefault(e.fine, []).append(e)
     for v in by_fine.values():
         v.sort(key=lambda e: -e.num_rels)
-    persons = sorted([e for e in kb if e.tag == "PER"], key=lambda e: -e.num_rels)
+    persons = sorted([e for e in kb_en if e.tag == "PER"], key=lambda e: -e.num_rels)
     # generic templates draw only surface-unambiguous cities: for a shared
     # surface ("Springfield") the template context legitimately steers
     # connection ranking either way, so a context-free golden would be wrong
@@ -526,6 +557,30 @@ def generate_pages(n_docs: int = 200) -> tuple[list[dict], list[dict], list[dict
             "url": url, "substr": _decoded_substr(surface), "start": start,
             "end": start + len(surface), "tag": coarse,
         })
+
+    # RU pages (also appended; KG-consistent contexts — Пушкин P19 Москва,
+    # Эрмитаж P131 Санкт-Петербург — so connection ranking agrees with the
+    # surface-pinned goldens)
+    ru_templates = [
+        ("Пушкин в Москве",
+         "Александр Пушкин родился в Москве.",
+         # the bare-alias title occurrence is detected too (longer surfaces
+         # claim their spans first, so this golden lands on the title only)
+         [("Александр Пушкин", "Q7200", "PER"), ("Москве", "Q649", "GPE"),
+          ("Пушкин", "Q7200", "PER")]),
+        ("Эрмитаж",
+         "Эрмитаж находится в Санкт-Петербурге.",
+         [("Эрмитаж", "Q132783", "FAC"),
+          ("Санкт-Петербурге", "Q656", "GPE")]),
+        ("Столица",
+         "Москва — столица России.",
+         [("Москва", "Q649", "GPE"), ("России", "Q159", "GPE")]),
+    ]
+    for k, (title, body, surf_golds) in enumerate(ru_templates):
+        i = n_docs + len(UNLINKABLE_SURFACES) + k
+        emit(i, title, body, "ru",
+             [GoldenMention(substr=_decoded_substr(s), qid=q, tag=t, surface=s)
+              for s, q, t in surf_golds])
     return pages, gm_rows, gl_rows, gu_rows
 
 

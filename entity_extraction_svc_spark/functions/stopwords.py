@@ -22,3 +22,28 @@ while who whom why will with won won't wouldn wouldn't y you you'd you'll
 you're you've your yours yourself yourselves
 """.split()
 )
+
+# The NLTK russian corpus list (public domain), inlined for the same reason;
+# the reference selects it when lang == "ru"
+# (src/entity_linking.py:96-101, src/torch_transformers_preprocessor.py:251-254).
+RUSSIAN_STOPWORDS = frozenset(
+    """
+и в во не что он на я с со как а то все она так его но да ты к у же вы за
+бы по только ее мне было вот от меня еще нет о из ему теперь когда даже ну
+вдруг ли если уже или ни быть был него до вас нибудь опять уж вам ведь там
+потом себя ничего ей может они тут где есть надо ней для мы тебя их чем была
+сам чтоб без будто чего раз тоже себе под будет ж тогда кто этот того потому
+этого какой совсем ним здесь этом один почти мой тем чтобы нее сейчас были
+куда зачем всех никогда можно при наконец два об другой хоть после над
+больше тот через эти нас про всего них какая много разве три эту моя впрочем
+хорошо свою этой перед иногда лучше чуть том нельзя такой им более всегда
+конечно всю между
+""".split()
+)
+
+
+def stopwords_for(lang: str | None) -> frozenset:
+    """Language-keyed stopword set (en default, like the reference's
+    lang-parameterized components)."""
+    return RUSSIAN_STOPWORDS if (lang or "en").lower().startswith("ru") \
+        else ENGLISH_STOPWORDS

@@ -33,7 +33,7 @@ _RUSSIAN = set("абвгдеёжзийклмнопрстуфхцчшщъыьэю
 _WS = re.compile(r"\s+")
 
 CHUNK_SCHEMA = (
-    "url string, chunk_id int, chunk_text string, "
+    "url string, lang string, chunk_id int, chunk_text string, "
     "sentences array<string>, sentences_offsets array<struct<s:int,e:int>>, "
     "doc_text string"
 )
@@ -162,12 +162,14 @@ def chunk(extracted: DataFrame) -> DataFrame:
     def _chunk_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for url, text in zip(pdf["url"], pdf["text"]):
+            langs = pdf["lang"] if "lang" in pdf.columns else [None] * len(pdf)
+            for url, text, lang in zip(pdf["url"], pdf["text"], langs):
                 doc = text or ""
                 for chunk_id, (chunk_text, sents, offs) in enumerate(chunk_doc(doc)):
                     rows.append(
                         {
                             "url": url,
+                            "lang": lang or "en",
                             "chunk_id": chunk_id,
                             "chunk_text": chunk_text,
                             "sentences": sents,
@@ -180,9 +182,10 @@ def chunk(extracted: DataFrame) -> DataFrame:
             yield pd.DataFrame(
                 rows,
                 columns=[
-                    "url", "chunk_id", "chunk_text", "sentences",
+                    "url", "lang", "chunk_id", "chunk_text", "sentences",
                     "sentences_offsets", "doc_text",
                 ],
             )
 
-    return extracted.select("url", "text").mapInPandas(_chunk_batches, CHUNK_SCHEMA)
+    cols = ["url", "text"] + (["lang"] if "lang" in extracted.columns else [])
+    return extracted.select(*cols).mapInPandas(_chunk_batches, CHUNK_SCHEMA)

@@ -26,7 +26,10 @@ from collections import defaultdict
 import pandas as pd
 
 from entity_extraction_svc_spark.functions.fuzz import ratio as fuzz_ratio
-from entity_extraction_svc_spark.functions.stopwords import ENGLISH_STOPWORDS
+from entity_extraction_svc_spark.functions.stopwords import (
+    ENGLISH_STOPWORDS,
+    stopwords_for,
+)
 from entity_extraction_svc_spark.operators.chunker import RE_TOKENIZER
 from entity_extraction_svc_spark.sources.kb import LinkerDicts, normalize_label
 
@@ -233,7 +236,8 @@ def find_exact_match(d: LinkerDicts, entity_substr: str, tags: list[str],
 
 
 def find_fuzzy_match(d: LinkerDicts, entity_substr_split: list[str],
-                     tags: list[str]) -> dict[str, set]:
+                     tags: list[str],
+                     stopwords: frozenset = ENGLISH_STOPWORDS) -> dict[str, set]:
     """G8: word-level inverted-index semi-join (entity_linking.py:1102-1126,
     1168-1196): candidates sharing >=1 word, rescored per label."""
     cand: dict[str, set] = defaultdict(set)
@@ -241,7 +245,7 @@ def find_fuzzy_match(d: LinkerDicts, entity_substr_split: list[str],
     cand_ids: set[str] = set()
     for word in entity_substr_split:
         w = normalize_label(word)
-        if len(w) > 1 and w not in ENGLISH_STOPWORDS:
+        if len(w) > 1 and w not in stopwords:
             cand_ids |= d.word_to_q.get(w, set())
     for qid in cand_ids:
         kb_tag = d.entity_to_tag.get(qid, "MISC")
@@ -260,7 +264,7 @@ def find_fuzzy_match(d: LinkerDicts, entity_substr_split: list[str],
 
 def get_cand_ent(d: LinkerDicts, entity_substr: str, entity_substr_split: list[str],
                  tags_for_search: list[str], cur_p641: list[str],
-                 short_text: bool) -> list[tuple[str, CandTuple]]:
+                 short_text: bool, lang: str = "en") -> list[tuple[str, CandTuple]]:
     """G4-G12 assembly (entity_linking.py:886-952)."""
     if tags_for_search and tags_for_search[0] not in \
             {"LITERARY_WORK", "SONG", "WORK_OF_ART", "FILM"} \
@@ -276,7 +280,8 @@ def get_cand_ent(d: LinkerDicts, entity_substr: str, entity_substr_split: list[s
     if len(entity_substr_split) > 1 and (
         not total or (len(total) < 3 and len(entity_substr_split) > 2)
     ):
-        more = find_fuzzy_match(d, entity_substr_split, tags_for_search)
+        more = find_fuzzy_match(d, entity_substr_split, tags_for_search,
+                                stopwords_for(lang))
         total = {**more, **total}
 
     cand_ent_scores: list[tuple[str, CandTuple]] = []
@@ -307,7 +312,7 @@ def get_cand_ent(d: LinkerDicts, entity_substr: str, entity_substr_split: list[s
 
 def get_cand_ent_cached(d: LinkerDicts, entity_substr: str,
                         entity_substr_split: list[str], tags_for_search: list[str],
-                        cur_p641: list[str], short_text: bool):
+                        cur_p641: list[str], short_text: bool, lang: str = "en"):
     """Per-worker memo over get_cand_ent: the function is pure in its
     hashable arguments, and web text is Zipfian — the same (surface, tags)
     pair recurs across thousands of documents, so candidate generation is
@@ -318,13 +323,13 @@ def get_cand_ent_cached(d: LinkerDicts, entity_substr: str,
         cache = {}
         d._cand_cache = cache
     key = (entity_substr, tuple(entity_substr_split), tuple(tags_for_search),
-           tuple(cur_p641), short_text)
+           tuple(cur_p641), short_text, lang)
     hit = cache.get(key)
     if hit is None:
         if len(cache) > 200_000:  # runaway guard; recurrence makes this moot
             cache.clear()
         hit = get_cand_ent(d, entity_substr, entity_substr_split,
-                           tags_for_search, cur_p641, short_text)
+                           tags_for_search, cur_p641, short_text, lang)
         cache[key] = hit
     return list(hit)
 
@@ -336,7 +341,7 @@ def get_cand_ent_cached(d: LinkerDicts, entity_substr: str,
 
 def get_cand_ent_all(d: LinkerDicts, entity_substr_list, entity_substr_split_list,
                      entity_sent_list, tags_with_probas_list, n_sentences: int,
-                     short_text: bool):
+                     short_text: bool, lang: str = "en"):
     entity_tags_dict: dict[int, str] = {}
     init_scores: dict[int, list] = {n: [] for n in range(len(entity_substr_list))}
     already_found: set[str] = set()
@@ -387,7 +392,7 @@ def get_cand_ent_all(d: LinkerDicts, entity_substr_list, entity_substr_split_lis
                                 break
                         cand_ent_scores = get_cand_ent_cached(
                             d, entity_substr, entity_substr_split, tags_for_search,
-                            sorted(set(cur_p641)), short_text)
+                            sorted(set(cur_p641)), short_text, lang)
                         if cand_ent_scores:
                             cur_ent, best = cand_ent_scores[0]
                             cur_substr_score, _, _, _, _, _, cur_p641_objs, _, cur_tag = best
@@ -910,8 +915,10 @@ COARSE_TO_FINE = {"PER": "PER", "GPE": "CITY", "LOC": "LOC", "ORG": "ORG",
 
 
 def link_doc(d: LinkerDicts, raw_text: str, sentences: list[str],
-             sentences_offsets: list[tuple[int, int]], mentions: list[dict]) -> list[dict]:
-    """Full linking for one document; returns linked-candidate rows."""
+             sentences_offsets: list[tuple[int, int]], mentions: list[dict],
+             lang: str = "en") -> list[dict]:
+    """Full linking for one document; returns linked-candidate rows.
+    ``lang`` keys the stopword sets (entity_linking.py:96-101)."""
     if not mentions:
         return []
     text_clean = " ".join(sentences)
@@ -920,9 +927,10 @@ def link_doc(d: LinkerDicts, raw_text: str, sentences: list[str],
         if not mentions:
             return []
 
+    sw = stopwords_for(lang)
     entity_substr_list = [m["substr"].lower() for m in mentions]
     entity_substr_split_list = [
-        [w for w in s.split(" ") if w not in ENGLISH_STOPWORDS and len(w) > 1]
+        [w for w in s.split(" ") if w not in sw and len(w) > 1]
         for s in entity_substr_list
     ]
     entity_sent_list = []
@@ -942,7 +950,7 @@ def link_doc(d: LinkerDicts, raw_text: str, sentences: list[str],
 
     entity_tags_dict, init_scores = get_cand_ent_all(
         d, entity_substr_list, entity_substr_split_list, entity_sent_list,
-        tags_with_probas_list, len(sentences), short_text)
+        tags_with_probas_list, len(sentences), short_text, lang)
 
     substr_tags_list = [entity_tags_dict[n] for n in range(len(mentions))]
     cand_ent_scores_list, entities_scores_list = [], []
@@ -1021,7 +1029,9 @@ def _link_one_doc(d: LinkerDicts, mentions_pdf: pd.DataFrame,
             s, e = (off["s"], off["e"]) if isinstance(off, dict) else (off[0], off[1])
             sentences_offsets.append((s + shift, e + shift))
     mentions = mentions_pdf.sort_values(["start", "end", "substr"]).to_dict("records")
-    return link_doc(d, raw_text, sentences, sentences_offsets, mentions)
+    lang = chunks_pdf["lang"].iloc[0] if "lang" in chunks_pdf.columns else "en"
+    return link_doc(d, raw_text, sentences, sentences_offsets, mentions,
+                    lang or "en")
 
 
 def link_entities_df(mentions_df, chunks_with_shift_df, dicts_bc,

@@ -30,6 +30,15 @@ from entity_extraction_svc_spark.operators.chunker import RE_TOKENIZER
 
 GAZETTEER_PROBA = 0.97
 _PRINTABLE = set(string.printable)
+# the printable filter is an agent-level EN quirk (server.py:134-135); a RU
+# deployment must admit Cyrillic (the lang-parameterized components
+# themselves — entity_linking.py:49, ner_chunker.py:54 — are Russian-aware)
+_CYRILLIC = set("абвгдеёжзийклмнопрстуфхцчшщъыьэюя")
+_PRINTABLE_RU = _PRINTABLE | _CYRILLIC | {c.upper() for c in _CYRILLIC} | set("«»—№")
+
+
+def printable_for(lang: str | None) -> set:
+    return _PRINTABLE_RU if (lang or "en").lower().startswith("ru") else _PRINTABLE
 
 # entity_detection_parser.py:160-161 (order matters)
 REPLACE_TOKENS = [
@@ -109,6 +118,8 @@ def decode_bio(
     tags: list[str],
     tag_probas: list[float],
     token_offsets: list[tuple[int, int]],
+    stopwords: frozenset | None = None,
+    printable: set | None = None,
 ) -> list[tuple[str, int, int, float, str]]:
     """N5: BIO runs -> (substr, start, end, proba, tag) mention spans.
 
@@ -117,6 +128,8 @@ def decode_bio(
     filters, mean-proba round 4) followed by the token->char offset mapping
     of ner_chunker.py:265-283.
     """
+    sw = ENGLISH_STOPWORDS if stopwords is None else stopwords
+    pr = _PRINTABLE if printable is None else printable
     mentions: list[tuple[str, int, int, float, str]] = []
     pending: dict[str, list[int]] = {}
 
@@ -134,7 +147,7 @@ def decode_bio(
         probs = [tag_probas[p] for p in pending[c_tag]]
         if (
             entity
-            and entity.lower() not in ENGLISH_STOPWORDS
+            and entity.lower() not in sw
             and not (entity.isdigit() and len(entity) < 3)
             and len(entity) > 2
         ):
@@ -163,7 +176,7 @@ def decode_bio(
     return [
         m
         for m in mentions
-        if all(ch in _PRINTABLE for ch in m[0]) and any(ch.isalnum() for ch in m[0])
+        if all(ch in pr for ch in m[0]) and any(ch.isalnum() for ch in m[0])
     ]
 
 
@@ -198,12 +211,13 @@ def detect_mentions(chunks_with_shift: DataFrame, tagger_bc) -> DataFrame:
             # soft-hyphen strip (H7, ner_chunker.py:243)
             texts = [(t or "").replace("\xad", " ") for t in pdf["chunk_text"]]
             tagged = tagger.tag_batch(texts)  # one model call per Arrow batch
+            langs = pdf["lang"] if "lang" in pdf.columns else [None] * len(pdf)
             rows = []
-            for tt, url, chunk_id, shift in zip(
-                tagged, pdf["url"], pdf["chunk_id"], pdf["offset_shift"]
+            for tt, url, chunk_id, shift, lang in zip(
+                tagged, pdf["url"], pdf["chunk_id"], pdf["offset_shift"], langs
             ):
                 for substr, start, end, proba, tag in decode_tagged(
-                    tt, tagger.tags_init
+                    tt, tagger.tags_init, lang=lang or "en"
                 ):
                     rows.append(
                         {
@@ -221,6 +235,7 @@ def detect_mentions(chunks_with_shift: DataFrame, tagger_bc) -> DataFrame:
                 columns=["url", "chunk_id", "substr", "start", "end", "proba", "tag"],
             )
 
-    return chunks_with_shift.select(
-        "url", "chunk_id", "chunk_text", "offset_shift"
-    ).mapInPandas(_ner_batches, MENTION_SCHEMA)
+    cols = ["url", "chunk_id", "chunk_text", "offset_shift"] + (
+        ["lang"] if "lang" in chunks_with_shift.columns else []
+    )
+    return chunks_with_shift.select(*cols).mapInPandas(_ner_batches, MENTION_SCHEMA)

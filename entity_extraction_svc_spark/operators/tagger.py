@@ -97,17 +97,23 @@ def tags_from_probas(probas: np.ndarray, tags_init: Sequence[str],
 
 
 def decode_tagged(tt: TaggedText, tags_init: Sequence[str],
-                  thres_proba: float = THRES_PROBA):
+                  thres_proba: float = THRES_PROBA, lang: str = "en"):
     """N4 + N5 on one tagged chunk -> mention tuples
-    (substr, start, end, proba, tag)."""
-    from entity_extraction_svc_spark.operators.ner import decode_bio
+    (substr, start, end, proba, tag).  ``lang`` keys the N5 stopword and
+    printable filters (en default; ru admits Cyrillic)."""
+    from entity_extraction_svc_spark.functions.stopwords import stopwords_for
+    from entity_extraction_svc_spark.operators.ner import (
+        decode_bio,
+        printable_for,
+    )
 
     if not tt.tokens:
         return []
     tags, tag_probas = tags_from_probas(
         tt.probas, tags_init, thres_proba, short_text=len(tt.tokens) <= 3
     )
-    return decode_bio(tt.tokens, tags, tag_probas, tt.offsets)
+    return decode_bio(tt.tokens, tags, tag_probas, tt.offsets,
+                      stopwords_for(lang), printable_for(lang))
 
 
 # ---------------------------------------------------------------------------

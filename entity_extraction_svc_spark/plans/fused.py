@@ -70,14 +70,15 @@ def _chunk_doc_for_tagging(text: str, texts_flat: list[str]):
     return metas
 
 
-def _assemble_doc(d, tagger, fine_lookup, url, text, metas, tagged) -> list[dict]:
+def _assemble_doc(d, tagger, fine_lookup, url, text, metas, tagged,
+                  lang: str = "en") -> list[dict]:
     """Decode the tagged chunks of one doc and link it (N4-N8, G-R-P)."""
     mentions: list[dict] = []
     sentences: list[str] = []
     sentences_offsets: list[tuple[int, int]] = []
     for ti, shift, sents, soffs in metas:
         for substr, start, end, proba, tag in decode_tagged(
-            tagged[ti], tagger.tags_init
+            tagged[ti], tagger.tags_init, lang=lang
         ):
             fine = fine_lookup.get(normalize_label(substr))
             mentions.append({
@@ -92,11 +93,11 @@ def _assemble_doc(d, tagger, fine_lookup, url, text, metas, tagged) -> list[dict
     if not mentions:
         return []
     mentions.sort(key=lambda m: (m["start"], m["end"], m["substr"]))
-    return link_doc(d, text, sentences, sentences_offsets, mentions)
+    return link_doc(d, text, sentences, sentences_offsets, mentions, lang)
 
 
 def link_page(d, tagger, fine_lookup: dict[str, str],
-              url: str, text: str) -> list[dict]:
+              url: str, text: str, lang: str = "en") -> list[dict]:
     """One document end-to-end: chunk, tag, decode, classify, link.
     ``tagger`` is any ``tag_batch`` protocol implementation."""
     if not text:
@@ -104,7 +105,7 @@ def link_page(d, tagger, fine_lookup: dict[str, str],
     texts_flat: list[str] = []
     metas = _chunk_doc_for_tagging(text, texts_flat)
     tagged = tagger.tag_batch(texts_flat)
-    return _assemble_doc(d, tagger, fine_lookup, url, text, metas, tagged)
+    return _assemble_doc(d, tagger, fine_lookup, url, text, metas, tagged, lang)
 
 
 def fused_link(pages: DataFrame, tagger_bc, dicts_bc, fine_bc,
@@ -116,10 +117,12 @@ def fused_link(pages: DataFrame, tagger_bc, dicts_bc, fine_bc,
     padded forward per Arrow batch, not one per chunk or per doc — the
     tag_batch protocol of operators/tagger.py).
     """
+    lang_col = (F.col("lang") if "lang" in pages.columns
+                else F.lit("en")).alias("lang")
     if source == "html":
-        cols = pages.select("url", F.col("html").alias("payload"))
+        cols = pages.select("url", F.col("html").alias("payload"), lang_col)
     else:
-        cols = pages.select("url", F.col("text").alias("payload"))
+        cols = pages.select("url", F.col("text").alias("payload"), lang_col)
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         d = dicts_bc.value
@@ -129,9 +132,10 @@ def fused_link(pages: DataFrame, tagger_bc, dicts_bc, fine_bc,
                     "conf", "page", "ent_tag", "substr_score", "num_rels",
                     "conn_score_notag", "conn_score_tag"]
         for pdf in batches:
-            docs: list[tuple[str, str, list]] = []
+            docs: list[tuple[str, str, str, list]] = []
             texts_flat: list[str] = []
-            for url, payload in zip(pdf["url"], pdf["payload"]):
+            for url, payload, lang in zip(pdf["url"], pdf["payload"],
+                                          pdf["lang"]):
                 if payload is None:
                     continue
                 if source == "html":
@@ -140,12 +144,14 @@ def fused_link(pages: DataFrame, tagger_bc, dicts_bc, fine_bc,
                     text = htmltext.preprocess_text(payload)
                 if not text:
                     continue
-                docs.append((url, text, _chunk_doc_for_tagging(text, texts_flat)))
+                docs.append((url, text, lang or "en",
+                             _chunk_doc_for_tagging(text, texts_flat)))
             tagged = tagger.tag_batch(texts_flat)  # one model call per batch
             rows: list[dict] = []
-            for url, text, metas in docs:
+            for url, text, lang, metas in docs:
                 rows.extend(
-                    _assemble_doc(d, tagger, fine_lookup, url, text, metas, tagged)
+                    _assemble_doc(d, tagger, fine_lookup, url, text, metas,
+                                  tagged, lang)
                 )
             yield pd.DataFrame(rows, columns=out_cols)
 

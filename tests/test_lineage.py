@@ -20,11 +20,11 @@ def test_resume_after_partial_run(spark, fixture_dir):
     lin1 = spark.read.parquet(L.lineage_path(out))
     assert lin1.select("url").distinct().count() == 60
 
-    # resume: drains the remaining 143, never reprocesses a url
+    # resume: drains the remaining 146, never reprocesses a url
     s2 = L.run_checkpointed(spark, pages_path, fixture_dir, out)
-    assert s2["n_pages"] == 143
+    assert s2["n_pages"] == 146
     lin = spark.read.parquet(L.lineage_path(out))
-    assert lin.count() == lin.select("url").distinct().count() == 203
+    assert lin.count() == lin.select("url").distinct().count() == 206
 
     # a third run is a no-op (idempotence)
     s3 = L.run_checkpointed(spark, pages_path, fixture_dir, out)
@@ -42,7 +42,7 @@ def test_resume_after_partial_run(spark, fixture_dir):
 
     # metrics table aggregates lineage per (run, partition)
     met = spark.read.parquet(L.metrics_path(out))
-    assert met.agg(F.sum("n_urls")).first()[0] == 203
+    assert met.agg(F.sum("n_urls")).first()[0] == 206
     assert {r.run_id for r in met.select("run_id").distinct().collect()} == {
         s1["run_id"], s2["run_id"]
     }

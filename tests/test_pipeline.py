@@ -81,16 +81,20 @@ def test_triples_match_golden(pipeline, fixture_dir):
 
 
 def test_empty_and_ru_docs_safe(pipeline):
-    """Edge docs (empty html, ru pass-through) flow through without mentions
-    and without crashing any stage."""
+    """Edge docs (empty html, entity-free ru pass-through) flow through
+    without mentions and without crashing; the RU ENTITY pages (appended
+    fixtures 203-205) do produce their Cyrillic mentions."""
     counts = (
         pipeline.pages.select("url", "lang")
         .join(pipeline.mentions.select("url", "substr"), "url", "left")
         .groupBy("url", "lang")
         .agg(F.count("substr").alias("n"))
     )
-    ru = counts.filter(F.col("lang") == "ru").agg(F.sum("n")).first()[0]
-    assert ru == 0
+    ru = counts.filter(F.col("lang") == "ru")
+    # the kind-5 no-entity ru pages stay mention-free
+    assert ru.filter(F.col("n") == 0).count() > 0
+    # the three RU entity pages carry the 9 golden Cyrillic mentions
+    assert ru.agg(F.sum("n")).first()[0] == 9
     # empty-html docs produce zero mentions but still appear as pages
     assert counts.filter(F.col("n") == 0).count() > 0
 

@@ -17,14 +17,14 @@ def _plan(df) -> str:
 
 
 def test_fused_scan_prunes_columns(spark, fixture_dir):
-    """The pages scan must read only (url, html) — never text/warc_ts/lang
+    """The pages scan must read only (url, html, lang) — never text/warc_ts
     (html dominates row size; the rest is pure waste at petabyte scan)."""
     from entity_extraction_svc_spark.plans.fused import build_fused
 
     pages = spark.read.parquet(f"{fixture_dir}/pages.parquet")
     linked, _ = build_fused(spark, pages, fixture_dir)
     plan = _plan(linked)
-    assert "ReadSchema: struct<url:string,html:binary>" in plan
+    assert "ReadSchema: struct<url:string,html:binary,lang:string>" in plan
     # one narrow pass: no exchange anywhere before the UDF
     assert "Exchange" not in plan
 

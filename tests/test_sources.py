@@ -46,7 +46,7 @@ def test_trafilatura_engine_gated(spark, fixture_dir):
     except ImportError:
         has = False
     if has:
-        assert extract_text(pages, engine="trafilatura").count() == 203
+        assert extract_text(pages, engine="trafilatura").count() == 206
     else:
         with pytest.raises(NotImplementedError):
             extract_text(pages, engine="trafilatura")

@@ -50,13 +50,13 @@ def test_stream_ingest_matches_goldens(spark, fixture_dir):
     assert got == want
 
     lin = spark.read.parquet(L.lineage_path(out))
-    assert lin.count() == lin.select("url").distinct().count() == 203
+    assert lin.count() == lin.select("url").distinct().count() == 206
 
     # restart on the same checkpoint: backlog already consumed -> no new work
     q2 = ingest_stream(spark, src, fixture_dir, out, ckpt)
     q2.awaitTermination(300)
     spark.catalog.refreshByPath(L.lineage_path(out))
-    assert spark.read.parquet(L.lineage_path(out)).count() == 203
+    assert spark.read.parquet(L.lineage_path(out)).count() == 206
 
     shutil.rmtree(src)
 
@@ -136,7 +136,7 @@ def test_windowed_counts_semantics(spark, fixture_dir):
         .agg(F.count("*").alias("n_pages"))
     )
     rows = agg.collect()
-    assert sum(r.n_pages for r in rows) == 203
+    assert sum(r.n_pages for r in rows) == 206
     # 200 docs at 1s apart span at least 3 one-minute windows
     assert len({r.w.start for r in rows}) >= 3
 

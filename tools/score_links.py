@@ -37,18 +37,35 @@ def score(fixture_dir: str, master: str = "local[16]") -> dict:
             f'select url, start, "end", qid from \'{fixture_dir}/golden_links.parquet\''
         ).fetchall()
     }
-    tp = sum(1 for k, q in gold.items() if top1.get(k) == q)
-    span_hits = sum(1 for k in gold if k in top1)
-    return {
-        "n_gold": len(gold),
-        "n_predicted": len(top1),
-        "true_positives": tp,
-        "precision": round(tp / len(top1), 4) if top1 else 0.0,
-        "recall": round(tp / len(gold), 4) if gold else 0.0,
-        "span_recall": round(span_hits / len(gold), 4) if gold else 0.0,
-        "target": 0.95,
-        "pass": bool(top1 and gold and tp / len(top1) >= 0.95 and tp / len(gold) >= 0.95),
+    url_lang = dict(duckdb.sql(
+        f"select url, lang from '{fixture_dir}/pages.parquet'"
+    ).fetchall())
+
+    def _row(gold_d: dict, top_d: dict) -> dict:
+        tp = sum(1 for k, q in gold_d.items() if top_d.get(k) == q)
+        span_hits = sum(1 for k in gold_d if k in top_d)
+        return {
+            "n_gold": len(gold_d),
+            "n_predicted": len(top_d),
+            "true_positives": tp,
+            "precision": round(tp / len(top_d), 4) if top_d else 0.0,
+            "recall": round(tp / len(gold_d), 4) if gold_d else 0.0,
+            "span_recall": round(span_hits / len(gold_d), 4) if gold_d else 0.0,
+            "target": 0.95,
+            "pass": bool(top_d and gold_d and tp / len(top_d) >= 0.95
+                         and tp / len(gold_d) >= 0.95),
+        }
+
+    out = _row(gold, top1)
+    # per-language slices (BASELINE cites EN/RU sample docs)
+    out["by_lang"] = {
+        L: _row(
+            {k: v for k, v in gold.items() if url_lang.get(k[0]) == L},
+            {k: v for k, v in top1.items() if url_lang.get(k[0]) == L},
+        )
+        for L in sorted({url_lang.get(k[0], "en") for k in gold})
     }
+    return out
 
 
 def main() -> None:
