@@ -661,11 +661,19 @@ def _mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = extract_features(pages, bin_col="html", key_col="url")
     # project the vector to a string: the driver canonicalizer sorts columns
     # by value and dies on list cells (unhashable) — same trick as
-    # _dedup_minhash_sig above
+    # _dedup_minhash_sig above.  float32 -> double BEFORE rounding so the
+    # string matches the DuckDB oracle's REAL::DOUBLE formatting.
     return out.select(
         "url",
-        F.concat_ws(
-            ",", F.transform("feature", lambda x: F.round(x, 6).cast("string"))
+        F.coalesce(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    "feature",
+                    lambda x: F.round(x.cast("double"), 6).cast("string"),
+                ),
+            ),
+            F.lit(""),
         ).alias("feature_csv"),
     )
 
@@ -738,7 +746,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kb_ingest_entities": _kb_ingest_entities,
         # multimodal binary-column plumbing
         "mm_binary_meta": _mm_binary_meta,
-        "mm_features": _mm_features,  # rows-only (pandas-UDF featurizer)
+        "mm_features": _mm_features,
     }
 
 
@@ -1239,6 +1247,37 @@ def oracle_sql() -> dict[str, str]:
                             'MISC') AS tag,
                    num_rels
             FROM agg WHERE label IS NOT NULL
+            """
+        ),
+        "mm_features": (
+            # byte-histogram featurizer: bucket = byte >> 4 (dim 16), L1
+            # normalized in float32 — REAL::DOUBLE before round matches the
+            # Spark projection's float->double cast
+            f"""
+            WITH pages AS (SELECT url, html FROM read_parquet('{fx}/pages.parquet')),
+            nonempty AS (
+              SELECT url, html FROM pages
+              WHERE html IS NOT NULL AND octet_length(html) > 0
+            ),
+            bytes AS (
+              SELECT url, ('0x' || substr(hex(html), 2*i - 1, 2))::INT >> 4 AS b
+              FROM nonempty, unnest(generate_series(1, octet_length(html))) AS t(i)
+            ),
+            tot AS (SELECT url, count(*)::DOUBLE AS t FROM bytes GROUP BY url),
+            counts AS (SELECT url, b, count(*)::DOUBLE AS c FROM bytes GROUP BY url, b),
+            grid AS (SELECT tot.url, g.k, tot.t
+                     FROM tot, unnest(generate_series(0, 15)) AS g(k)),
+            dense AS (
+              SELECT grid.url, grid.k,
+                     round(CAST(coalesce(c.c, 0) / grid.t AS REAL)::DOUBLE, 6) AS v
+              FROM grid LEFT JOIN counts c ON c.url = grid.url AND c.b = grid.k
+            ),
+            feats AS (
+              SELECT url, string_agg(v::VARCHAR, ',' ORDER BY k) AS feature_csv
+              FROM dense GROUP BY url
+            )
+            SELECT p.url, coalesce(f.feature_csv, '') AS feature_csv
+            FROM pages p LEFT JOIN feats f ON p.url = f.url
             """
         ),
         "mm_binary_meta": (
