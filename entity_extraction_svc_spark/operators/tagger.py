@@ -295,12 +295,16 @@ class HFTokenTagger:
 
 
 def load_tagger(gaz_rows: list[dict], spec: str | None = None):
-    """``SPARK_KG_MODEL`` switch: 'gazetteer' (default) or 'hf:<checkpoint>'."""
+    """``SPARK_KG_MODEL`` switch: 'gazetteer' (default, single-head BIO),
+    'gazetteer2' (two-headed spans+types stand-in through the MergeMarkups
+    MISC gate), or 'hf:<checkpoint>' (real transformers token tagger)."""
     spec = spec or os.environ.get("SPARK_KG_MODEL", "gazetteer")
     if spec.startswith("hf:"):
         return HFTokenTagger(spec[3:])
     if spec == "gazetteer":
         return SoftGazetteerTagger.from_rows(gaz_rows)
+    if spec == "gazetteer2":
+        return TwoHeadedGazetteerTagger.from_rows(gaz_rows)
     raise ValueError(f"unknown SPARK_KG_MODEL spec: {spec!r}")
 
 
@@ -437,3 +441,132 @@ def merge_markups(tokens_batch, y_types_batch, y_spans_batch, tags_list,
         merge_markups_text(t, ty, sp, tags_list, **kw)
         for t, ty, sp in zip(tokens_batch, y_types_batch, y_spans_batch)
     ]
+
+
+# ---------------------------------------------------------------------------
+# two-headed tagger (lite-variant shape): spans head + types head
+# ---------------------------------------------------------------------------
+
+class TwoHeadedTagged(NamedTuple):
+    """One chunk from a two-headed model: word tokens, char offsets, the
+    spans head's BIO strings, and the types head's per-token distributions
+    over the fine-tag vocabulary (entity_detection_tinyroberta.json pipe)."""
+
+    tokens: list[str]
+    offsets: list[tuple[int, int]]
+    y_spans: list[str]
+    y_types: list[list[float]]
+
+
+class TwoHeadedGazetteerTagger:
+    """Deterministic two-headed stand-in: the spans head marks gazetteer
+    matches as ``B-<coarse>``/``I-<coarse>`` (or ``B-MISC`` when the surface
+    is flagged misc), the types head emits a distribution over fine tags
+    concentrated at the surface's fine tag with configurable confidence —
+    exactly the input shape ``merge_markups`` consumes, so the deployed
+    MISC gate (INCLUDE_MISC / MISC_THRES=0.88) runs in-pipeline.
+
+    ``overrides``: norm-surface -> {"misc": bool, "conf": float} to craft
+    gate-edge cases in tests.
+    """
+
+    def __init__(self, surfaces: dict[tuple[str, ...], tuple[str, str]],
+                 fine_tags: list[str],
+                 overrides: dict[str, dict] | None = None,
+                 match_conf: float = GAZETTEER_PROBA,
+                 include_misc: bool = True, misc_thres: float = 0.88,
+                 ent_thres: float = 0.4, long_ent_thres: float = 0.4):
+        self.surfaces = surfaces  # norm tokens -> (fine_tag, coarse_tag)
+        self.max_len = max((len(k) for k in surfaces), default=1)
+        self.fine_tags = fine_tags
+        self.fine_idx = {t: i for i, t in enumerate(fine_tags)}
+        self.coarse_of = {f: c for (f, c) in surfaces.values()}
+        self.overrides = overrides or {}
+        self.match_conf = match_conf
+        self.include_misc = include_misc
+        self.misc_thres = misc_thres
+        self.ent_thres = ent_thres
+        self.long_ent_thres = long_ent_thres
+
+    @classmethod
+    def from_rows(cls, rows: list[dict], **kw) -> "TwoHeadedGazetteerTagger":
+        from entity_extraction_svc_spark.operators.chunker import RE_TOKENIZER
+
+        surf: dict[tuple[str, ...], tuple[str, str]] = {}
+        fines: set[str] = set()
+        for r in rows:
+            toks = tuple(_norm_token(t) for t in RE_TOKENIZER.findall(r["surface"]))
+            if toks:
+                surf.setdefault(toks, (r["fine_tag"], r["coarse_tag"]))
+            fines.add(r["fine_tag"])
+        return cls(surf, sorted(fines), **kw)
+
+    def _tag_one(self, text: str) -> TwoHeadedTagged:
+        tokens, offsets = tokenize_with_offsets(text)
+        n = len(tokens)
+        n_fine = len(self.fine_tags)
+        y_spans = ["O"] * n
+        # background: uniform low mass (merge_markups averages, so any
+        # O-token distribution only matters inside a span)
+        y_types = [[1.0 / n_fine] * n_fine for _ in range(n)]
+        norm = [_norm_token(t) for t in tokens]
+        i = 0
+        while i < n:
+            matched = False
+            for ln in range(min(self.max_len, n - i), 0, -1):
+                hit = self.surfaces.get(tuple(norm[i : i + ln]))
+                if hit is not None:
+                    fine, coarse = hit
+                    key = " ".join(norm[i : i + ln])
+                    over = self.overrides.get(key, {})
+                    is_misc = over.get("misc", False)
+                    conf = over.get("conf", self.match_conf)
+                    span_tag = "MISC" if is_misc else coarse
+                    row = [(1.0 - conf) / max(n_fine - 1, 1)] * n_fine
+                    row[self.fine_idx[fine]] = conf
+                    for j in range(i, i + ln):
+                        y_spans[j] = ("B-" if j == i else "I-") + span_tag
+                        y_types[j] = list(row)
+                    i += ln
+                    matched = True
+                    break
+            if not matched:
+                i += 1
+        return TwoHeadedTagged(tokens, offsets, y_spans, y_types)
+
+    def tag_batch(self, texts: list[str]) -> list[TwoHeadedTagged]:
+        return [self._tag_one(t) for t in texts]
+
+
+def decode_two_headed(rec: TwoHeadedTagged, tagger: TwoHeadedGazetteerTagger,
+                      lang: str = "en"):
+    """merge_markups + the agent's mention post-processing for one chunk:
+    returns (substr, start, end, proba, fine_or_MISC, coarse) tuples."""
+    from entity_extraction_svc_spark.functions.stopwords import stopwords_for
+    from entity_extraction_svc_spark.operators.ner import (
+        REPLACE_TOKENS,
+        printable_for,
+    )
+
+    if not rec.tokens:
+        return []
+    out = merge_markups_text(
+        rec.tokens, rec.y_types, rec.y_spans, tagger.fine_tags,
+        include_misc=tagger.include_misc, misc_thres=tagger.misc_thres,
+        ent_thres=tagger.ent_thres, long_ent_thres=tagger.long_ent_thres,
+        top_n=1, stopwords=stopwords_for(lang),
+    )
+    pr = printable_for(lang)
+    mentions = []
+    for entity, pos, tag, proba in zip(out["entities"], out["positions"],
+                                       out["tags"], out["probas"]):
+        sub = entity.lower()
+        for old, new in REPLACE_TOKENS:
+            sub = sub.replace(old, new)
+        if not (all(ch in pr for ch in sub) and any(ch.isalnum() for ch in sub)):
+            continue
+        start = rec.offsets[pos[0]][0]
+        end = rec.offsets[pos[-1]][1]
+        coarse = "MISC" if tag == "MISC" else tagger.coarse_of.get(tag, "MISC")
+        mentions.append((sub, start, end, round(float(proba), 4), tag, coarse))
+    return mentions

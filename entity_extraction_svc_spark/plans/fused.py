@@ -72,21 +72,40 @@ def _chunk_doc_for_tagging(text: str, texts_flat: list[str]):
 
 def _assemble_doc(d, tagger, fine_lookup, url, text, metas, tagged,
                   lang: str = "en") -> list[dict]:
-    """Decode the tagged chunks of one doc and link it (N4-N8, G-R-P)."""
+    """Decode the tagged chunks of one doc and link it (N4-N8, G-R-P).
+
+    A two-headed tagger (SPARK_KG_MODEL=gazetteer2 / hf2) decodes through
+    merge_markups — the fine tag (or MISC after the 0.88 gate) comes from
+    the types head directly, not the fine_lookup join.
+    """
+    from entity_extraction_svc_spark.operators.tagger import decode_two_headed
+
+    two_headed = hasattr(tagger, "fine_tags")
     mentions: list[dict] = []
     sentences: list[str] = []
     sentences_offsets: list[tuple[int, int]] = []
     for ti, shift, sents, soffs in metas:
-        for substr, start, end, proba, tag in decode_tagged(
-            tagged[ti], tagger.tags_init, lang=lang
-        ):
-            fine = fine_lookup.get(normalize_label(substr))
-            mentions.append({
-                "url": url, "substr": substr, "start": start + shift,
-                "end": end + shift, "proba": proba, "tag": tag,
-                "fine_tag": fine,
-                "alt_tag": ALT_FINE.get(fine or "", "MISC") if fine else "MISC",
-            })
+        if two_headed:
+            for substr, start, end, proba, fine, coarse in decode_two_headed(
+                tagged[ti], tagger, lang=lang
+            ):
+                mentions.append({
+                    "url": url, "substr": substr, "start": start + shift,
+                    "end": end + shift, "proba": proba, "tag": coarse,
+                    "fine_tag": None if fine == "MISC" else fine,
+                    "alt_tag": ALT_FINE.get(fine, "MISC"),
+                })
+        else:
+            for substr, start, end, proba, tag in decode_tagged(
+                tagged[ti], tagger.tags_init, lang=lang
+            ):
+                fine = fine_lookup.get(normalize_label(substr))
+                mentions.append({
+                    "url": url, "substr": substr, "start": start + shift,
+                    "end": end + shift, "proba": proba, "tag": tag,
+                    "fine_tag": fine,
+                    "alt_tag": ALT_FINE.get(fine or "", "MISC") if fine else "MISC",
+                })
         for sent, (s, e) in zip(sents, soffs):
             sentences.append(sent)
             sentences_offsets.append((s + shift, e + shift))

@@ -312,3 +312,61 @@ def test_hf_tagger_honest_gate_and_weightless_pickle():
         pass
     with pytest.raises(NotImplementedError):
         t.tag_batch(["hello world"])
+
+
+def test_two_headed_pipeline_misc_gate(spark, fixture_dir):
+    """SPARK_KG_MODEL=gazetteer2: the two-headed decode runs IN-pipeline
+    through merge_markups.  A MISC span with type confidence > 0.88 keeps
+    its fine tag and still links; one at 0.5 is gated out entirely; default
+    (non-misc, conf 0.97) pages link exactly as the single-head path."""
+    import duckdb
+
+    from entity_extraction_svc_spark.operators.tagger import (
+        TwoHeadedGazetteerTagger,
+        decode_two_headed,
+    )
+    from entity_extraction_svc_spark.plans.fused import (
+        _fine_tag_lookup,
+        fused_link,
+        link_page,
+    )
+    from entity_extraction_svc_spark.sources.kb import (
+        collect_linker_dicts,
+        read_dim_rows,
+    )
+
+    gaz_rows = read_dim_rows(spark, f"{fixture_dir}/gazetteer.parquet")
+    overrides = {
+        "paris": {"misc": True, "conf": 0.95},    # gate passes, fine kept
+        "louvre": {"misc": True, "conf": 0.5},    # gate drops the span
+    }
+    tagger = TwoHeadedGazetteerTagger.from_rows(gaz_rows, overrides=overrides)
+
+    text = "The Mona Lisa is held at the Louvre in Paris."
+    rec = tagger.tag_batch([text])[0]
+    got = decode_two_headed(rec, tagger)
+    by_sub = {m[0]: m for m in got}
+    assert "louvre" not in by_sub            # 0.5 <= 0.88: gated out
+    assert by_sub["paris"][4] == "CITY"      # 0.95 > 0.88: fine tag kept
+    assert by_sub["paris"][5] == "GPE"
+    assert by_sub["mona lisa"][4] == "WORK_OF_ART"  # non-misc default path
+
+    # distributed == local oracle, and the surviving mentions still link
+    pages = spark.createDataFrame(
+        [("u1", text, "en")], "url string, text string, lang string"
+    )
+    dicts_bc = spark.sparkContext.broadcast(
+        collect_linker_dicts(spark, fixture_dir)
+    )
+    fine_bc = spark.sparkContext.broadcast(_fine_tag_lookup(gaz_rows))
+    tagger_bc = spark.sparkContext.broadcast(tagger)
+    linked = fused_link(pages, tagger_bc, dicts_bc, fine_bc, source="text")
+    rows = linked.filter("rank = 0").collect()
+    local = link_page(dicts_bc.value, tagger, fine_bc.value, "u1",
+                      text if text.endswith(".") else text + ".")
+    # same text goes through preprocess_text in fused; compare the qid map
+    got_spark = {r.substr: r.qid for r in rows}
+    got_local = {m["substr"]: m["qid"] for m in local if m["rank"] == 0}
+    assert got_spark == got_local
+    assert got_spark.get("paris") == "Q90"
+    assert "louvre" not in got_spark
