@@ -87,6 +87,23 @@ def run_benches(spark, sf_dir: str, bench_docs: int = BENCH_DOCS) -> dict[str, d
         lambda: ngram_jaccard_pairs(docs, threshold=0.5).count(),
     )
     timed("sim_cosine_topk", lambda: cosine_topk(emb, query_id=0, k=10).count())
+
+    # prebuilt-index ANN probe (build cached once per sf_dir; the probe is
+    # the steady-state cost — a partition-pruned scan of ~1/3 of buckets)
+    from entity_extraction_svc_spark.operators import annindex as ai
+
+    idx_dir = os.path.join(
+        "/tmp", f"kg_bench_annidx_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    if not ai.index_ready(idx_dir):
+        ai.build_rp_index(emb, idx_dir, bits=8)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    timed(
+        "sim_ann_probe",
+        lambda: ai.probe_rp_index(
+            spark, idx_dir, qvec, k=10, probe_hamming=3, exclude_id=0
+        ).count(),
+    )
     timed(
         "rel_grouped_agg",
         lambda: li.groupBy("l_returnflag", "l_linestatus")

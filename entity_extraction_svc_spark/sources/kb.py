@@ -149,6 +149,14 @@ def collect_linker_dicts(spark: SparkSession, kb_dir: str) -> LinkerDicts:
     a dimension table cost seconds of scheduling that would otherwise charge
     every plan build (measured: ~6s -> ~0.2s); remote KB locations fall back
     to Spark reads.
+
+    Ceiling: this driver-side build is sized for a dimension KB (tested to
+    ~140k labels in seconds, tests/test_kb_scale.py; a few GB of driver RAM
+    at low tens of millions).  A full-Wikidata image (~100M labels) needs
+    the chunked variant: build per-tag sub-dicts from partitioned parquet
+    (the per-tag DBs ARE the reference's own layout), broadcast each once,
+    and let executors mmap-share via TorrentBroadcast — no API change above
+    this function; the fused plan already takes the broadcast handle.
     """
     try:
         import pyarrow.parquet as pq

@@ -40,7 +40,7 @@ def main() -> None:
 
     spark = get_spark(app_name=f"sustained{n_docs}", master=f"local[{cpus}]",
                       shuffle_partitions=cpus)
-    spark.conf.set("spark.sql.files.maxPartitionBytes", str(8 << 20))
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(1 << 20))
     spark.conf.set("spark.sql.files.openCostInBytes", str(64 << 10))
     spark.sparkContext.setLogLevel("ERROR")
     pages = spark.read.parquet(f"{d}/pages.parquet")
