@@ -58,6 +58,25 @@ def materialize_triples(linked: DataFrame, kb_triples: DataFrame,
     )
 
 
+def write_triples_bucketed(triples: DataFrame, table_name: str,
+                           num_buckets: int = 32,
+                           path: str | None = None) -> None:
+    """Materialize triples as a BUCKETED table on ``subj`` (sorted within
+    buckets).
+
+    Bucketing is the co-location contract the 100 TB graph workloads need:
+    any subsequent self-join / path join / per-subject agg on ``subj``
+    against a table bucketed the same way plans with ZERO Exchange (verified
+    in tests/test_plans.py) — at a trillion-triple store that removes the
+    dominant shuffle from every traversal query.  ``path`` makes it an
+    external table (default: spark.sql.warehouse.dir).
+    """
+    w = triples.write.mode("overwrite").format("parquet")
+    if path:
+        w = w.option("path", path)
+    w.bucketBy(num_buckets, "subj").sortBy("subj").saveAsTable(table_name)
+
+
 def write_triples(triples: DataFrame, out_dir: str, num_partitions: int = 32) -> None:
     (
         triples.withColumn(
