@@ -514,9 +514,17 @@ _ANN_RECALL_ORACLE = f"""
 
 
 def _ann_index_dir(sf_dir: str, kind: str) -> str:
+    """Cache key includes the embeddings file's (mtime, size) so a
+    regenerated sf table never probes a stale index."""
     import hashlib
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    src = f"{sf_dir}/embeddings.parquet"
+    try:
+        st = os.stat(src)
+        sig = f"{sf_dir}:{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        sig = sf_dir
+    tag = hashlib.md5(sig.encode()).hexdigest()[:10]
     return f"/tmp/ann_index_cache/{tag}/{kind}"
 
 

@@ -92,9 +92,11 @@ def run_benches(spark, sf_dir: str, bench_docs: int = BENCH_DOCS) -> dict[str, d
     # the steady-state cost — a partition-pruned scan of ~1/3 of buckets)
     from entity_extraction_svc_spark.operators import annindex as ai
 
-    idx_dir = os.path.join(
-        "/tmp", f"kg_bench_annidx_{os.path.basename(sf_dir.rstrip('/'))}"
-    )
+    import hashlib
+
+    st = os.stat(f"{sf_dir}/embeddings.parquet")
+    tag = hashlib.md5(f"{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()).hexdigest()[:10]
+    idx_dir = os.path.join("/tmp", f"kg_bench_annidx_{tag}")
     if not ai.index_ready(idx_dir):
         ai.build_rp_index(emb, idx_dir, bits=8)
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]

@@ -85,15 +85,16 @@ def tags_from_probas(probas: np.ndarray, tags_init: Sequence[str],
     ``short_text`` selects the 0.9 threshold used for <= 3-token texts.
     """
     cur = SHORT_TEXT_THRES if short_text else thres_proba
-    tags: list[str] = []
-    tag_probas: list[float] = []
-    for p in probas:
-        k = int(np.argmax(p))
-        if p[0] < cur:
-            k = int(np.argmax(p[1:])) + 1
-        tags.append(tags_init[k])
-        tag_probas.append(float(p[k]))
-    return tags, tag_probas
+    P = np.asarray(probas, dtype=np.float64)
+    if P.size == 0:
+        return [], []
+    # vectorized: same tie-breaking as the per-row loop (argmax = first max)
+    k = P.argmax(axis=1)
+    forced = P[:, 0] < cur
+    if forced.any():
+        k = np.where(forced, P[:, 1:].argmax(axis=1) + 1, k)
+    picked = P[np.arange(len(P)), k]
+    return [tags_init[i] for i in k], picked.tolist()
 
 
 def decode_tagged(tt: TaggedText, tags_init: Sequence[str],
