@@ -104,6 +104,61 @@ def index_ready(index_dir: str) -> bool:
 # random-hyperplane (LSH) index
 # ---------------------------------------------------------------------------
 
+def _rp_sig_udf(dim: int, bits: int):
+    """Arrow-batched signature assignment: one (batch × dim) @ (dim × bits)
+    matmul per batch — shared by the batch build and the streaming append."""
+    planes_t = _planes(dim, bits).T  # (dim, bits)
+
+    @F.pandas_udf(LongType())
+    def sig_udf(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy())  # (n, dim)
+        bitmat = (mat.astype(np.float64) @ planes_t) > 0  # (n, bits)
+        weights = (1 << np.arange(bits)).astype(np.int64)
+        return pd.Series(bitmat @ weights)
+
+    return sig_udf
+
+
+def append_rp_index(embeddings: DataFrame, index_dir: str) -> None:
+    """Append new vectors to an EXISTING rp index (same partition layout).
+    The incremental-maintenance primitive: signatures are row-local, so an
+    append never touches existing buckets' files."""
+    meta = read_meta(index_dir)
+    sig_udf = _rp_sig_udf(meta["dim"], meta["bits"])
+    (
+        embeddings.withColumn("rp_sig", sig_udf(F.col(meta["vec_col"])))
+        .write.mode("append")
+        .partitionBy("rp_sig")
+        .parquet(index_dir)
+    )
+
+
+def rp_index_stream(spark: SparkSession, src_dir: str, index_dir: str,
+                    checkpoint_dir: str, schema, available_now: bool = True):
+    """Structured-Streaming index maintenance: embedding files landing in
+    ``src_dir`` are signature-assigned and appended to the partitioned index
+    per micro-batch (foreachBatch -> append_rp_index).  Exactly-once = file
+    -source checkpointing; the probe path needs no coordination because a
+    vector's bucket is a pure function of its value.
+
+    Returns the started StreamingQuery; callers awaitTermination().
+    """
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+
+    def process_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        append_rp_index(batch_df, index_dir)
+        spark.catalog.refreshByPath(index_dir)
+
+    writer = stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def build_rp_index(embeddings: DataFrame, index_dir: str,
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    bits: int = 8) -> None:
@@ -117,15 +172,7 @@ def build_rp_index(embeddings: DataFrame, index_dir: str,
     """
     first = embeddings.select(vec_col).first()
     dim = len(first[0])
-    planes_t = _planes(dim, bits).T  # (dim, bits)
-
-    @F.pandas_udf(LongType())
-    def sig_udf(vecs: pd.Series) -> pd.Series:
-        mat = np.stack(vecs.to_numpy())  # (n, dim)
-        bitmat = (mat.astype(np.float64) @ planes_t) > 0  # (n, bits)
-        weights = (1 << np.arange(bits)).astype(np.int64)
-        return pd.Series(bitmat @ weights)
-
+    sig_udf = _rp_sig_udf(dim, bits)
     (
         embeddings.withColumn("rp_sig", sig_udf(F.col(vec_col)))
         .write.mode("overwrite")

@@ -169,3 +169,38 @@ def test_probe_single_query_matches_batch(spark, emb, rp_dir, ivf_dir, queries):
         .collect()
     }
     assert single_ivf == batch_ivf
+
+
+def test_streaming_index_append(spark, emb, tmp_path):
+    """Incremental index maintenance: new embedding files stream in and are
+    signature-assigned + appended per micro-batch; probes then find them,
+    and appended signatures agree with the batch build bit-for-bit."""
+    idx = str(tmp_path / "rp_stream")
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+
+    base = emb.filter(F.col("vec_id") < 400)
+    ai.build_rp_index(base, idx, bits=8)
+    n0 = spark.read.parquet(idx).count()
+
+    late = emb.filter(F.col("vec_id") >= 400)
+    late.write.mode("overwrite").parquet(src)
+
+    q = ai.rp_index_stream(spark, src, idx, ckpt, schema=emb.schema)
+    q.awaitTermination(120)
+
+    idx_df = spark.read.parquet(idx)
+    assert idx_df.count() == emb.count()
+    assert idx_df.count() > n0
+    # appended signatures == batch-build signatures for the same vectors
+    full = str(tmp_path / "rp_full")
+    ai.build_rp_index(emb, full, bits=8)
+    a = idx_df.select("vec_id", F.col("rp_sig").cast("long").alias("s"))
+    b = spark.read.parquet(full).select(
+        "vec_id", F.col("rp_sig").cast("long").alias("s"))
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # a probe over the maintained index finds a late vector by its own value
+    row = late.first()
+    got = ai.probe_rp_index(spark, idx, [float(x) for x in row.embedding],
+                            k=1, probe_hamming=0)
+    assert got.first().vec_id == row.vec_id  # cos=1 with itself

@@ -8,6 +8,8 @@ from __future__ import annotations
 
 import string
 
+import pytest
+
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -116,3 +118,108 @@ def test_decoded_substr_matches_pipeline_decode(surface):
         # pipeline applies extra filters (stopwords, len>2, printable); when
         # it emits, the surface form must match the template-side decoder
         assert decoded[0][0] == expected
+
+
+# ---------------------------------------------------------------------------
+# round-2 seam properties
+# ---------------------------------------------------------------------------
+
+proba_matrix = st.lists(
+    st.lists(st.floats(0.0, 1.0, allow_nan=False), min_size=5, max_size=5),
+    min_size=1, max_size=12,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(proba_matrix, st.booleans())
+def test_tags_from_probas_matches_loop_oracle(rows, short):
+    """The vectorized N4 decode == the literal per-token reference rule on
+    arbitrary probability rows (including ties and all-zero rows)."""
+    import numpy as np
+
+    from entity_extraction_svc_spark.operators.tagger import (
+        SHORT_TEXT_THRES,
+        THRES_PROBA,
+        build_tags_init,
+        tags_from_probas,
+    )
+
+    tags_init = build_tags_init(["LOC", "PER"])
+    thres = SHORT_TEXT_THRES if short else THRES_PROBA
+    got_tags, got_probas = tags_from_probas(
+        np.array(rows), tags_init, short_text=short
+    )
+    exp_tags, exp_probas = [], []
+    for p in rows:
+        k = max(range(len(p)), key=lambda i: (p[i], -i))
+        if p[0] < thres:
+            k = max(range(1, len(p)), key=lambda i: (p[i], -i))
+        exp_tags.append(tags_init[k])
+        exp_probas.append(p[k])
+    assert got_tags == exp_tags
+    assert got_probas == pytest.approx(exp_probas)
+
+
+span_labels = st.sampled_from(["O", "B-ENT", "I-ENT", "B-MISC", "I-MISC"])
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.integers(1, 10).flatmap(
+        lambda n: st.tuples(
+            st.just(["tok%d" % i for i in range(n)]),
+            st.lists(
+                st.lists(st.floats(0, 1, allow_nan=False), min_size=3, max_size=3),
+                min_size=n, max_size=n,
+            ),
+            st.lists(span_labels, min_size=n, max_size=n),
+        )
+    ),
+    st.floats(0.1, 0.95),
+)
+def test_merge_markups_invariants(tokens_types_spans, misc_thres):
+    """Structural invariants of the MergeMarkups port on arbitrary inputs:
+    y has one label per token; every emitted entity's positions are a
+    contiguous in-range run; tags/probas/positions/entities stay aligned;
+    raising the MISC threshold never ADDS a MISC-span entity."""
+    from entity_extraction_svc_spark.operators.tagger import merge_markups_text
+
+    tokens, y_types, y_spans = tokens_types_spans
+    fine = ["PER", "LOC", "ORG"]
+    out = merge_markups_text(tokens, y_types, y_spans, fine,
+                             misc_thres=misc_thres, stopwords=set())
+    assert len(out["y"]) == len(tokens)
+    assert len(out["entities"]) == len(out["positions"]) \
+        == len(out["tags"]) == len(out["probas"])
+    for ent, pos in zip(out["entities"], out["positions"]):
+        assert pos == list(range(pos[0], pos[-1] + 1))
+        assert 0 <= pos[0] and pos[-1] < len(tokens)
+        assert ent == " ".join(tokens[pos[0] : pos[-1] + 1])
+    # monotonicity in the MISC gate
+    stricter = merge_markups_text(tokens, y_types, y_spans, fine,
+                                  misc_thres=min(misc_thres + 0.3, 1.0),
+                                  stopwords=set())
+    misc_spans = {i for i, s in enumerate(y_spans) if "MISC" in s}
+    got_misc = [p for p in out["positions"] if p[0] in misc_spans]
+    got_misc_strict = [p for p in stricter["positions"] if p[0] in misc_spans]
+    assert len(got_misc_strict) <= len(got_misc)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.floats(-1, 1, allow_nan=False, width=32),
+                min_size=8, max_size=8))
+def test_rp_signature_python_matches_definition(vec):
+    """Driver-side query signature == the documented sign-of-dot rule."""
+    from entity_extraction_svc_spark.operators.annindex import (
+        _planes,
+        rp_sig_of,
+    )
+
+    planes = _planes(8, 8)
+    sig = rp_sig_of(vec, planes)
+    expected = 0
+    for j in range(8):
+        dot = sum(planes[j][d] * vec[d] for d in range(8))
+        if dot > 0:
+            expected |= 1 << j
+    assert sig == expected
