@@ -204,9 +204,13 @@ def detect_mentions(chunks_with_shift: DataFrame, tagger_bc) -> DataFrame:
     """
 
     def _ner_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from entity_extraction_svc_spark.operators.tagger import decode_tagged
+        from entity_extraction_svc_spark.operators.tagger import (
+            decode_tagged,
+            decode_two_headed,
+        )
 
         tagger = tagger_bc.value
+        two_headed = hasattr(tagger, "fine_tags")
         for pdf in batches:
             # soft-hyphen strip (H7, ner_chunker.py:243)
             texts = [(t or "").replace("\xad", " ") for t in pdf["chunk_text"]]
@@ -216,9 +220,16 @@ def detect_mentions(chunks_with_shift: DataFrame, tagger_bc) -> DataFrame:
             for tt, url, chunk_id, shift, lang in zip(
                 tagged, pdf["url"], pdf["chunk_id"], pdf["offset_shift"], langs
             ):
-                for substr, start, end, proba, tag in decode_tagged(
-                    tt, tagger.tags_init, lang=lang or "en"
-                ):
+                if two_headed:
+                    decoded = [
+                        (substr, start, end, proba, coarse)
+                        for substr, start, end, proba, _fine, coarse in
+                        decode_two_headed(tt, tagger, lang=lang or "en")
+                    ]
+                else:
+                    decoded = decode_tagged(tt, tagger.tags_init,
+                                            lang=lang or "en")
+                for substr, start, end, proba, tag in decoded:
                     rows.append(
                         {
                             "url": url,

@@ -370,3 +370,31 @@ def test_two_headed_pipeline_misc_gate(spark, fixture_dir):
     assert got_spark == got_local
     assert got_spark.get("paris") == "Q90"
     assert "louvre" not in got_spark
+
+
+def test_two_headed_staged_detect_mentions(spark, fixture_dir):
+    """The staged detect_mentions path accepts a two-headed tagger too
+    (coarse tag in the mention schema; fused/staged stay interchangeable)."""
+    from entity_extraction_svc_spark.operators.ner import (
+        detect_mentions,
+        with_offset_shift,
+    )
+    from entity_extraction_svc_spark.operators.tagger import (
+        TwoHeadedGazetteerTagger,
+    )
+    from entity_extraction_svc_spark.sources.kb import read_dim_rows
+
+    gaz_rows = read_dim_rows(spark, f"{fixture_dir}/gazetteer.parquet")
+    tagger = TwoHeadedGazetteerTagger.from_rows(gaz_rows)
+    chunks = spark.createDataFrame(
+        [("u1", "en", 0, "The Mona Lisa is held at the Louvre in Paris.")],
+        "url string, lang string, chunk_id int, chunk_text string",
+    )
+    got = {
+        (r.substr, r.tag)
+        for r in detect_mentions(
+            with_offset_shift(chunks), spark.sparkContext.broadcast(tagger)
+        ).collect()
+    }
+    assert ("mona lisa", "WORK_OF_ART") in got
+    assert ("paris", "GPE") in got and ("louvre", "FAC") in got
