@@ -475,6 +475,40 @@ def _dedup_embedding_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup contract: n_exact (corpus-wide pairs >= tau) is the DuckDB
+    crosscheck; recall_ok asserts within-cluster pairs >= 0.25 of them
+    (near-random embeddings split pairs across clusters — measured
+    0.39/0.31 at sf0.01/sf0.1 with 8 clusters); drops_ok ties the keep
+    flags to the pair set (dropped == distinct larger-id pair members)."""
+    from entity_extraction_svc_spark.operators.dedup import (
+        embedding_dup_pairs,
+        semantic_dedup,
+        semantic_dup_pairs,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = embedding_dup_pairs(emb, threshold=0.35).agg(
+        F.count("*").alias("n_exact")
+    )
+    within = semantic_dup_pairs(emb, threshold=0.35, n_clusters=8)
+    n_within = within.agg(F.count("*").alias("n_within"))
+    n_dup_ids = within.select("id_b").distinct().agg(
+        F.count("*").alias("n_dup_ids")
+    )
+    dropped = semantic_dedup(emb, threshold=0.35, n_clusters=8).filter(
+        ~F.col("keep")
+    ).agg(F.count("*").alias("n_dropped"))
+    return (
+        exact.crossJoin(n_within).crossJoin(n_dup_ids).crossJoin(dropped)
+        .select(
+            "n_exact",
+            (F.col("n_within") >= F.col("n_exact") * 0.25).alias("recall_ok"),
+            (F.col("n_dropped") == F.col("n_dup_ids")).alias("drops_ok"),
+        )
+    )
+
+
 def _sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from entity_extraction_svc_spark.operators.simsearch import cosine_topk
 
@@ -746,6 +780,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "dedup_embedding_pairs": _dedup_embedding_pairs,
         "dedup_embedding_pairs_lsh": _dedup_embedding_pairs_lsh,  # recall contract
+        "dedup_semantic": _dedup_semantic,  # SemDeDup recall contract
         "sim_cosine_topk": _sim_cosine_topk,
         "sim_lsh_ann": _sim_lsh_ann,  # prebuilt-index recall contract
         "sim_ivf_topk": _sim_ivf_topk,  # prebuilt-index recall contract
@@ -1336,6 +1371,26 @@ def oracle_sql() -> dict[str, str]:
         ),
         "sim_lsh_ann": _ANN_RECALL_ORACLE,
         "sim_ivf_topk": _ANN_RECALL_ORACLE,
+        "dedup_semantic": (
+            # n_exact = corpus-wide near-dup pair count (the crosscheck);
+            # the recall/consistency booleans are earned Spark-side
+            """
+            WITH e AS (
+              SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+              FROM embeddings
+            ), pairs AS (
+              SELECT a.vec_id AS id_a,
+                     list_sum(list_transform(generate_series(1, len(a.v)),
+                                             i -> a.v[i] * b.v[i]))
+                     / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                        * sqrt(list_sum(list_transform(b.v, x -> x * x)))) AS cos_sim
+              FROM e a JOIN e b ON a.vec_id < b.vec_id
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_exact,
+                   true AS recall_ok, true AS drops_ok
+            FROM pairs WHERE cos_sim >= 0.35
+            """
+        ),
         "sim_cosine_topk": (
             """
             WITH q AS (

@@ -255,13 +255,9 @@ def kmeans_centroids(embeddings: DataFrame, n_lists: int,
     return C
 
 
-def build_ivf_index(embeddings: DataFrame, index_dir: str,
-                    id_col: str = "vec_id", vec_col: str = "embedding",
-                    n_lists: int = 16, sample_n: int = 4096,
-                    iters: int = 20) -> None:
-    """Fit centroids, assign every vector to its nearest list (vectorized
-    argmax over one matmul per Arrow batch), write partitioned by list_id."""
-    C = kmeans_centroids(embeddings, n_lists, id_col, vec_col, sample_n, iters)
+def ivf_assign_udf(C: np.ndarray):
+    """Arrow-batched nearest-centroid assignment (spherical): one matmul +
+    argmax per batch.  Shared by the IVF index build and semantic_dedup."""
     Ct = C.T  # (dim, n_lists)
 
     @F.pandas_udf(LongType())
@@ -270,6 +266,17 @@ def build_ivf_index(embeddings: DataFrame, index_dir: str,
         mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
         return pd.Series(np.argmax(mat @ Ct, axis=1).astype(np.int64))
 
+    return assign_udf
+
+
+def build_ivf_index(embeddings: DataFrame, index_dir: str,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    n_lists: int = 16, sample_n: int = 4096,
+                    iters: int = 20) -> None:
+    """Fit centroids, assign every vector to its nearest list (vectorized
+    argmax over one matmul per Arrow batch), write partitioned by list_id."""
+    C = kmeans_centroids(embeddings, n_lists, id_col, vec_col, sample_n, iters)
+    assign_udf = ivf_assign_udf(C)
     (
         embeddings.withColumn("list_id", assign_udf(F.col(vec_col)))
         .write.mode("overwrite")

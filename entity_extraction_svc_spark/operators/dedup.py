@@ -482,3 +482,81 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
         .filter(F.col("jaccard") >= threshold)
     )
     return ja
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup-style: k-means clusters bound the pairwise work)
+# ---------------------------------------------------------------------------
+
+def _semantic_assigned(embeddings: DataFrame, n_clusters: int,
+                       id_col: str, vec_col: str) -> DataFrame:
+    from entity_extraction_svc_spark.operators.annindex import (
+        ivf_assign_udf,
+        kmeans_centroids,
+    )
+
+    C = kmeans_centroids(embeddings, n_clusters, id_col, vec_col)
+    assign_udf = ivf_assign_udf(C)
+    return embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).withColumn("list_id", assign_udf(F.col("v")))
+
+
+def semantic_dup_pairs(embeddings: DataFrame, threshold: float = 0.9,
+                       n_clusters: int = 16, id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """Within-cluster near-duplicate pairs (the SemDeDup candidate set):
+    k-means cluster assignment bounds the quadratic term — pairwise cosine
+    runs per cluster (a self-join on ``list_id``), never corpus-wide.
+    Returns (id_a, id_b, cos_sim, list_id)."""
+    assigned = _semantic_assigned(embeddings, n_clusters, id_col, vec_col)
+    return _pairs_from_assigned(assigned, threshold)
+
+
+def _pairs_from_assigned(assigned: DataFrame, threshold: float) -> DataFrame:
+    from entity_extraction_svc_spark.operators.simsearch import cosine
+
+    l, r = assigned.alias("l"), assigned.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.list_id") == F.col("r.list_id"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .withColumn("cos_sim", cosine(F.col("l.v"), F.col("r.v")))
+        .filter(F.col("cos_sim") >= threshold)
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.round("cos_sim", 6).alias("cos_sim"),
+            F.col("l.list_id").alias("list_id"),
+        )
+    )
+
+
+def semantic_dedup(embeddings: DataFrame, threshold: float = 0.9,
+                   n_clusters: int = 16, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup (Abbas et al., 2023, arXiv:2303.09540): cluster the embedding
+    space with spherical k-means, then within each cluster keep ONE
+    representative of every near-duplicate set (pairwise cosine >=
+    ``threshold``, smallest id wins).
+
+    At 10^9 vectors each cluster is a shuffle partition and the pairwise
+    join stays local to it (see ``semantic_dup_pairs``).  Returns
+    (id, list_id, keep) — ``keep=false`` rows are the semantic duplicates
+    to drop.  Note the recall premise: SemDeDup assumes a CLUSTERED
+    semantic space; on near-random vectors the cluster partition splits
+    duplicate pairs (measured ~0.3-0.5 of the corpus-wide pair set on the
+    synthetic sf tables) — the corpus-wide alternative is
+    ``embedding_dup_pairs_lsh``.
+    """
+    assigned = _semantic_assigned(embeddings, n_clusters, id_col, vec_col)
+    dup_ids = (
+        _pairs_from_assigned(assigned, threshold)
+        .select(F.col("id_b").alias("dup_id"))
+        .distinct()
+    )
+    return assigned.join(
+        dup_ids, assigned["id"] == dup_ids["dup_id"], "left"
+    ).select("id", "list_id", F.col("dup_id").isNull().alias("keep"))

@@ -219,3 +219,37 @@ def test_embedding_lsh_cap(spark):
     cap = embedding_dup_pairs_lsh(emb, threshold=0.9, max_bucket=40).count()
     assert unc >= 80 * 79 / 2
     assert cap < 50
+
+
+def test_semantic_dedup_keep_one_per_group(spark):
+    """SemDeDup keep-one semantics: identical vectors always land in the
+    same k-means cluster, so every duplicate group keeps exactly its
+    smallest id; distinct vectors survive."""
+    from entity_extraction_svc_spark.operators.dedup import semantic_dedup
+
+    va, vb = [1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]
+    vc = [0.0, 0.0, 1.0, 1.0]
+    rows = [(0, va), (1, va), (2, va), (10, vb), (11, vb), (20, vc)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.id: r.keep for r in
+           semantic_dedup(emb, threshold=0.99, n_clusters=3).collect()}
+    assert out == {0: True, 1: False, 2: False, 10: True, 11: False, 20: True}
+
+
+def test_semantic_dup_pairs_subset_of_exact(spark):
+    """Within-cluster pairs are a subset of the corpus-wide pair set with
+    identical cosine values (the cluster bound only prunes, never invents)."""
+    from entity_extraction_svc_spark.operators.dedup import (
+        embedding_dup_pairs,
+        semantic_dup_pairs,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    exact = {(r.id_a, r.id_b): r.cos_sim
+             for r in embedding_dup_pairs(emb, threshold=0.35).collect()}
+    within = {(r.id_a, r.id_b): r.cos_sim
+              for r in semantic_dup_pairs(emb, threshold=0.35,
+                                          n_clusters=8).collect()}
+    assert set(within) <= set(exact)
+    assert all(exact[k] == v for k, v in within.items())
+    assert len(within) >= 0.25 * len(exact)
