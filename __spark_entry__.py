@@ -390,6 +390,12 @@ def _doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from entity_extraction_svc_spark.operators.textstats import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir))
+
+
 def _rel_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (
@@ -771,6 +777,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang_id": _doc_lang_id,
         "doc_fingerprint": _doc_fingerprint,
         "doc_quality_filter": _doc_quality_filter,
+        "doc_repetition": _doc_repetition,  # Gopher repetition stats
         "rel_pivot": _rel_pivot,
         "dedup_exact": _dedup_exact,
         "dedup_exact_docs": _dedup_exact_docs,
@@ -1046,6 +1053,55 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": (
             f"SELECT doc_id, md5({_NORM}) AS fp_md5, "
             f"('0x' || substr(md5({_NORM}), 1, 15))::BIGINT AS fp_int64 FROM documents"
+        ),
+        "doc_repetition": (
+            f"""
+            WITH base AS (
+              SELECT doc_id, {_TOKS} AS toks, len({_NORM}) AS n_chars
+              FROM documents
+            ),
+            g2 AS (
+              SELECT doc_id, n_chars,
+                CASE WHEN len(toks) >= 2 THEN
+                  list_transform(generate_series(1, len(toks) - 1),
+                                 i -> toks[i] || ' ' || toks[i+1])
+                ELSE [array_to_string(toks, ' ')] END AS grams
+              FROM base
+            ),
+            c2 AS (
+              SELECT doc_id, gram, count(*) AS cnt
+              FROM (SELECT doc_id, unnest(grams) AS gram FROM g2)
+              GROUP BY 1, 2
+            ),
+            t2 AS (SELECT doc_id, max(cnt * len(gram)) AS chars2 FROM c2 GROUP BY 1),
+            g5 AS (
+              SELECT doc_id,
+                CASE WHEN len(toks) >= 5 THEN
+                  list_transform(generate_series(1, len(toks) - 4),
+                                 i -> toks[i] || ' ' || toks[i+1] || ' ' ||
+                                      toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4])
+                ELSE [array_to_string(toks, ' ')] END AS grams
+              FROM base
+            ),
+            c5 AS (
+              SELECT doc_id, gram, count(*) AS cnt
+              FROM (SELECT doc_id, unnest(grams) AS gram FROM g5)
+              GROUP BY 1, 2
+            ),
+            t5 AS (
+              SELECT doc_id,
+                     sum(CASE WHEN cnt > 1 THEN cnt * len(gram) ELSE 0 END) AS chars5
+              FROM c5 GROUP BY 1
+            )
+            SELECT b.doc_id,
+                   round(coalesce(t2.chars2, 0) / greatest(b.n_chars, 1), 6)
+                     AS top_2gram_char_frac,
+                   round(coalesce(t5.chars5, 0) / greatest(b.n_chars, 1), 6)
+                     AS dup_5gram_char_frac
+            FROM base b
+            LEFT JOIN t2 ON b.doc_id = t2.doc_id
+            LEFT JOIN t5 ON b.doc_id = t5.doc_id
+            """
         ),
         "doc_quality_filter": (
             f"""

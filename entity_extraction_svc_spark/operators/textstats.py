@@ -133,3 +133,85 @@ def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         md5.alias("fp_md5"),
         F.conv(F.substring(md5, 1, 15), 16, 10).cast("long").alias("fp_int64"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition statistics (Rae et al. 2021, arXiv:2112.11446 §A1.1)
+# ---------------------------------------------------------------------------
+
+def repetition_stats(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Per-document repetition measures from the Gopher/MassiveText quality
+    rules: the character fraction covered by the MOST FREQUENT word 2-gram,
+    and the character fraction covered by DUPLICATED word 5-grams.
+
+    Execution shape is the scalable one: explode n-grams, count per
+    (doc, gram) — a wordcount-shaped shuffle with map-side partial
+    aggregation — then one per-doc aggregate.  Per-doc quadratic array
+    expressions would stay row-local but burn O(d^2) per document; the
+    relational form is linear and AQE-balanced at 100 TB.
+
+    Character accounting uses len(gram)*count (gram text includes its
+    separating spaces), normalized by the normalized-text length — the same
+    definition the DuckDB oracle reproduces.
+    """
+    from entity_extraction_svc_spark.operators.dedup import (
+        _norm_text,
+        with_shingles,
+    )
+
+    base = docs.select(
+        F.col(id_col),
+        F.length(_norm_text(text_col)).alias("_n_chars"),
+    )
+
+    def gram_frac(n: int, dup_only: bool):
+        grams = with_shingles(docs, text_col, n=n).select(
+            F.col(id_col), F.explode("_sh").alias("gram")
+        )
+        counts = grams.groupBy(id_col, "gram").agg(F.count("*").alias("cnt"))
+        chars = F.col("cnt") * F.length("gram")
+        if dup_only:
+            agg = F.sum(F.when(F.col("cnt") > 1, chars).otherwise(F.lit(0)))
+        else:
+            agg = F.max(chars)
+        return counts.groupBy(id_col).agg(agg.alias("_chars"))
+
+    top2 = gram_frac(2, dup_only=False).withColumnRenamed("_chars", "_top2")
+    dup5 = gram_frac(5, dup_only=True).withColumnRenamed("_chars", "_dup5")
+    return (
+        base.join(top2, id_col, "left")
+        .join(dup5, id_col, "left")
+        .select(
+            id_col,
+            F.round(
+                F.coalesce(F.col("_top2"), F.lit(0))
+                / F.greatest(F.col("_n_chars"), F.lit(1)),
+                6,
+            ).alias("top_2gram_char_frac"),
+            F.round(
+                F.coalesce(F.col("_dup5"), F.lit(0))
+                / F.greatest(F.col("_n_chars"), F.lit(1)),
+                6,
+            ).alias("dup_5gram_char_frac"),
+        )
+    )
+
+
+def repetition_filter(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      max_top2: float = 0.20,
+                      max_dup5: float = 0.15) -> DataFrame:
+    """Gopher repetition gate: drop documents whose most-common 2-gram
+    covers > ``max_top2`` of characters or whose duplicated 5-grams cover
+    > ``max_dup5`` (the published thresholds are 0.20 / 0.15)."""
+    stats = repetition_stats(docs, text_col, id_col)
+    return stats.select(
+        id_col,
+        "top_2gram_char_frac",
+        "dup_5gram_char_frac",
+        (
+            (F.col("top_2gram_char_frac") <= max_top2)
+            & (F.col("dup_5gram_char_frac") <= max_dup5)
+        ).alias("keep"),
+    )

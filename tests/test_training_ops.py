@@ -253,3 +253,23 @@ def test_semantic_dup_pairs_subset_of_exact(spark):
     assert set(within) <= set(exact)
     assert all(exact[k] == v for k, v in within.items())
     assert len(within) >= 0.25 * len(exact)
+
+
+def test_repetition_filter_gopher_rules(spark):
+    """A boilerplate-loop document trips both Gopher gates; normal prose
+    passes (thresholds 0.20 / 0.15, arXiv:2112.11446 A1.1)."""
+    from entity_extraction_svc_spark.operators.textstats import (
+        repetition_filter,
+    )
+
+    loop = ("click here to accept cookies " * 30).strip()
+    prose = ("the committee reviewed seventeen distinct proposals during "
+             "its autumn session and ranked each by projected cost impact "
+             "before releasing final recommendations to member states")
+    df = spark.createDataFrame(
+        [(0, loop, "en"), (1, prose, "en")],
+        "doc_id long, text string, lang string",
+    )
+    out = {r.doc_id: r for r in repetition_filter(df).collect()}
+    assert not out[0].keep and out[0].dup_5gram_char_frac > 0.9
+    assert out[1].keep and out[1].top_2gram_char_frac < 0.2
