@@ -396,6 +396,20 @@ def _doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(_docs(spark, sf_dir))
 
 
+def _doc_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hash document embeddings (vector projected to CSV for the
+    driver canonicalizer, like mm_features)."""
+    from entity_extraction_svc_spark.operators.embed import hash_embed
+
+    out = hash_embed(_docs(spark, sf_dir), dim=16)
+    return out.select(
+        "doc_id",
+        F.concat_ws(
+            ",", F.transform("embedding", lambda x: x.cast("string"))
+        ).alias("embedding_csv"),
+    )
+
+
 def _rel_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (
@@ -778,6 +792,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _doc_fingerprint,
         "doc_quality_filter": _doc_quality_filter,
         "doc_repetition": _doc_repetition,  # Gopher repetition stats
+        "doc_embed": _doc_embed,  # feature-hash embedder (docs -> vectors)
         "rel_pivot": _rel_pivot,
         "dedup_exact": _dedup_exact,
         "dedup_exact_docs": _dedup_exact_docs,
@@ -1053,6 +1068,35 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": (
             f"SELECT doc_id, md5({_NORM}) AS fp_md5, "
             f"('0x' || substr(md5({_NORM}), 1, 15))::BIGINT AS fp_int64 FROM documents"
+        ),
+        "doc_embed": (
+            f"""
+            WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            h AS (
+              SELECT doc_id,
+                     list_transform(toks, t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hs
+              FROM base
+            ),
+            raw AS (
+              SELECT doc_id,
+                     list_transform(generate_series(0, 15), j ->
+                       coalesce(list_sum(list_transform(hs, x ->
+                         CASE WHEN x % 16 = j
+                              THEN ((x >> 8) % 2) * 2.0 - 1.0
+                              ELSE 0.0 END)), 0.0)) AS r
+              FROM h
+            ),
+            n AS (
+              SELECT doc_id, r,
+                     sqrt(coalesce(list_sum(list_transform(r, v -> v * v)), 0.0)) AS nrm
+              FROM raw
+            )
+            SELECT doc_id,
+                   array_to_string(
+                     list_transform(r, v -> round(v / greatest(nrm, 1e-12), 6)::VARCHAR),
+                     ',') AS embedding_csv
+            FROM n
+            """
         ),
         "doc_repetition": (
             f"""

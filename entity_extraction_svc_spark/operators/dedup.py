@@ -495,11 +495,18 @@ def _semantic_assigned(embeddings: DataFrame, n_clusters: int,
         kmeans_centroids,
     )
 
+    from pyspark import StorageLevel
+
     C = kmeans_centroids(embeddings, n_clusters, id_col, vec_col)
     assign_udf = ivf_assign_udf(C)
-    return embeddings.select(
+    assigned = embeddings.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v")
     ).withColumn("list_id", assign_udf(F.col("v")))
+    # persist: (a) list_id becomes a join key below and Spark cannot evaluate
+    # a pandas UDF inside shuffle-key codegen when vec_col is itself a deep
+    # expression (e.g. hash_embed output); (b) the self-join would otherwise
+    # run the assignment matmul once per side
+    return assigned.persist(StorageLevel.MEMORY_AND_DISK)
 
 
 def semantic_dup_pairs(embeddings: DataFrame, threshold: float = 0.9,

@@ -273,3 +273,21 @@ def test_repetition_filter_gopher_rules(spark):
     out = {r.doc_id: r for r in repetition_filter(df).collect()}
     assert not out[0].keep and out[0].dup_5gram_char_frac > 0.9
     assert out[1].keep and out[1].top_2gram_char_frac < 0.2
+
+
+def test_hash_embed_feeds_semantic_dedup(spark):
+    """End-to-end documents -> feature-hash embeddings -> SemDeDup: exact
+    text duplicates embed identically (cos=1) and dedup to one keeper;
+    unrelated texts survive."""
+    from entity_extraction_svc_spark.operators.dedup import semantic_dedup
+    from entity_extraction_svc_spark.operators.embed import hash_embed
+
+    same = "spark shuffles partition data across executors by key"
+    rows = [(0, same, "en"), (1, same, "en"),
+            (2, "completely different sentence about gardening tulips", "en")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    emb = hash_embed(docs, dim=16, id_col="doc_id").withColumnRenamed(
+        "doc_id", "vec_id")
+    out = {r.id: r.keep for r in
+           semantic_dedup(emb, threshold=0.99, n_clusters=2).collect()}
+    assert out == {0: True, 1: False, 2: True}
