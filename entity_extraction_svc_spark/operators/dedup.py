@@ -557,6 +557,12 @@ def semantic_dedup(embeddings: DataFrame, threshold: float = 0.9,
     duplicate pairs (measured ~0.3-0.5 of the corpus-wide pair set on the
     synthetic sf tables) — the corpus-wide alternative is
     ``embedding_dup_pairs_lsh``.
+
+    Scale the cluster count WITH the corpus: per-cluster pair work is
+    quadratic, so ``n_clusters ~ n_vectors / target_cluster_size`` (the
+    paper uses ~100k clusters for LAION-scale).  The join key has exactly
+    ``n_clusters`` distinct values — too few clusters means both a skewed
+    shuffle and quadratic reducers.
     """
     assigned = _semantic_assigned(embeddings, n_clusters, id_col, vec_col)
     dup_ids = (
