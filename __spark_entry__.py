@@ -410,6 +410,47 @@ def _doc_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rel_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join: every purchase matched to the user's latest prior-or-
+    equal click (union + running-last window; one shuffle, no theta join)."""
+    from entity_extraction_svc_spark.operators.temporal import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(purchases, clicks, on=["user_id"], ts_col="ts",
+                    tie_col="event_id")
+    return out.select(
+        "event_id", "user_id",
+        F.col("r_event_id").alias("click_event_id"),
+        F.round("r_value", 4).alias("click_value"),
+    )
+
+
+def _rel_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: purchases landing inside [signup, signup + 2h) windows
+    of the same user (bucketed equi-join, not a per-key theta join)."""
+    from entity_extraction_svc_spark.operators.temporal import range_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pts = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    iv = ev.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end"),
+        F.col("event_id").alias("signup_id"),
+    )
+    return range_join(pts, iv, on=["user_id"]).select(
+        "purchase_id", "signup_id"
+    )
+
+
 def _rel_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (
@@ -794,6 +835,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": _doc_repetition,  # Gopher repetition stats
         "doc_embed": _doc_embed,  # feature-hash embedder (docs -> vectors)
         "rel_pivot": _rel_pivot,
+        "rel_asof_join": _rel_asof_join,
+        "rel_range_join": _rel_range_join,
         "dedup_exact": _dedup_exact,
         "dedup_exact_docs": _dedup_exact_docs,
         "dedup_minhash_sig": _dedup_minhash_sig,
@@ -1068,6 +1111,45 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": (
             f"SELECT doc_id, md5({_NORM}) AS fp_md5, "
             f"('0x' || substr(md5({_NORM}), 1, 15))::BIGINT AS fp_int64 FROM documents"
+        ),
+        "rel_asof_join": (
+            # same spec, independent engine: union + running last_value
+            # (IGNORE NULLS) — right rows sort before left at equal ts,
+            # largest event_id wins among equal right ts
+            """
+            WITH l AS (
+              SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+            ), r AS (
+              SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
+            ), u AS (
+              SELECT user_id, ts AS _ts, event_id AS _tie, 1 AS is_left,
+                     event_id, NULL::BIGINT AS re, NULL::DOUBLE AS rv
+              FROM l
+              UNION ALL
+              SELECT user_id, ts, event_id, 0, NULL, event_id, value FROM r
+            ), m AS (
+              SELECT *,
+                     last_value(re IGNORE NULLS) OVER w AS click_event_id,
+                     last_value(rv IGNORE NULLS) OVER w AS mv
+              FROM u
+              WINDOW w AS (PARTITION BY user_id ORDER BY _ts, is_left, _tie
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            )
+            SELECT event_id, user_id, click_event_id,
+                   round(mv, 4) AS click_value
+            FROM m WHERE is_left = 1
+            """
+        ),
+        "rel_range_join": (
+            # the naive theta join IS the oracle; the Spark side must reach
+            # the same pairs through the bucketed plan
+            """
+            SELECT p.event_id AS purchase_id, s.event_id AS signup_id
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+              ON p.user_id = s.user_id
+             AND p.ts >= s.ts AND p.ts < s.ts + INTERVAL 2 HOUR
+            """
         ),
         "doc_embed": (
             f"""

@@ -1,0 +1,103 @@
+"""Temporal joins Spark lacks as built-ins: AS-OF join and range join.
+
+Both are implemented as compositions of existing relational operators with
+the scale-safe shape (the brief's "custom operators" clause):
+
+* ``asof_join`` — for every left row, the latest right row of the same key
+  with ``right.ts <= left.ts``.  NOT a theta join (which explodes to the
+  per-key cross product before picking the max): both sides union into one
+  stream, a running ``last(ignorenulls)`` window carries the most recent
+  right payload forward, and left rows read it off.  Cost: ONE shuffle on
+  the key, linear scan per partition — the same plan at 10^12 rows.
+
+* ``range_join`` — points joined into [start, end) intervals of the same
+  key.  NOT a per-key theta join: intervals explode to the coarse time
+  buckets they overlap, points carry their single bucket, the join is an
+  equi-join on (key, bucket) and the exact range predicate filters inside
+  the bucket.  Candidate volume is bounded by bucket co-occupancy; pick
+  ``bucket_seconds`` near the typical interval length.
+
+Tie semantics (asof): among right rows sharing the latest eligible ts, the
+largest ``tie_col`` wins — deterministic, and reproduced verbatim by the
+DuckDB oracle (__spark_entry__.py rel_asof_join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: list[str],
+              ts_col: str = "ts", tie_col: str | None = None,
+              right_prefix: str = "r_") -> DataFrame:
+    """Left as-of join: every left row + the latest right row with
+    ``right.ts <= left.ts`` on the same key (null-filled when none).
+
+    Right payload columns come back prefixed with ``right_prefix``.
+    """
+    tie = tie_col or ts_col
+    payload_cols = [c for c in right.columns if c not in on]
+    r = right.select(
+        *on,
+        F.col(ts_col).alias("_ts"),
+        F.col(tie).alias("_tie"),
+        F.struct(*[F.col(c).alias(c) for c in payload_cols]).alias("_rp"),
+    ).withColumn("_is_left", F.lit(0))
+    payload_type = r.schema["_rp"].dataType
+
+    l = left.select(
+        "*",
+        F.col(ts_col).alias("_ts"),
+        F.col(tie).alias("_tie"),
+        F.lit(None).cast(payload_type).alias("_rp"),
+    ).withColumn("_is_left", F.lit(1))
+
+    u = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*on)
+        # right rows sort before left at equal ts (<= is inclusive); among
+        # equal right ts the largest tie_col lands last and wins
+        .orderBy("_ts", "_is_left", "_tie")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = u.withColumn("_match", F.last("_rp", ignorenulls=True).over(w))
+    out_cols = [c for c in left.columns]
+    return matched.filter(F.col("_is_left") == 1).select(
+        *out_cols,
+        *[
+            F.col(f"_match.{c}").alias(f"{right_prefix}{c}")
+            for c in payload_cols
+        ],
+    )
+
+
+def range_join(points: DataFrame, intervals: DataFrame, on: list[str],
+               ts_col: str = "ts", start_col: str = "start",
+               end_col: str = "end",
+               bucket_seconds: int = 3600) -> DataFrame:
+    """Inner join of point rows into [start, end) interval rows per key.
+
+    Both sides bin to ``bucket_seconds`` buckets; intervals explode to every
+    bucket they overlap, points keep their single bucket, and the exact
+    predicate filters within the equi-joined bucket — no per-key cross
+    product.  A point matches an interval in exactly one shared bucket (its
+    own), so no dedup is needed.
+    """
+    b = F.lit(bucket_seconds)
+    p = points.withColumn(
+        "_bucket", F.floor(F.unix_timestamp(F.col(ts_col)) / b)
+    )
+    iv = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col(start_col)) / b),
+                F.floor(F.unix_timestamp(F.col(end_col)) / b),
+            )
+        ),
+    )
+    joined = p.join(iv, on + ["_bucket"]).filter(
+        (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
+    )
+    return joined.drop("_bucket")

@@ -1,0 +1,107 @@
+"""AS-OF and range joins: brute-force oracles, tie and boundary semantics."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from entity_extraction_svc_spark.operators.temporal import asof_join, range_join
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _ts(minutes):
+    return T0 + dt.timedelta(minutes=minutes)
+
+
+@pytest.fixture(scope="module")
+def streams(spark):
+    left = spark.createDataFrame(
+        [(1, 1, _ts(10)), (2, 1, _ts(30)), (3, 2, _ts(5)), (4, 3, _ts(50))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (101, 1, _ts(10), 1.0),   # equal ts: <= is inclusive
+            (102, 1, _ts(10), 2.0),   # tie at same ts: larger event_id wins
+            (103, 1, _ts(20), 3.0),
+            (104, 2, _ts(6), 4.0),    # after the only left row of user 2
+        ],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    return left, right
+
+
+def test_asof_semantics(streams):
+    left, right = streams
+    out = {
+        r.event_id: (r.r_event_id, r.r_value)
+        for r in asof_join(left, right, on=["user_id"], ts_col="ts",
+                           tie_col="event_id").collect()
+    }
+    assert out[1] == (102, 2.0)    # inclusive + largest-id tie-break
+    assert out[2] == (103, 3.0)    # latest prior
+    assert out[3] == (None, None)  # right row is in the future
+    assert out[4] == (None, None)  # user has no right rows
+    assert len(out) == 4           # left-join: every left row survives
+
+
+def test_asof_matches_bruteforce(spark):
+    """Randomized check vs the quadratic definition."""
+    import random
+
+    rng = random.Random(7)
+    lrows = [(i, rng.randrange(5), _ts(rng.randrange(200))) for i in range(60)]
+    rrows = [(1000 + i, rng.randrange(5), _ts(rng.randrange(200)),
+              float(i)) for i in range(80)]
+    left = spark.createDataFrame(lrows, "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        rrows, "event_id long, user_id long, ts timestamp, value double")
+    got = {
+        r.event_id: r.r_event_id
+        for r in asof_join(left, right, on=["user_id"], ts_col="ts",
+                           tie_col="event_id").collect()
+    }
+    for eid, u, ts in lrows:
+        elig = [(rts, rid) for rid, ru, rts, _v in rrows if ru == u and rts <= ts]
+        expect = max(elig)[1] if elig else None
+        assert got[eid] == expect, (eid, got[eid], expect)
+
+
+def test_range_join_boundaries(spark):
+    pts = spark.createDataFrame(
+        [(1, 1, _ts(0)), (2, 1, _ts(59)), (3, 1, _ts(60)), (4, 2, _ts(30))],
+        "pid long, user_id long, ts timestamp",
+    )
+    iv = spark.createDataFrame(
+        [(10, 1, _ts(0), _ts(60))],
+        "iid long, user_id long, start timestamp, end timestamp",
+    )
+    got = {(r.pid, r.iid) for r in
+           range_join(pts, iv, on=["user_id"], bucket_seconds=600).collect()}
+    # [start, end): start inclusive, end exclusive; key must match
+    assert got == {(1, 10), (2, 10)}
+
+
+def test_range_join_bucket_size_invariant(spark):
+    """The bucket width is a performance knob, never a semantics knob."""
+    import random
+
+    rng = random.Random(3)
+    pts = spark.createDataFrame(
+        [(i, rng.randrange(3), _ts(rng.randrange(500))) for i in range(80)],
+        "pid long, user_id long, ts timestamp",
+    )
+    iv = spark.createDataFrame(
+        [(100 + i, rng.randrange(3), _ts(s := rng.randrange(400)),
+          _ts(s + rng.randrange(1, 120))) for i in range(20)],
+        "iid long, user_id long, start timestamp, end timestamp",
+    )
+    res = [
+        {(r.pid, r.iid) for r in
+         range_join(pts, iv, on=["user_id"], bucket_seconds=bs).collect()}
+        for bs in (60, 3600, 86400)
+    ]
+    assert res[0] == res[1] == res[2]
