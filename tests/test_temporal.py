@@ -105,3 +105,16 @@ def test_range_join_bucket_size_invariant(spark):
         for bs in (60, 3600, 86400)
     ]
     assert res[0] == res[1] == res[2]
+
+
+def test_asof_plan_single_shuffle(spark):
+    """The as-of plan must have exactly ONE Exchange (the key shuffle) —
+    the property that distinguishes it from a theta-join formulation."""
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts")
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value")
+    out = asof_join(p, c, on=["user_id"], ts_col="ts", tie_col="event_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
