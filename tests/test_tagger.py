@@ -398,3 +398,21 @@ def test_two_headed_staged_detect_mentions(spark, fixture_dir):
     }
     assert ("mona lisa", "WORK_OF_ART") in got
     assert ("paris", "GPE") in got and ("louvre", "FAC") in got
+
+
+def test_merge_markups_use_o_tag():
+    """use_o_tag=True: the types head's column 0 is an O column skipped in
+    the per-tag accumulation (tags_list excludes O, k runs from 1)."""
+    # with O column: [p_O, p_PER, p_LOC, p_ORG]
+    out = merge_markups_text(
+        ["Paris"], [[0.1, 0.2, 0.65, 0.05]], ["B-LOC"], FINE,
+        use_o_tag=True, stopwords={"the"},
+    )
+    assert out["entities"] == ["Paris"]
+    assert out["tags"] == ["LOC"] and out["probas"] == [0.65]
+    # same distribution WITHOUT the O column must give the same result
+    # via the default path (alignment check)
+    out2 = merge_markups_text(
+        ["Paris"], [[0.2, 0.65, 0.05]], ["B-LOC"], FINE, stopwords={"the"},
+    )
+    assert out2["tags"] == out["tags"] and out2["probas"] == out["probas"]
