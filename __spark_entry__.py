@@ -451,6 +451,34 @@ def _rel_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _web_url_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from entity_extraction_svc_spark.fixtures import ensure_fixtures
+    from entity_extraction_svc_spark.operators.textstats import url_parts
+
+    ensure_fixtures(FIXTURES)
+    pages = spark.read.parquet(f"{FIXTURES}/pages.parquet")
+    return url_parts(pages)
+
+
+def _web_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from entity_extraction_svc_spark.fixtures import ensure_fixtures
+    from entity_extraction_svc_spark.operators.textstats import cap_per_domain
+
+    ensure_fixtures(FIXTURES)
+    pages = spark.read.parquet(f"{FIXTURES}/pages.parquet")
+    return cap_per_domain(pages, max_per_domain=50).select(
+        "url", "domain", "domain_rank"
+    )
+
+
+def _rel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.rollup("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
 def _rel_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (
@@ -837,6 +865,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_pivot": _rel_pivot,
         "rel_asof_join": _rel_asof_join,
         "rel_range_join": _rel_range_join,
+        "rel_rollup": _rel_rollup,
+        "web_url_parts": _web_url_parts,
+        "web_domain_cap": _web_domain_cap,
         "dedup_exact": _dedup_exact,
         "dedup_exact_docs": _dedup_exact_docs,
         "dedup_minhash_sig": _dedup_minhash_sig,
@@ -1111,6 +1142,50 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": (
             f"SELECT doc_id, md5({_NORM}) AS fp_md5, "
             f"('0x' || substr(md5({_NORM}), 1, 15))::BIGINT AS fp_int64 FROM documents"
+        ),
+        "rel_rollup": (
+            "SELECT lang, source, count(*) AS n_docs, "
+            "CAST(sum(n_chars) AS BIGINT) AS sum_chars "
+            "FROM documents GROUP BY ROLLUP (lang, source)"
+        ),
+        "web_url_parts": (
+            f"""
+            WITH p AS (SELECT url FROM read_parquet('{fx}/pages.parquet')),
+            h AS (
+              SELECT url,
+                     regexp_extract(lower(url), '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS host,
+                     regexp_extract(lower(url), '^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path
+              FROM p
+            )
+            SELECT url, host,
+                   CASE WHEN len(string_split(host, '.')) >= 2 THEN
+                     string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1]
+                   ELSE host END AS domain,
+                   path
+            FROM h
+            """
+        ),
+        "web_domain_cap": (
+            f"""
+            WITH p AS (SELECT url FROM read_parquet('{fx}/pages.parquet')),
+            h AS (
+              SELECT url,
+                     regexp_extract(lower(url), '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS host
+              FROM p
+            ), d AS (
+              SELECT url,
+                     CASE WHEN len(string_split(host, '.')) >= 2 THEN
+                       string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1]
+                     ELSE host END AS domain
+              FROM h
+            ), r AS (
+              SELECT url, domain,
+                     row_number() OVER (PARTITION BY domain ORDER BY url) AS domain_rank
+              FROM d
+            )
+            SELECT url, domain, CAST(domain_rank AS INT) AS domain_rank
+            FROM r WHERE domain_rank <= 50
+            """
         ),
         "rel_asof_join": (
             # same spec, independent engine: union + running last_value

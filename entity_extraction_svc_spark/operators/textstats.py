@@ -215,3 +215,50 @@ def repetition_filter(docs: DataFrame, text_col: str = "text",
             & (F.col("dup_5gram_char_frac") <= max_dup5)
         ).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# web-corpus hygiene: URL parsing + per-domain caps
+# ---------------------------------------------------------------------------
+
+URL_HOST_RE = r"^[a-z][a-z0-9+.-]*://([^/?#]+)"
+URL_PATH_RE = r"^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)"
+
+
+def url_parts(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """host / registered-domain-ish suffix / path as column expressions
+    (regexp in codegen — the DuckDB oracle uses the identical patterns)."""
+    host = F.regexp_extract(F.lower(F.col(url_col)), URL_HOST_RE, 1)
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    domain = F.when(
+        n >= 2,
+        F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1)),
+    ).otherwise(host)
+    return pages.select(
+        F.col(url_col),
+        host.alias("host"),
+        domain.alias("domain"),
+        F.regexp_extract(F.lower(F.col(url_col)), URL_PATH_RE, 1).alias("path"),
+    )
+
+
+def cap_per_domain(pages: DataFrame, max_per_domain: int,
+                   url_col: str = "url",
+                   order_col: str | None = None) -> DataFrame:
+    """Keep at most ``max_per_domain`` pages per registered domain — the
+    standard crawl-balance step (one boilerplate-heavy host must not
+    dominate the training mix).  Deterministic: rank by ``order_col``
+    (default: the url itself) within domain; one shuffle on domain with the
+    same AQE skew handling every windowed op gets.
+    """
+    from pyspark.sql.window import Window
+
+    parts = url_parts(pages.select(url_col), url_col)
+    w = Window.partitionBy("domain").orderBy(order_col or url_col)
+    keep = (
+        parts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= max_per_domain)
+        .select(url_col, "domain", F.col("rnk").alias("domain_rank"))
+    )
+    return pages.join(keep, url_col)

@@ -291,3 +291,31 @@ def test_hash_embed_feeds_semantic_dedup(spark):
     out = {r.id: r.keep for r in
            semantic_dedup(emb, threshold=0.99, n_clusters=2).collect()}
     assert out == {0: True, 1: False, 2: True}
+
+
+def test_cap_per_domain_multi_domain(spark):
+    """Crawl-balance cap: a boilerplate-heavy host keeps only its first K
+    pages; small domains are untouched; registered-domain grouping unifies
+    subdomains."""
+    from entity_extraction_svc_spark.operators.textstats import (
+        cap_per_domain,
+        url_parts,
+    )
+
+    rows = (
+        [(f"https://spam.example.com/p{i:03d}", "x") for i in range(30)]
+        + [(f"https://www.example.com/q{i:03d}", "x") for i in range(30)]
+        + [("https://tiny.org/only", "y")]
+    )
+    pages = spark.createDataFrame(rows, "url string, text string")
+    kept = cap_per_domain(pages, max_per_domain=10).collect()
+    by_dom = {}
+    for r in kept:
+        by_dom.setdefault(r.domain, []).append(r.url)
+    # subdomains share the registered domain -> ONE cap across both hosts
+    assert len(by_dom["example.com"]) == 10
+    assert by_dom["tiny.org"] == ["https://tiny.org/only"]
+    parts = {r.url: (r.host, r.domain, r.path)
+             for r in url_parts(pages).collect()}
+    assert parts["https://tiny.org/only"] == ("tiny.org", "tiny.org", "/only")
+    assert parts["https://spam.example.com/p000"][1] == "example.com"
