@@ -20,10 +20,13 @@ import time
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description="KG-construction pipeline runner")
-    ap.add_argument("--pages", required=True, help="pages table path (parquet)")
+    ap.add_argument("--pages", required=True,
+                    help="pages table path (parquet) or WARC glob with --format warc")
     ap.add_argument("--kb", required=True, help="KB dir (kb_entities/kb_aliases/kb_triples/gazetteer parquet)")
     ap.add_argument("--out", required=True, help="output dir (triples/lineage/metrics)")
     ap.add_argument("--source", default="html", choices=["html", "text"])
+    ap.add_argument("--format", default="parquet", choices=["parquet", "warc"],
+                    help="pages input format (warc = Common-Crawl segments)")
     ap.add_argument("--resume", action="store_true",
                     help="checkpointed run: skip urls already in the lineage table")
     ap.add_argument("--max-docs", type=int, default=None)
@@ -47,7 +50,12 @@ def main(argv: list[str] | None = None) -> int:
         from entity_extraction_svc_spark.plans.fused import build_fused
         from entity_extraction_svc_spark.operators.triples import write_triples
 
-        pages = spark.read.parquet(args.pages)
+        if args.format == "warc":
+            from entity_extraction_svc_spark.sources.warc import read_warc
+
+            pages = read_warc(spark, args.pages)
+        else:
+            pages = spark.read.parquet(args.pages)
         if args.max_docs:
             pages = pages.limit(args.max_docs)
         linked, triples = build_fused(spark, pages, args.kb, source=args.source)
