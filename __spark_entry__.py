@@ -471,6 +471,18 @@ def _web_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rel_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column handling: JSON props parsed in codegen
+    (get_json_object) and aggregated per event_type."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.round(F.avg(k), 4).alias("avg_k"),
+    )
+
+
 def _rel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return docs.rollup("lang", "source").agg(
@@ -866,6 +878,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_asof_join": _rel_asof_join,
         "rel_range_join": _rel_range_join,
         "rel_rollup": _rel_rollup,
+        "rel_json_extract": _rel_json_extract,
         "web_url_parts": _web_url_parts,
         "web_domain_cap": _web_domain_cap,
         "dedup_exact": _dedup_exact,
@@ -1142,6 +1155,12 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": (
             f"SELECT doc_id, md5({_NORM}) AS fp_md5, "
             f"('0x' || substr(md5({_NORM}), 1, 15))::BIGINT AS fp_int64 FROM documents"
+        ),
+        "rel_json_extract": (
+            "SELECT event_type, count(*) AS n, "
+            "CAST(sum(json_extract(props, '$.k')::BIGINT) AS BIGINT) AS sum_k, "
+            "round(avg(json_extract(props, '$.k')::BIGINT), 4) AS avg_k "
+            "FROM events GROUP BY event_type"
         ),
         "rel_rollup": (
             "SELECT lang, source, count(*) AS n_docs, "
