@@ -206,10 +206,16 @@ def test_merge_markups_invariants(tokens_types_spans, misc_thres):
 
 
 @settings(max_examples=50, deadline=None)
-@given(st.lists(st.floats(-1, 1, allow_nan=False, width=32),
+@given(st.lists(st.integers(-64, 64).map(lambda i: i / 64),
                 min_size=8, max_size=8))
 def test_rp_signature_python_matches_definition(vec):
-    """Driver-side query signature == the documented sign-of-dot rule."""
+    """Driver-side query signature == the documented sign-of-dot rule.
+
+    Components are exact dyadic rationals so serial and SIMD summation
+    agree bit-for-bit — the property pins the bit-packing logic, not float
+    associativity (a sign(0)-boundary denormal can legitimately flip under
+    reordering; index build and probe both use the same numpy matmul, so
+    they stay mutually consistent either way)."""
     from entity_extraction_svc_spark.operators.annindex import (
         _planes,
         rp_sig_of,
