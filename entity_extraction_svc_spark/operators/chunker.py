@@ -66,11 +66,15 @@ def _sent_tokenize(piece: str) -> list[str]:
     return [s for s in _SENT_SPLIT.split(piece) if s]
 
 
-def chunk_doc(doc: str) -> list[tuple[str, list[str], list[tuple[int, int]]]]:
+def chunk_doc(doc: str, subword_len=None) -> list[tuple[str, list[str], list[tuple[int, int]]]]:
     """ner_chunker.py:70-170 for a single doc.
 
     Returns [(chunk_text, sentences, sentences_offsets), ...].
+    ``subword_len``: token -> subword count for the 300-budget packing (N2);
+    default is the deterministic proxy, a real tagger's tokenizer plugs in
+    via the model seam (tagger.subword_len, wired by the fused plan).
     """
+    _slen = subword_len or _subword_len
     for old_symb, new_symb in htmltext.UNPROCESSABLE_CHAR_MAP:
         doc = doc.replace(old_symb, new_symb)
     # embedded-HTML sniffing (H6); the lxml/xml branch degrades to the same
@@ -97,7 +101,7 @@ def chunk_doc(doc: str) -> list[tuple[str, list[str], list[tuple[int, int]]]]:
             sentences += _sent_tokenize(doc_piece)
         for sentence in sentences:
             sentence_tokens = RE_TOKENIZER.findall(sentence)
-            sentence_len = sum(_subword_len(tok) for tok in sentence_tokens)
+            sentence_len = sum(_slen(tok) for tok in sentence_tokens)
             if cur_len + sentence_len < MAX_SEQ_LEN:
                 text += f"{sentence} "
                 cur_len += sentence_len
@@ -126,7 +130,7 @@ def chunk_doc(doc: str) -> list[tuple[str, list[str], list[tuple[int, int]]]]:
                     sentences_list = []
                     for chunk in sentence.split(" "):
                         chunk_tokens = RE_TOKENIZER.findall(chunk)
-                        chunk_len = sum(_subword_len(tok) for tok in chunk_tokens)
+                        chunk_len = sum(_slen(tok) for tok in chunk_tokens)
                         if cur_len + chunk_len < MAX_SEQ_LEN:
                             text += f"{chunk} "
                             cur_len += chunk_len + 1

@@ -258,6 +258,19 @@ class HFTokenTagger:
         self.tags_init = tags
         return tok, model, order
 
+    def subword_len(self, token: str) -> int:
+        """N2: real subword count for the chunker's 300-budget packing
+        (replaces the deterministic proxy when this tagger is selected).
+        Memoized per process — web tokens are Zipfian."""
+        cache = getattr(self, "_sub_cache", None)
+        if cache is None:
+            cache = self._sub_cache = {}
+        n = cache.get(token)
+        if n is None:
+            tok, _model, _order = self._ensure()
+            n = cache[token] = max(1, len(tok.tokenize(token)))
+        return n
+
     def tag_batch(self, texts: list[str]) -> list[TaggedText]:
         tok, model, order = self._ensure()  # raises the honest gate w/o torch
         import torch

@@ -57,13 +57,14 @@ def _fine_tag_lookup(gaz_rows: list[dict]) -> dict[str, str]:
     return {k: v[1] for k, v in best.items()}
 
 
-def _chunk_doc_for_tagging(text: str, texts_flat: list[str]):
+def _chunk_doc_for_tagging(text: str, texts_flat: list[str],
+                           subword_len=None):
     """Chunk one doc, append the (soft-hyphen-stripped) chunk texts to the
     batch-wide ``texts_flat`` accumulator, and return per-chunk metadata
     (flat index, doc offset shift, sentences, sentence offsets)."""
     metas = []
     shift = 0
-    for chunk_text, sents, soffs in chunk_doc(text):
+    for chunk_text, sents, soffs in chunk_doc(text, subword_len):
         metas.append((len(texts_flat), shift, sents, soffs))
         texts_flat.append(chunk_text.replace("\xad", " "))  # H7
         shift += len(chunk_text) + 1
@@ -122,7 +123,8 @@ def link_page(d, tagger, fine_lookup: dict[str, str],
     if not text:
         return []
     texts_flat: list[str] = []
-    metas = _chunk_doc_for_tagging(text, texts_flat)
+    metas = _chunk_doc_for_tagging(text, texts_flat,
+                                   getattr(tagger, "subword_len", None))
     tagged = tagger.tag_batch(texts_flat)
     return _assemble_doc(d, tagger, fine_lookup, url, text, metas, tagged, lang)
 
@@ -146,6 +148,8 @@ def fused_link(pages: DataFrame, tagger_bc, dicts_bc, fine_bc,
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         d = dicts_bc.value
         tagger = tagger_bc.value
+        # N2: a real tagger's tokenizer drives the 300-subword chunk budget
+        slen = getattr(tagger, "subword_len", None)
         fine_lookup: dict[str, str] = fine_bc.value
         out_cols = ["url", "mention_id", "substr", "start", "end", "rank", "qid",
                     "conf", "page", "ent_tag", "substr_score", "num_rels",
@@ -164,7 +168,7 @@ def fused_link(pages: DataFrame, tagger_bc, dicts_bc, fine_bc,
                 if not text:
                     continue
                 docs.append((url, text, lang or "en",
-                             _chunk_doc_for_tagging(text, texts_flat)))
+                             _chunk_doc_for_tagging(text, texts_flat, slen)))
             tagged = tagger.tag_batch(texts_flat)  # one model call per batch
             rows: list[dict] = []
             for url, text, lang, metas in docs:

@@ -416,3 +416,17 @@ def test_merge_markups_use_o_tag():
         ["Paris"], [[0.2, 0.65, 0.05]], ["B-LOC"], FINE, stopwords={"the"},
     )
     assert out2["tags"] == out["tags"] and out2["probas"] == out["probas"]
+
+
+def test_subword_budget_pluggable():
+    """N2: the chunk-packing budget accepts a model tokenizer's subword
+    counter; an aggressive counter forces more, smaller chunks while the
+    reassembled text stays identical."""
+    from entity_extraction_svc_spark.operators.chunker import chunk_doc
+
+    text = ". ".join(f"sentence number {i} with several words" for i in range(40)) + "."
+    default = chunk_doc(text)
+    fat = chunk_doc(text, subword_len=lambda tok: 40)  # every token is huge
+    assert len(fat) > len(default)
+    join = lambda chunks: " ".join(c for c, _s, _o in chunks)
+    assert join(fat) == join(default)
