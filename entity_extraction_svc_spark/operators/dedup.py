@@ -488,62 +488,138 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
 # semantic dedup (SemDeDup-style: k-means clusters bound the pairwise work)
 # ---------------------------------------------------------------------------
 
-def _semantic_assigned(embeddings: DataFrame, n_clusters: int,
-                       id_col: str, vec_col: str) -> DataFrame:
+DEFAULT_CLUSTER_SIZE = 1024
+
+
+def semantic_assign(embeddings: DataFrame, n_clusters: int | None = None,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    target_cluster_size: int = DEFAULT_CLUSTER_SIZE) -> DataFrame:
+    """Cluster assignment for SemDeDup, returned PERSISTED (MEMORY_AND_DISK).
+
+    The caller owns the lifetime: reuse one assigned frame for both
+    ``semantic_dup_pairs`` and ``semantic_dedup`` (one k-means fit, one
+    assignment matmul), then ``.unpersist()`` after the consuming action.
+
+    ``n_clusters=None`` (the default) derives the cluster count from the
+    corpus: ``max(16, ceil(n / target_cluster_size))`` — per-cluster pair
+    work is quadratic in cluster size, so the count MUST grow with n (the
+    SemDeDup paper uses ~100k clusters at LAION scale).  The count() this
+    costs is one metadata-cheap scan; pass an explicit ``n_clusters`` to
+    skip it when the size is known.
+
+    Persist rationale: (a) list_id becomes a join key below and Spark
+    cannot evaluate a pandas UDF inside shuffle-key codegen when vec_col is
+    itself a deep expression (e.g. hash_embed output); (b) the self-join
+    would otherwise run the assignment matmul once per side.
+    """
+    import math
+
+    from pyspark import StorageLevel
+
     from entity_extraction_svc_spark.operators.annindex import (
         ivf_assign_udf,
         kmeans_centroids,
     )
 
-    from pyspark import StorageLevel
-
+    if n_clusters is None:
+        n = embeddings.count()
+        n_clusters = max(16, math.ceil(n / max(target_cluster_size, 1)))
     C = kmeans_centroids(embeddings, n_clusters, id_col, vec_col)
     assign_udf = ivf_assign_udf(C)
     assigned = embeddings.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v")
     ).withColumn("list_id", assign_udf(F.col("v")))
-    # persist: (a) list_id becomes a join key below and Spark cannot evaluate
-    # a pandas UDF inside shuffle-key codegen when vec_col is itself a deep
-    # expression (e.g. hash_embed output); (b) the self-join would otherwise
-    # run the assignment matmul once per side
     return assigned.persist(StorageLevel.MEMORY_AND_DISK)
 
 
-def semantic_dup_pairs(embeddings: DataFrame, threshold: float = 0.9,
-                       n_clusters: int = 16, id_col: str = "vec_id",
-                       vec_col: str = "embedding") -> DataFrame:
+def semantic_dup_pairs(embeddings: DataFrame | None = None,
+                       threshold: float = 0.9,
+                       n_clusters: int | None = None, id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       assigned: DataFrame | None = None,
+                       n_blocks: int = 1) -> DataFrame:
     """Within-cluster near-duplicate pairs (the SemDeDup candidate set):
     k-means cluster assignment bounds the quadratic term — pairwise cosine
     runs per cluster (a self-join on ``list_id``), never corpus-wide.
-    Returns (id_a, id_b, cos_sim, list_id)."""
-    assigned = _semantic_assigned(embeddings, n_clusters, id_col, vec_col)
-    return _pairs_from_assigned(assigned, threshold)
+    Returns (id_a, id_b, cos_sim, list_id).
+
+    Pass ``assigned=semantic_assign(...)`` to share one fit+assignment with
+    ``semantic_dedup``; otherwise it is computed (and left persisted) here.
+    """
+    if assigned is None:
+        assigned = semantic_assign(embeddings, n_clusters, id_col, vec_col)
+    return _pairs_from_assigned(assigned, threshold, n_blocks)
 
 
-def _pairs_from_assigned(assigned: DataFrame, threshold: float) -> DataFrame:
+def _pairs_from_assigned(assigned: DataFrame, threshold: float,
+                         n_blocks: int = 1) -> DataFrame:
+    """Self-join within list_id.  ``n_blocks > 1`` adds a block-salt for
+    skewed clusters: each row lands in block ``xxhash64(id) % B``, the join
+    key becomes (list_id, block_i, block_j) with i <= j — same pair set,
+    B(B+1)/2 times more join cells per cluster, so one hot cluster no
+    longer serializes on a single reducer (the triples_per_subject(salt=)
+    trick adapted to a self-join)."""
     from entity_extraction_svc_spark.operators.simsearch import cosine
 
-    l, r = assigned.alias("l"), assigned.alias("r")
-    return (
-        l.join(
+    if n_blocks > 1:
+        b = F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)).cast("int")
+        blocked = assigned.withColumn("_b", b)
+        # left row in block i joins cells (i, j) for j in i..B-1; right row
+        # in block j joins cells (i, j) for i in 0..j — each unordered block
+        # pair is enumerated exactly once
+        l = blocked.withColumn(
+            "_cell",
+            F.explode(F.sequence(F.col("_b"), F.lit(n_blocks - 1))),
+        ).select(
+            F.col("id"), F.col("v"), F.col("list_id"),
+            F.col("_b").alias("_bi"), F.col("_cell").alias("_bj"),
+        ).alias("l")
+        r = blocked.withColumn(
+            "_cell", F.explode(F.sequence(F.lit(0), F.col("_b")))
+        ).select(
+            F.col("id"), F.col("v"), F.col("list_id"),
+            F.col("_cell").alias("_bi"), F.col("_b").alias("_bj"),
+        ).alias("r")
+        # diagonal cells (i == j) hold one block on both sides -> order by
+        # id as usual; off-diagonal cells hold two DISJOINT blocks -> every
+        # cross pair appears exactly once regardless of id order, so take
+        # them all and normalize the output ordering with least/greatest
+        joined = l.join(
+            r,
+            (F.col("l.list_id") == F.col("r.list_id"))
+            & (F.col("l._bi") == F.col("r._bi"))
+            & (F.col("l._bj") == F.col("r._bj"))
+            & (F.col("l.id") != F.col("r.id"))
+            & (
+                (F.col("l._bi") != F.col("l._bj"))
+                | (F.col("l.id") < F.col("r.id"))
+            ),
+        )
+    else:
+        l, r = assigned.alias("l"), assigned.alias("r")
+        joined = l.join(
             r,
             (F.col("l.list_id") == F.col("r.list_id"))
             & (F.col("l.id") < F.col("r.id")),
         )
-        .withColumn("cos_sim", cosine(F.col("l.v"), F.col("r.v")))
+    return (
+        joined.withColumn("cos_sim", cosine(F.col("l.v"), F.col("r.v")))
         .filter(F.col("cos_sim") >= threshold)
         .select(
-            F.col("l.id").alias("id_a"),
-            F.col("r.id").alias("id_b"),
+            F.least(F.col("l.id"), F.col("r.id")).alias("id_a"),
+            F.greatest(F.col("l.id"), F.col("r.id")).alias("id_b"),
             F.round("cos_sim", 6).alias("cos_sim"),
             F.col("l.list_id").alias("list_id"),
         )
     )
 
 
-def semantic_dedup(embeddings: DataFrame, threshold: float = 0.9,
-                   n_clusters: int = 16, id_col: str = "vec_id",
-                   vec_col: str = "embedding") -> DataFrame:
+def semantic_dedup(embeddings: DataFrame | None = None,
+                   threshold: float = 0.9,
+                   n_clusters: int | None = None, id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   assigned: DataFrame | None = None,
+                   n_blocks: int = 1) -> DataFrame:
     """SemDeDup (Abbas et al., 2023, arXiv:2303.09540): cluster the embedding
     space with spherical k-means, then within each cluster keep ONE
     representative of every near-duplicate set (pairwise cosine >=
@@ -558,15 +634,15 @@ def semantic_dedup(embeddings: DataFrame, threshold: float = 0.9,
     synthetic sf tables) — the corpus-wide alternative is
     ``embedding_dup_pairs_lsh``.
 
-    Scale the cluster count WITH the corpus: per-cluster pair work is
-    quadratic, so ``n_clusters ~ n_vectors / target_cluster_size`` (the
-    paper uses ~100k clusters for LAION-scale).  The join key has exactly
-    ``n_clusters`` distinct values — too few clusters means both a skewed
-    shuffle and quadratic reducers.
+    The cluster count scales WITH the corpus by default (see
+    ``semantic_assign``); pass ``assigned=`` to share one fit across the
+    pair set and the keep flags, and ``n_blocks`` to salt skewed clusters.
     """
-    assigned = _semantic_assigned(embeddings, n_clusters, id_col, vec_col)
+    owns = assigned is None
+    if owns:
+        assigned = semantic_assign(embeddings, n_clusters, id_col, vec_col)
     dup_ids = (
-        _pairs_from_assigned(assigned, threshold)
+        _pairs_from_assigned(assigned, threshold, n_blocks)
         .select(F.col("id_b").alias("dup_id"))
         .distinct()
     )

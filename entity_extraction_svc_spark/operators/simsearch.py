@@ -47,6 +47,11 @@ def cosine_topk(embeddings: DataFrame, query_id: int, k: int = 10,
                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Brute-force top-k by cosine against the vector with ``query_id``.
 
+    BASELINE ONLY: this scans the full corpus per query — it exists as the
+    exact ground truth for the annindex recall contracts.  Production
+    probes belong on ``operators.annindex`` (prebuilt, partition-pruned,
+    batched).
+
     The query vector is a one-row broadcast (crossJoin with a broadcast hint
     — no shuffle of the big side); scoring is a narrow map; the final top-k
     is a TakeOrdered, not a full sort.
@@ -104,6 +109,11 @@ def lsh_ann_topk(embeddings: DataFrame, query_id: int, k: int = 10,
     """ANN top-k: restrict exact scoring to vectors whose random-hyperplane
     signature is within ``probe_hamming`` of the query's (multi-probe LSH).
 
+    BASELINE ONLY: recomputes every signature per query (scan-per-query
+    shape) — kept as the self-contained correctness reference.  Production
+    probes belong on ``operators.annindex.batch_probe_rp`` (prebuilt
+    rp_sig-partitioned index, Hamming-ball partition pruning).
+
     At scale the table is pre-partitioned/bucketed by signature so a probe
     touches only ~(1 + bits) / 2^bits of the data; here the signature is
     computed on the fly and the filter happens before any scoring work.
@@ -136,7 +146,11 @@ def centroid_ivf_topk(embeddings: DataFrame, query_id: int, k: int = 10,
                       n_lists: int = 16, n_probe: int = 4) -> DataFrame:
     """IVF-flat ANN: assign every vector to its nearest of ``n_lists``
     deterministic pseudo-random centroids (coarse quantizer), score only the
-    ``n_probe`` lists nearest to the query.
+    ``n_probe`` lists nearest the query.
+
+    BASELINE ONLY: re-assigns the corpus per query — production probes
+    belong on ``operators.annindex.batch_probe_ivf`` (prebuilt
+    list_id-partitioned index, k-means centroids, n_probe pruning).
 
     The list id is the natural partition/bucket key at scale — a probe reads
     n_probe/n_lists of the corpus.  Centroids here are seeded unit vectors;

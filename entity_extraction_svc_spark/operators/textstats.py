@@ -173,9 +173,19 @@ def repetition_stats(docs: DataFrame, text_col: str = "text",
         chars = F.col("cnt") * F.length("gram")
         if dup_only:
             agg = F.sum(F.when(F.col("cnt") > 1, chars).otherwise(F.lit(0)))
-        else:
-            agg = F.max(chars)
-        return counts.groupBy(id_col).agg(agg.alias("_chars"))
+            return counts.groupBy(id_col).agg(agg.alias("_chars"))
+        # the Gopher rule is the coverage of the MOST FREQUENT 2-gram, not
+        # max(cnt*len) over all grams (a long once-occurring gram must not
+        # out-score a short high-count one): pick the gram by max count with
+        # a deterministic (cnt, len, gram) tie-break, then use ITS cnt*len
+        top = F.max(
+            F.struct(
+                F.col("cnt"), F.length("gram").alias("glen"), F.col("gram")
+            )
+        )
+        return counts.groupBy(id_col).agg(top.alias("_t")).select(
+            id_col, (F.col("_t.cnt") * F.col("_t.glen")).alias("_chars")
+        )
 
     top2 = gram_frac(2, dup_only=False).withColumnRenamed("_chars", "_top2")
     dup5 = gram_frac(5, dup_only=True).withColumnRenamed("_chars", "_dup5")
@@ -225,9 +235,12 @@ URL_HOST_RE = r"^[a-z][a-z0-9+.-]*://([^/?#]+)"
 URL_PATH_RE = r"^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)"
 
 
-def url_parts(pages: DataFrame, url_col: str = "url") -> DataFrame:
+def url_parts(pages: DataFrame, url_col: str = "url",
+              extra_cols: tuple[str, ...] = ()) -> DataFrame:
     """host / registered-domain-ish suffix / path as column expressions
-    (regexp in codegen — the DuckDB oracle uses the identical patterns)."""
+    (regexp in codegen — the DuckDB oracle uses the identical patterns).
+    ``extra_cols`` ride along through the projection (cap_per_domain needs
+    its order column to survive)."""
     host = F.regexp_extract(F.lower(F.col(url_col)), URL_HOST_RE, 1)
     parts = F.split(host, r"\.")
     n = F.size(parts)
@@ -240,6 +253,7 @@ def url_parts(pages: DataFrame, url_col: str = "url") -> DataFrame:
         host.alias("host"),
         domain.alias("domain"),
         F.regexp_extract(F.lower(F.col(url_col)), URL_PATH_RE, 1).alias("path"),
+        *[F.col(c) for c in extra_cols],
     )
 
 
@@ -254,8 +268,12 @@ def cap_per_domain(pages: DataFrame, max_per_domain: int,
     """
     from pyspark.sql.window import Window
 
-    parts = url_parts(pages.select(url_col), url_col)
-    w = Window.partitionBy("domain").orderBy(order_col or url_col)
+    extras = (order_col,) if order_col and order_col != url_col else ()
+    parts = url_parts(pages.select(url_col, *extras), url_col, extras)
+    # deterministic total order: order_col can tie across pages, the url
+    # cannot — rank by (order_col, url)
+    order = [order_col, url_col] if extras else [url_col]
+    w = Window.partitionBy("domain").orderBy(*order)
     keep = (
         parts.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= max_per_domain)

@@ -33,14 +33,22 @@ PAGES_OUT_SCHEMA = "url string, warc_ts timestamp, html binary, lang string"
 
 def gunzip_members(data: bytes) -> bytes:
     """Decompress ALL gzip members of a multi-member stream (CC gzips each
-    record separately; gzip.decompress stops after the first member)."""
+    record separately; gzip.decompress stops after the first member).
+
+    Robustness matches the parser's skip-not-fatal contract: a corrupt
+    member or trailing non-gzip garbage ends the loop with the bytes
+    decoded so far instead of raising out of the whole-file task (one bad
+    record in a ~1 GB CC segment must not kill the task)."""
     if not data.startswith(b"\x1f\x8b"):
         return data
     out = bytearray()
-    while data:
+    while data.startswith(b"\x1f\x8b"):
         d = zlib.decompressobj(wbits=16 + zlib.MAX_WBITS)
-        out += d.decompress(data)
-        out += d.flush()
+        try:
+            out += d.decompress(data)
+            out += d.flush()
+        except zlib.error:
+            break  # corrupt member: keep everything decoded so far
         data = d.unused_data
     return bytes(out)
 

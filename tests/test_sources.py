@@ -101,3 +101,31 @@ def test_warc_plain_and_malformed(spark, tmp_path):
     recs = parse_warc_bytes(noise + data + garbage)
     assert len(recs) == 1 and recs[0]["url"] == "https://a.example/x"
     assert recs[0]["html"] == b"<html>hi</html>"
+
+
+def test_warc_corrupt_gzip_member_not_fatal(tmp_path):
+    """ADVICE r2: a corrupt gzip member (or trailing non-gzip garbage after
+    a member) must not raise out of the whole-file task — records decoded
+    before the corruption are kept."""
+    import gzip
+
+    from entity_extraction_svc_spark.sources.warc import (
+        parse_warc_bytes,
+        write_warc,
+    )
+
+    write_warc(
+        [{"url": "https://a.example/ok", "warc_ts": None, "html": b"<html>ok</html>"}],
+        str(tmp_path / "one.warc.gz"),
+        gzip_members=True,
+    )
+    good = open(tmp_path / "one.warc.gz", "rb").read()
+
+    # truncated second member: valid gzip magic, corrupt payload
+    bad = gzip.compress(b"WARC/1.0\r\n...")[:10]
+    recs = parse_warc_bytes(good + bad)
+    assert len(recs) == 1 and recs[0]["url"] == "https://a.example/ok"
+
+    # trailing non-gzip garbage after the last member
+    recs = parse_warc_bytes(good + b"\x00\x01binary junk")
+    assert len(recs) == 1 and recs[0]["url"] == "https://a.example/ok"

@@ -112,9 +112,12 @@ def main() -> None:
             "old_metric": prev_best, "new_metric": dev_f1,
             "update_model": updated}])], ignore_index=True)
     else:
-        hist = pd.DataFrame([{"old_metric": dev_f1, "new_metric": dev_f1,
-                              "update_model": False}])
         updated = True  # first train installs the model (train.py:43-47)
+        # record the ACTUAL decision: the model IS installed on first run,
+        # so the history row must say so (an update_model=False first row
+        # would contradict what happened and mislead later gate audits)
+        hist = pd.DataFrame([{"old_metric": dev_f1, "new_metric": dev_f1,
+                              "update_model": updated}])
     hist.to_csv(metrics_path, index=False)
     if updated:
         candidate.write.mode("overwrite").parquet(gaz_path)
