@@ -311,8 +311,16 @@ class HFTokenTagger:
 def load_tagger(gaz_rows: list[dict], spec: str | None = None):
     """``SPARK_KG_MODEL`` switch: 'gazetteer' (default, single-head BIO),
     'gazetteer2' (two-headed spans+types stand-in through the MergeMarkups
-    MISC gate), or 'hf:<checkpoint>' (real transformers token tagger)."""
+    MISC gate), 'hf:<checkpoint>' (real transformers token tagger), or
+    'hf2:<spans_ckpt>|<types_ckpt>' (real two-headed spans+types pair; one
+    checkpoint serves both heads when no '|')."""
     spec = spec or os.environ.get("SPARK_KG_MODEL", "gazetteer")
+    if spec.startswith("hf2:"):
+        ckpts = spec[4:].split("|")
+        spans_ckpt = ckpts[0]
+        types_ckpt = ckpts[1] if len(ckpts) > 1 else ckpts[0]
+        coarse_of = {r["fine_tag"]: r["coarse_tag"] for r in gaz_rows}
+        return HFTwoHeadedTagger(spans_ckpt, types_ckpt, coarse_of=coarse_of)
     if spec.startswith("hf:"):
         return HFTokenTagger(spec[3:])
     if spec == "gazetteer":
@@ -550,6 +558,150 @@ class TwoHeadedGazetteerTagger:
 
     def tag_batch(self, texts: list[str]) -> list[TwoHeadedTagged]:
         return [self._tag_one(t) for t in texts]
+
+
+class HFTwoHeadedTagger:
+    """Real two-headed checkpoint pair behind the ``TwoHeadedTagged``
+    protocol: ``SPARK_KG_MODEL=hf2:<spans_ckpt>|<types_ckpt>``.
+
+    The reference's entity-detection model is one encoder with a spans head
+    (BIO over coarse tags) and a types head (distribution over the fine-tag
+    vocabulary) whose outputs merge_markups consumes
+    (torch_transformers_preprocessor.py:233-356).  AutoModel cannot load
+    that custom architecture, so the deploy-practical decomposition is two
+    token-classification checkpoints sharing the word split: the spans
+    model's argmax label per word becomes ``y_spans``; the types model's
+    softmax per word becomes ``y_types``; ``fine_tags`` is the types
+    model's label vocabulary (filled at first executor-side load, like
+    HFTokenTagger.tags_init).  One checkpoint may serve both heads.
+
+    Scale/pickle shape matches HFTokenTagger: NO weights travel in the
+    broadcast — each executor loads the checkpoints once from its local HF
+    cache; without torch the load raises the honest NotImplementedError.
+    decode_two_headed then applies the deployed MISC gate
+    (INCLUDE_MISC / MISC_THRES=0.88) exactly as for the gazetteer2
+    stand-in, so both plans (staged + fused) take this tagger unchanged.
+    """
+
+    def __init__(self, spans_checkpoint: str, types_checkpoint: str,
+                 coarse_of: dict[str, str] | None = None,
+                 max_length: int = 512, batch_size: int = 64,
+                 include_misc: bool = True, misc_thres: float = 0.88,
+                 ent_thres: float = 0.4, long_ent_thres: float = 0.4):
+        self.spans_checkpoint = spans_checkpoint
+        self.types_checkpoint = types_checkpoint
+        self.coarse_of = coarse_of or {}  # fine tag -> coarse tag (dim data)
+        self.max_length = max_length
+        self.batch_size = batch_size
+        self.include_misc = include_misc
+        self.misc_thres = misc_thres
+        self.ent_thres = ent_thres
+        self.long_ent_thres = long_ent_thres
+        self.fine_tags: list[str] | None = None  # filled on first load
+
+    def __getstate__(self):
+        state = dict(self.__dict__)
+        state["fine_tags"] = None  # no vocab/weights in the broadcast
+        state.pop("_sub_cache", None)
+        return state
+
+    def _load_one(self, checkpoint: str):
+        if checkpoint in _HF_CACHE:
+            return _HF_CACHE[checkpoint]
+        try:
+            import torch  # noqa: F401
+            from transformers import (
+                AutoModelForTokenClassification,
+                AutoTokenizer,
+            )
+        except ImportError as ex:  # sandbox has no torch — honest gate
+            raise NotImplementedError(
+                "SPARK_KG_MODEL=hf2:... needs `torch` + `transformers` on "
+                "the executors; this environment has neither. The "
+                "gazetteer2 stand-in exercises the identical decode path."
+            ) from ex
+        tok = AutoTokenizer.from_pretrained(checkpoint)
+        model = AutoModelForTokenClassification.from_pretrained(checkpoint)
+        model.eval()
+        id2label = model.config.id2label
+        labels = [id2label[i] for i in range(len(id2label))]
+        _HF_CACHE[checkpoint] = (tok, model, list(range(len(labels))), labels)
+        return _HF_CACHE[checkpoint]
+
+    def _ensure(self):
+        tok_s, model_s, _, span_labels = self._load_one(self.spans_checkpoint)
+        tok_t, model_t, _, type_labels = self._load_one(self.types_checkpoint)
+        self.fine_tags = type_labels
+        return tok_s, model_s, span_labels, tok_t, model_t
+
+    def subword_len(self, token: str) -> int:
+        """N2: real subword count for the chunker's token-budget packing
+        (the spans tokenizer drives the encoder's sequence length)."""
+        cache = getattr(self, "_sub_cache", None)
+        if cache is None:
+            cache = self._sub_cache = {}
+        n = cache.get(token)
+        if n is None:
+            tok_s, *_ = self._ensure()
+            n = cache[token] = max(1, len(tok_s.tokenize(token)))
+        return n
+
+    def _forward(self, tok, model, word_lists: list[list[str]]):
+        """Padded batch forward -> per-word (first-subword) softmax rows."""
+        import torch
+
+        enc = tok(
+            word_lists,
+            is_split_into_words=True,
+            truncation=True,
+            max_length=self.max_length,
+            padding=True,
+            return_tensors="pt",
+        )
+        with torch.no_grad():
+            logits = model(**enc).logits
+        probas = torch.softmax(logits, dim=-1).numpy()
+        per_word = []
+        for row, words in enumerate(word_lists):
+            word_ids = enc.word_ids(batch_index=row)
+            first_sub: dict[int, int] = {}
+            for pos, w in enumerate(word_ids):
+                if w is not None and w not in first_sub:
+                    first_sub[w] = pos
+            mat = np.zeros((len(words), probas.shape[2]))
+            for w, pos in first_sub.items():
+                mat[w] = probas[row, pos]
+            per_word.append(mat)  # truncated tail words stay all-zero
+        return per_word
+
+    def tag_batch(self, texts: list[str]) -> list[TwoHeadedTagged]:
+        tok_s, model_s, span_labels, tok_t, model_t = self._ensure()
+        toks_offs = [tokenize_with_offsets(t) for t in texts]
+        out: list[TwoHeadedTagged | None] = [None] * len(texts)
+        idxs = [i for i, (tks, _) in enumerate(toks_offs) if tks]
+        n_fine = len(self.fine_tags or [])
+        for s in range(0, len(idxs), self.batch_size):
+            chunk = idxs[s : s + self.batch_size]
+            words = [toks_offs[i][0] for i in chunk]
+            span_mats = self._forward(tok_s, model_s, words)
+            type_mats = self._forward(tok_t, model_t, words)
+            for row, i in enumerate(chunk):
+                tokens, offsets = toks_offs[i]
+                sm, tm = span_mats[row], type_mats[row]
+                y_spans = []
+                y_types = []
+                for w in range(len(tokens)):
+                    if sm[w].sum() > 0:
+                        y_spans.append(span_labels[int(np.argmax(sm[w]))])
+                        y_types.append([float(x) for x in tm[w]])
+                    else:  # truncated tail: O span, uniform types
+                        y_spans.append("O")
+                        y_types.append([1.0 / max(n_fine, 1)] * n_fine)
+                out[i] = TwoHeadedTagged(tokens, offsets, y_spans, y_types)
+        for i, (tks, offs) in enumerate(toks_offs):
+            if out[i] is None:
+                out[i] = TwoHeadedTagged(tks, offs, [], [])
+        return out  # type: ignore[return-value]
 
 
 def decode_two_headed(rec: TwoHeadedTagged, tagger: TwoHeadedGazetteerTagger,

@@ -314,6 +314,54 @@ def test_hf_tagger_honest_gate_and_weightless_pickle():
         t.tag_batch(["hello world"])
 
 
+def test_hf2_two_headed_spec_end_to_end(spark, fixture_dir, monkeypatch):
+    """ROADMAP #5: a weightless hf2:<spans>|<types> spec drops into
+    build_fused exactly like hf: — the tagger broadcasts WITHOUT weights
+    (coarse_of dim data rides along, fine_tags does not), the plan builds,
+    and executing without torch surfaces the honest NotImplementedError
+    from the executor-side lazy load."""
+    import pickle
+
+    from entity_extraction_svc_spark.operators.tagger import (
+        HFTwoHeadedTagger,
+        load_tagger,
+    )
+    from entity_extraction_svc_spark.plans.fused import build_fused
+
+    t = load_tagger(GAZ_ROWS, spec="hf2:org/spans-ckpt|org/types-ckpt")
+    assert isinstance(t, HFTwoHeadedTagger)
+    assert t.spans_checkpoint == "org/spans-ckpt"
+    assert t.types_checkpoint == "org/types-ckpt"
+    assert t.coarse_of == {"CITY": "LOC", "PER": "PER"}
+    # single-checkpoint form serves both heads
+    t1 = load_tagger(GAZ_ROWS, spec="hf2:org/both")
+    assert t1.spans_checkpoint == t1.types_checkpoint == "org/both"
+
+    t.fine_tags = ["CITY", "PER"]  # simulate a loaded executor copy
+    t._sub_cache = {"hello": 2}
+    state = pickle.loads(pickle.dumps(t)).__dict__
+    assert state["fine_tags"] is None and "_sub_cache" not in state
+    assert state["coarse_of"] == {"CITY": "LOC", "PER": "PER"}
+    assert state["misc_thres"] == 0.88
+
+    try:
+        import torch  # noqa: F401
+
+        pytest.skip("torch present; honest gate not exercised")
+    except ImportError:
+        pass
+
+    monkeypatch.setenv("SPARK_KG_MODEL", "hf2:org/spans-ckpt|org/types-ckpt")
+    pages = spark.read.parquet(f"{fixture_dir}/pages.parquet").limit(2)
+    linked, triples = build_fused(spark, pages, fixture_dir)  # plan builds
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import PythonException
+
+    with pytest.raises((PythonException, Py4JJavaError)) as ex:
+        linked.count()
+    assert "NotImplementedError" in str(ex.value)
+
+
 def test_two_headed_pipeline_misc_gate(spark, fixture_dir):
     """SPARK_KG_MODEL=gazetteer2: the two-headed decode runs IN-pipeline
     through merge_markups.  A MISC span with type confidence > 0.88 keeps
