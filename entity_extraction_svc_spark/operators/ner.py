@@ -75,8 +75,13 @@ class GazetteerTagger:
     BERT tagger would produce (SURVEY.md §7.4 risk 5)."""
 
     def __init__(self, surfaces: dict[tuple[str, ...], str]):
+        from entity_extraction_svc_spark.operators.tagger import (
+            _first_token_lengths,
+        )
+
         self.surfaces = surfaces
         self.max_len = max((len(k) for k in surfaces), default=1)
+        self._first_lens = _first_token_lengths(surfaces)
 
     @classmethod
     def from_rows(cls, rows: list[dict]) -> "GazetteerTagger":
@@ -96,7 +101,9 @@ class GazetteerTagger:
         i = 0
         while i < n:
             matched = False
-            for ln in range(min(self.max_len, n - i), 0, -1):
+            for ln in self._first_lens.get(norm[i], ()):
+                if ln > n - i:
+                    continue
                 key = tuple(norm[i : i + ln])
                 coarse = self.surfaces.get(key)
                 if coarse is not None:

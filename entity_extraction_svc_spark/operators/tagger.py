@@ -66,6 +66,16 @@ class TaggedText(NamedTuple):
     probas: np.ndarray
 
 
+def _first_token_lengths(surfaces: dict) -> dict[str, tuple[int, ...]]:
+    """first normalized token -> surface lengths to probe, longest first.
+    A window can only match when its first token starts some surface, so
+    the greedy scan skips every other position in O(1)."""
+    by_first: dict[str, set[int]] = {}
+    for k in surfaces:
+        by_first.setdefault(k[0], set()).add(len(k))
+    return {t: tuple(sorted(lens, reverse=True)) for t, lens in by_first.items()}
+
+
 def build_tags_init(coarse_tags: Sequence[str]) -> list[str]:
     """BIO vocabulary with O at index 0 (the reference reads it from the
     checkpoint's tag file; index 0 = O is what the O-threshold rule needs)."""
@@ -145,6 +155,7 @@ class SoftGazetteerTagger:
         self._idx = {t: i for i, t in enumerate(self.tags_init)}
         self.match_proba = match_proba
         self.soft_overrides = soft_overrides or {}
+        self._first_lens = _first_token_lengths(surfaces)
 
     @classmethod
     def from_rows(cls, rows: list[dict], **kw) -> "SoftGazetteerTagger":
@@ -175,7 +186,12 @@ class SoftGazetteerTagger:
                 i += 1
                 continue
             matched = False
-            for ln in range(min(self.max_len, n - i), 0, -1):
+            # only positions whose token starts SOME surface probe windows,
+            # and only at that surface family's lengths (greedy = longest
+            # first) — identical matches to the full window sweep
+            for ln in self._first_lens.get(norm[i], ()):
+                if ln > n - i:
+                    continue
                 coarse = self.surfaces.get(tuple(norm[i : i + ln]))
                 if coarse is not None:
                     for j in range(i, i + ln):
@@ -500,6 +516,7 @@ class TwoHeadedGazetteerTagger:
                  ent_thres: float = 0.4, long_ent_thres: float = 0.4):
         self.surfaces = surfaces  # norm tokens -> (fine_tag, coarse_tag)
         self.max_len = max((len(k) for k in surfaces), default=1)
+        self._first_lens = _first_token_lengths(surfaces)
         self.fine_tags = fine_tags
         self.fine_idx = {t: i for i, t in enumerate(fine_tags)}
         self.coarse_of = {f: c for (f, c) in surfaces.values()}
@@ -535,7 +552,9 @@ class TwoHeadedGazetteerTagger:
         i = 0
         while i < n:
             matched = False
-            for ln in range(min(self.max_len, n - i), 0, -1):
+            for ln in self._first_lens.get(norm[i], ()):
+                if ln > n - i:
+                    continue
                 hit = self.surfaces.get(tuple(norm[i : i + ln]))
                 if hit is not None:
                     fine, coarse = hit
