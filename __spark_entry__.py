@@ -381,6 +381,87 @@ def _doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_stats(_docs(spark, sf_dir))
 
 
+def _doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality stats + language-ID + fingerprint joined per doc_id: the
+    three row-local text profilers in one driver row (each remains an
+    independent operator; the join is on the id, so Catalyst collapses it
+    to one scan + three expression bundles)."""
+    from entity_extraction_svc_spark.operators.textstats import (
+        doc_stats,
+        fingerprint,
+        lang_id,
+    )
+
+    docs = _docs(spark, sf_dir)
+    stats = doc_stats(docs)
+    lang = lang_id(docs).select("doc_id", "lang_pred")
+    fp = fingerprint(docs)
+    return stats.join(lang, "doc_id").join(fp, "doc_id")
+
+
+_PII_FIXTURE = os.path.join(FIXTURES, "pii_samples.parquet")
+
+# deterministic PII-bearing corpus: the sf documents carry no real PII, so
+# a zero-vs-zero count match would prove nothing — these rows give every
+# pattern positive AND near-miss coverage (ids offset to 10^9 so the union
+# with the documents table never collides)
+_PII_ROWS = [
+    (1_000_000_000, "contact me at jane.doe+spam@example.co.uk for details"),
+    (1_000_000_001, "Email sales@corp.io or SUPPORT@CORP.IO; no other PII."),
+    (1_000_000_002, "my ssn is 123-45-6789 please keep it private"),
+    (1_000_000_003, "server at 192.168.0.1 and backup at 10.0.255.254"),
+    (1_000_000_004, "call +1 (415) 555-0199 after hours"),
+    (1_000_000_005, "office: 020 7946 0958, mobile 07700-900123"),
+    (1_000_000_006, "mixed: a@b.org, 8.8.8.8, 555-867-5309 all in one line"),
+    (1_000_000_007, "clean prose with no identifiers at all"),
+    (1_000_000_008, ""),
+    (1_000_000_009, "semver 1.2.3 is not an ip; user at host dot com either"),
+    (1_000_000_010, "short digits 12345 should not be a phone"),
+    (1_000_000_011, "unicode reseau 127.0.0.1 e-mail: zoe@ecole.fr tel +33 1 42 68 53 00"),
+]
+
+
+def _ensure_pii_samples() -> str:
+    if not os.path.exists(_PII_FIXTURE):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in _PII_ROWS], pa.int64()),
+                "text": pa.array([r[1] for r in _PII_ROWS], pa.string()),
+            }
+        )
+        tmp = f"{_PII_FIXTURE}.tmp.{os.getpid()}"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, _PII_FIXTURE)
+    return _PII_FIXTURE
+
+
+def _doc_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scan counts + typed redaction over the PII fixture corpus UNION
+    the sf documents (fixture rows exercise every pattern positively; the
+    documents rows prove the scan runs clean at table scale)."""
+    from entity_extraction_svc_spark.operators.privacy import (
+        pii_redact,
+        pii_scan,
+    )
+
+    fx = spark.read.parquet(_ensure_pii_samples())
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    both = fx.unionByName(docs)
+    return pii_scan(both).join(pii_redact(both), "doc_id")
+
+
+def _doc_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-bucket train/val/test assignment (stable across
+    runs, partitionings and engines — the oracle recomputes it from the
+    same md5 bytes)."""
+    from entity_extraction_svc_spark.operators.sampling import hash_split
+
+    return hash_split(_docs(spark, sf_dir)).select("doc_id", "bucket", "split")
+
+
 def _doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from entity_extraction_svc_spark.operators.textstats import lang_id
 
@@ -930,8 +1011,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       web_url_parts + web_domain_cap -> web_hygiene (per-url join)
       kb_ingest_ntriples + _entities -> kb_ingest (part)
       mm_binary_meta + mm_features   -> mm_pipeline (per-url join)
+      doc_stats + doc_lang_id + doc_fingerprint -> doc_profile (per-id join)
     New this round: sim_ivf_clustered (ANN recall >= 0.9 on clustered
-    embeddings, the regime the index targets)."""
+    embeddings, the regime the index targets), doc_pii (PII scan +
+    redaction), doc_split (deterministic md5-bucket train/val/test)."""
     return {
         # KG pipeline (SURVEY §2.2-2.9) on the deterministic fixture corpus
         "kg_extract_text": _kg_extract_text,
@@ -969,12 +1052,12 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kb_ingest": _kb_ingest,
         "mm_pipeline": _mm_pipeline,
         # training-data pipeline operators
-        "doc_stats": _doc_stats,
-        "doc_lang_id": _doc_lang_id,
-        "doc_fingerprint": _doc_fingerprint,
+        "doc_profile": _doc_profile,  # stats + lang-id + fingerprint joined
         "doc_quality_filter": _doc_quality_filter,
         "doc_repetition": _doc_repetition,  # Gopher repetition stats
         "doc_embed": _doc_embed,  # feature-hash embedder (docs -> vectors)
+        "doc_pii": _doc_pii,  # PII scan + typed redaction
+        "doc_split": _doc_split,  # deterministic md5-bucket train/val/test
         "web_hygiene": _web_hygiene,  # url_parts + per-domain cap
         # relational skeletons (SURVEY §2.10) on the driver's tables
         "rel_topk_window": _rel_topk_window,
@@ -1744,4 +1827,51 @@ def oracle_sql() -> dict[str, str]:
             """
         ),
     }
+    # doc_profile = the three per-doc profilers joined on doc_id (DuckDB
+    # allows a WITH inside a parenthesized subquery, so each component SQL
+    # embeds unchanged — same texts the standalone rows used through r2)
+    sql["doc_profile"] = (
+        f"SELECT s.*, l.lang_pred, f.fp_md5, f.fp_int64 "
+        f"FROM ({sql.pop('doc_stats')}) s "
+        f"JOIN ({sql.pop('doc_lang_id')}) l USING (doc_id) "
+        f"JOIN ({sql.pop('doc_fingerprint')}) f USING (doc_id)"
+    )
+
+    # doc_pii: patterns come FROM the operator module, so the oracle runs
+    # the byte-identical regexes (portable Java-regex/RE2 subset by design)
+    from entity_extraction_svc_spark.operators.privacy import PII_PATTERNS
+
+    counts = ", ".join(
+        f"len(regexp_extract_all(text, '{pat}')) AS n_{kind}"
+        for kind, pat, _ in PII_PATTERNS
+    )
+    flags = " OR ".join(
+        f"len(regexp_extract_all(text, '{pat}')) > 0"
+        for _kind, pat, _ in PII_PATTERNS
+    )
+    redacted = "text"
+    for _kind, pat, placeholder in PII_PATTERNS:
+        redacted = f"regexp_replace({redacted}, '{pat}', '{placeholder}', 'g')"
+    sql["doc_pii"] = f"""
+        WITH u AS (
+          SELECT doc_id, text FROM read_parquet('{_ensure_pii_samples()}')
+          UNION ALL SELECT doc_id, text FROM documents
+        ), t AS (SELECT doc_id, coalesce(text, '') AS text FROM u)
+        SELECT doc_id, {counts}, ({flags}) AS has_pii, {redacted} AS redacted
+        FROM t
+    """
+
+    sql["doc_split"] = """
+        WITH b AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000
+                   AS bucket
+          FROM documents
+        )
+        SELECT doc_id, bucket,
+               CASE WHEN bucket < 8000 THEN 'train'
+                    WHEN bucket < 9000 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM b
+    """
     return sql

@@ -1,0 +1,61 @@
+"""Deterministic corpus splitting and sampling for training pipelines.
+
+A training-data engine must split a corpus into train/val/test such that
+(a) membership is a pure function of the document id — stable across runs,
+re-partitions, cluster sizes and engine versions, (b) no shuffle and no
+coordination: the split column is a row-local md5 expression evaluated in
+whole-stage codegen (md5 is bit-identical everywhere, unlike engine-native
+hash functions), and (c) the assignment survives incremental ingestion —
+a document's split never changes when the corpus grows.
+
+The same bucket column drives deterministic fractional sampling
+(``hash_sample``): take buckets [0, frac*N_BUCKETS) — a stable sample that
+is also REPEATABLE across tables keyed by the same id (join-compatible
+samples, which ``df.sample`` cannot give).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+N_BUCKETS = 10_000
+
+
+def _bucket(id_col: str) -> Column:
+    """md5-derived bucket in [0, N_BUCKETS): first 8 hex chars -> int.
+    conv() returns a decimal string; the long cast keeps codegen."""
+    h = F.substring(F.md5(F.col(id_col).cast("string")), 1, 8)
+    return F.pmod(F.conv(h, 16, 10).cast("long"), F.lit(N_BUCKETS))
+
+
+def hash_split(docs: DataFrame, weights: dict[str, float] | None = None,
+               id_col: str = "doc_id") -> DataFrame:
+    """Assign every row a deterministic split label.
+
+    ``weights`` maps label -> fraction (must sum to ~1); labels are
+    assigned by cumulative bucket thresholds in the dict's order, so
+    {"train": .8, "val": .1, "test": .1} puts buckets [0, 8000) in train,
+    [8000, 9000) in val, the rest in test.  Returns all input columns plus
+    (bucket, split).
+    """
+    weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    b = _bucket(id_col)
+    expr = None
+    acc = 0.0
+    labels = list(weights.items())
+    for label, w in labels[:-1]:
+        acc += w
+        cond = b < int(round(acc * N_BUCKETS))
+        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+    last = labels[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return docs.select("*", b.alias("bucket"), expr.alias("split"))
+
+
+def hash_sample(docs: DataFrame, fraction: float,
+                id_col: str = "doc_id") -> DataFrame:
+    """Deterministic ~``fraction`` sample: buckets [0, fraction*N_BUCKETS).
+    Unlike ``df.sample`` this is stable across runs/partitionings and
+    consistent across any table sharing the id column."""
+    return docs.filter(_bucket(id_col) < int(round(fraction * N_BUCKETS)))

@@ -14,7 +14,7 @@ SF_DIR = "/root/testdata/sf0.01"
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 FAST = [
     "rel_topk_window", "rel_grouped_agg", "rel_broadcast_join",
-    "kg_intersection", "doc_stats", "doc_lang_id", "doc_fingerprint",
+    "kg_intersection", "doc_profile", "doc_pii", "doc_split",
     "dedup_simhash", "sim_cosine_topk", "kb_ingest",
 ]
 

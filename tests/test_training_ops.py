@@ -401,3 +401,65 @@ def test_cap_per_domain_multi_domain(spark):
              for r in url_parts(pages).collect()}
     assert parts["https://tiny.org/only"] == ("tiny.org", "tiny.org", "/only")
     assert parts["https://spam.example.com/p000"][1] == "example.com"
+
+
+def test_pii_scan_and_redact(spark):
+    """Each pattern hits its targets and skips its near-misses; redaction
+    replaces in the documented order (email before phone, SSN before
+    phone so overlapping digit runs get the more specific placeholder)."""
+    from entity_extraction_svc_spark.operators.privacy import (
+        pii_redact,
+        pii_scan,
+    )
+
+    rows = [
+        (0, "mail jane.doe+x@ex.co.uk now"),
+        (1, "ssn 123-45-6789 stays private"),
+        (2, "host 10.0.0.1 port open"),
+        (3, "call +1 (415) 555-0199 today"),
+        (4, "no identifiers here"),
+        (5, "semver 1.2.3 and 12345 are neither ip nor phone"),
+        (6, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    scan = {r.doc_id: r for r in pii_scan(docs).collect()}
+    assert scan[0].n_email == 1 and scan[0].has_pii
+    assert scan[1].n_ssn == 1
+    assert scan[2].n_ipv4 == 1
+    assert scan[3].n_phone == 1
+    assert not scan[4].has_pii and not scan[5].has_pii
+    assert not scan[6].has_pii  # null text -> clean, not a crash
+    red = {r.doc_id: r.redacted for r in pii_redact(docs).collect()}
+    assert red[0] == "mail [EMAIL] now"
+    assert red[1] == "ssn [SSN] stays private"
+    assert red[2] == "host [IP] port open"
+    assert red[3] == "call [PHONE] today"
+    assert red[6] == ""
+
+
+def test_hash_split_deterministic_and_incremental(spark):
+    """Split membership is a pure function of the id: identical across
+    runs, unchanged when the corpus grows, fractions near the weights;
+    hash_sample of the same ids is a subset of any larger fraction."""
+    from entity_extraction_svc_spark.operators.sampling import (
+        hash_sample,
+        hash_split,
+    )
+
+    docs = spark.range(2000).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id: r.split for r in hash_split(docs).collect()}
+    b = {r.doc_id: r.split for r in hash_split(docs).collect()}
+    assert a == b
+    # growing the corpus never reassigns an existing id
+    grown = spark.range(4000).withColumnRenamed("id", "doc_id")
+    g = {r.doc_id: r.split for r in hash_split(grown).collect()}
+    assert all(g[k] == v for k, v in a.items())
+    from collections import Counter
+
+    frac = Counter(a.values())
+    assert abs(frac["train"] / 2000 - 0.8) < 0.03
+    assert abs(frac["val"] / 2000 - 0.1) < 0.03
+    small = {r.doc_id for r in hash_sample(docs, 0.05).collect()}
+    big = {r.doc_id for r in hash_sample(docs, 0.2).collect()}
+    assert small <= big
+    assert abs(len(big) / 2000 - 0.2) < 0.05
