@@ -247,27 +247,19 @@ def _kg_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- relational skeletons on the driver's TPC-H-ish tables ------------------
 
-def _rel_topk_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _rel_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both window-function shapes in one row: ranked top-k (row_number
+    over a composite order) and the running value-framed prefix sum.
+    One shuffle on l_orderkey serves both frames."""
     from pyspark.sql.window import Window
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    w = Window.partitionBy("l_orderkey").orderBy(
+    wr = Window.partitionBy("l_orderkey").orderBy(
         F.desc("l_extendedprice"), F.asc("l_linenumber")
     )
-    return (
-        li.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 2)
-        .select("l_orderkey", "l_linenumber", "rk")
-    )
-
-
-def _rel_running_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     # RANGE (not ROWS): l_linenumber has duplicates within an order, so a
     # row-based frame is nondeterministic; value-based framing is stable.
-    w = (
+    ws = (
         Window.partitionBy("l_orderkey")
         .orderBy("l_linenumber")
         .rangeBetween(Window.unboundedPreceding, -1)
@@ -275,20 +267,25 @@ def _rel_running_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.round(F.coalesce(F.sum("l_quantity").over(w), F.lit(0.0)), 4).alias("offset_shift"),
+        F.row_number().over(wr).alias("rk"),
+        F.round(F.coalesce(F.sum("l_quantity").over(ws), F.lit(0.0)), 4).alias("offset_shift"),
     )
 
 
 def _rel_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped aggregation + exact per-group percentiles (p50/p95 of
+    extended price per returnflag) joined onto the (flag, status) rows."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    return (
-        li.groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
-            F.count("*").alias("n_rows"),
-        )
+    grouped = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.count("*").alias("n_rows"),
     )
+    pct = li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95"),
+    )
+    return grouped.join(F.broadcast(pct), "l_returnflag")
 
 
 def _rel_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -322,12 +319,28 @@ def _rel_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.unionByName(two_hop)
 
 
-def _rel_count_per_subject(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _rel_events_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event aggregation through both shapes, tagged and unioned:
+    plain groupBy per (user, event_type) and 30-min-gap session windows
+    (the batch face of streaming sessionization — F.session_window works
+    in both)."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return (
-        ev.groupBy("user_id", "event_type")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+    by_type = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value")
+    ).select(
+        F.lit("by_type").alias("part"), "user_id",
+        F.col("event_type").alias("key"), "n_events", "sum_value",
     )
+    sessions = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.lit("session").alias("part"), "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("key"),
+            "n_events", "sum_value",
+        )
+    )
+    return by_type.unionByName(sessions)
 
 
 def _rel_cube_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -344,29 +357,48 @@ def _rel_cube_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cube.unionByName(roll)
 
 
-def _rel_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact percentiles per group (median + p95 of extended price)."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
-        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95"),
+def _kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped PageRank (10 iterations, d=0.85) over the entity->entity
+    edges of the fixture KB triple store: the corpus-level generalization
+    of the reference's per-request connection ranking (entity_linking.py
+    rel-ranking + wiki_parser top-people caches)."""
+    from entity_extraction_svc_spark.fixtures import ensure_fixtures
+    from entity_extraction_svc_spark.operators.pagerank import pagerank
+
+    ensure_fixtures(FIXTURES)
+    _prep(spark)
+    tr = spark.read.parquet(f"{FIXTURES}/kb_triples.parquet")
+    edges = tr.filter(F.col("obj").rlike("^Q[0-9]+$")).select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
     )
+    return pagerank(edges, iterations=10)
 
 
-def _rel_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Session windows (30-min gap) per user over the events table — the
-    batch face of streaming sessionization (F.session_window works in both)."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return (
-        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
-        .select(
-            "user_id",
-            F.col("w.start").alias("session_start"),
-            "n_events",
-            "sum_value",
-        )
+def _doc_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set n-gram decontamination audit.  The deterministic "eval
+    benchmark" is derived from the corpus itself (first 240 normalized
+    chars of every doc_id % 97 == 0 document) so the contract has true
+    positives without external data; real use passes the real benchmark
+    table.  Corpus side stays unshuffled (broadcast gram join)."""
+    from entity_extraction_svc_spark.operators.decontam import contamination
+
+    docs = _docs(spark, sf_dir)
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.coalesce("text", F.lit(""))), r"\s+", " ")
     )
+    ev = docs.filter(F.col("doc_id") % 97 == 0).select(
+        F.substring(norm, 1, 240).alias("text")
+    )
+    return contamination(docs, ev, n=8)
+
+
+def _doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM self-audit (CCNet-style): train add-k bigram counts on
+    the documents table, score every document's cross-entropy in
+    bits/token against it."""
+    from entity_extraction_svc_spark.operators.lm import score_cross_entropy
+
+    return score_cross_entropy(_docs(spark, sf_dir))
 
 
 # --- training-data ops on documents / embeddings ----------------------------
@@ -1012,9 +1044,15 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       kb_ingest_ntriples + _entities -> kb_ingest (part)
       mm_binary_meta + mm_features   -> mm_pipeline (per-url join)
       doc_stats + doc_lang_id + doc_fingerprint -> doc_profile (per-id join)
+      rel_topk_window + rel_running_offset -> rel_windows (one projection)
+      rel_grouped_agg + rel_percentiles    -> rel_grouped_agg (per-flag join)
+      rel_count_per_subject + rel_session_windows -> rel_events_agg (part)
     New this round: sim_ivf_clustered (ANN recall >= 0.9 on clustered
     embeddings, the regime the index targets), doc_pii (PII scan +
-    redaction), doc_split (deterministic md5-bucket train/val/test)."""
+    redaction), doc_split (deterministic md5-bucket train/val/test),
+    kg_pagerank (iterative entity importance, unrolled-SQL oracle),
+    doc_decontam (eval-set n-gram overlap), doc_perplexity (corpus-trained
+    bigram-LM cross-entropy, CCNet-style)."""
     return {
         # KG pipeline (SURVEY §2.2-2.9) on the deterministic fixture corpus
         "kg_extract_text": _kg_extract_text,
@@ -1034,6 +1072,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_canonical_triples": _kg_canonical_triples,
         "kg_connection": _kg_connection,
         "kg_date_format": _kg_date_format,  # + scalar-function surface
+        "kg_pagerank": _kg_pagerank,  # iterative entity importance
         # dedup family
         "dedup_exact": _dedup_exact,  # pages groups + docs keys
         "dedup_minhash_sig": _dedup_minhash_sig,
@@ -1058,16 +1097,15 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_embed": _doc_embed,  # feature-hash embedder (docs -> vectors)
         "doc_pii": _doc_pii,  # PII scan + typed redaction
         "doc_split": _doc_split,  # deterministic md5-bucket train/val/test
+        "doc_decontam": _doc_decontam,  # eval-set n-gram overlap audit
+        "doc_perplexity": _doc_perplexity,  # bigram-LM cross-entropy
         "web_hygiene": _web_hygiene,  # url_parts + per-domain cap
         # relational skeletons (SURVEY §2.10) on the driver's tables
-        "rel_topk_window": _rel_topk_window,
-        "rel_running_offset": _rel_running_offset,
-        "rel_grouped_agg": _rel_grouped_agg,
+        "rel_windows": _rel_windows,  # top-k rank + running prefix sum
+        "rel_grouped_agg": _rel_grouped_agg,  # + per-group percentiles
         "rel_broadcast_join": _rel_broadcast_join,  # + two-hop dim chain
-        "rel_count_per_subject": _rel_count_per_subject,
+        "rel_events_agg": _rel_events_agg,  # per-type + session windows
         "rel_cube_stats": _rel_cube_stats,  # cube + rollup
-        "rel_percentiles": _rel_percentiles,
-        "rel_session_windows": _rel_session_windows,
         "rel_pivot": _rel_pivot,
         "rel_asof_join": _rel_asof_join,
         "rel_range_join": _rel_range_join,
@@ -1209,22 +1247,25 @@ def oracle_sql() -> dict[str, str]:
             "USING (comp)"
         ),
         # --- relational -----------------------------------------------------
-        "rel_topk_window": (
-            "SELECT l_orderkey, l_linenumber, rk FROM ("
-            "  SELECT l_orderkey, l_linenumber, row_number() OVER ("
-            "    PARTITION BY l_orderkey ORDER BY l_extendedprice DESC, l_linenumber ASC"
-            "  ) AS rk FROM lineitem) WHERE rk <= 2"
-        ),
-        "rel_running_offset": (
-            "SELECT l_orderkey, l_linenumber, round(coalesce(sum(l_quantity) OVER ("
+        "rel_windows": (
+            "SELECT l_orderkey, l_linenumber, row_number() OVER ("
+            "  PARTITION BY l_orderkey ORDER BY l_extendedprice DESC, l_linenumber ASC"
+            ") AS rk, round(coalesce(sum(l_quantity) OVER ("
             "PARTITION BY l_orderkey ORDER BY l_linenumber "
             "RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0), 4) AS offset_shift "
             "FROM lineitem"
         ),
         "rel_grouped_agg": (
-            "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, "
-            "round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n_rows "
-            "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+            "SELECT g.l_returnflag, l_linestatus, sum_qty, sum_price, n_rows, p50, p95 "
+            "FROM ("
+            "  SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, "
+            "  round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n_rows "
+            "  FROM lineitem GROUP BY l_returnflag, l_linestatus) g "
+            "JOIN ("
+            "  SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.5), 4) AS p50, "
+            "  round(quantile_cont(l_extendedprice, 0.95), 4) AS p95 "
+            "  FROM lineitem GROUP BY l_returnflag) p "
+            "ON g.l_returnflag = p.l_returnflag"
         ),
         "rel_broadcast_join": (
             "SELECT 'orders_nations' AS part, n_name AS name, count(*) AS n, "
@@ -1236,9 +1277,35 @@ def oracle_sql() -> dict[str, str]:
             "JOIN nation ON s_nationkey = n_nationkey "
             "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"
         ),
-        "rel_count_per_subject": (
-            "SELECT user_id, event_type, count(*) AS n_events, "
-            "round(sum(value), 4) AS sum_value FROM events GROUP BY user_id, event_type"
+        "rel_events_agg": (
+            # session half = gaps-and-islands: a new session starts when the
+            # gap from the previous event of the same user exceeds 30 min
+            """
+            SELECT 'by_type' AS part, user_id, event_type AS key,
+                   count(*) AS n_events, round(sum(value), 4) AS sum_value
+            FROM events GROUP BY user_id, event_type
+            UNION ALL
+            SELECT 'session', user_id, strftime(session_start, '%Y-%m-%d %H:%M:%S'),
+                   n_events, sum_value
+            FROM (
+              WITH marked AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                 > INTERVAL 30 MINUTE
+                            OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+              ), sess AS (
+                SELECT user_id, ts, value,
+                       sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+                FROM marked
+              )
+              SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+                     round(sum(value), 4) AS sum_value
+              FROM sess GROUP BY user_id, sid
+            )
+            """
         ),
         "rel_cube_stats": (
             # CAST: DuckDB sum(int) is HUGEINT which lands in pandas as
@@ -1249,34 +1316,6 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL "
             "SELECT 'rollup', lang, source, count(*), CAST(sum(n_chars) AS BIGINT) "
             "FROM documents GROUP BY ROLLUP (lang, source)"
-        ),
-        "rel_percentiles": (
-            "SELECT l_returnflag, "
-            "round(quantile_cont(l_extendedprice, 0.5), 4) AS p50, "
-            "round(quantile_cont(l_extendedprice, 0.95), 4) AS p95 "
-            "FROM lineitem GROUP BY l_returnflag"
-        ),
-        "rel_session_windows": (
-            # gaps-and-islands: a new session starts when the gap from the
-            # previous event of the same user exceeds 30 minutes
-            """
-            WITH marked AS (
-              SELECT user_id, ts, value,
-                     CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                               > INTERVAL 30 MINUTE
-                          OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-                          THEN 1 ELSE 0 END AS new_session
-              FROM events
-            ), sess AS (
-              SELECT user_id, ts, value,
-                     sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-              FROM marked
-            )
-            SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
-                   round(sum(value), 4) AS sum_value
-            FROM sess GROUP BY user_id, sid
-            """
         ),
         # --- training-data ops ----------------------------------------------
         "doc_stats": (
@@ -1873,5 +1912,62 @@ def oracle_sql() -> dict[str, str]:
                     WHEN bucket < 9000 THEN 'val'
                     ELSE 'test' END AS split
         FROM b
+    """
+
+    # kg_pagerank: the unrolled-iteration SQL is generated by the operator
+    # module itself, so Spark and oracle share ONE recurrence definition
+    from entity_extraction_svc_spark.operators.pagerank import pagerank_oracle_sql
+
+    sql["kg_pagerank"] = pagerank_oracle_sql(
+        f"SELECT subj AS src, obj AS dst FROM read_parquet('{fx}/kb_triples.parquet') "
+        "WHERE regexp_matches(obj, '^Q[0-9]+$')"
+    )
+
+    # doc_decontam: word 8-grams (with_shingles semantics incl. the
+    # shorter-than-n whole-text fallback), eval side = substr-240 of every
+    # doc_id % 97 == 0 document
+    g8 = " || ' ' || ".join(f"t[i+{j}]" for j in range(8))
+    sh8 = (
+        "case when len(t) >= 8 then "
+        f"list_transform(generate_series(1, len(t) - 7), i -> {g8}) "
+        "else [array_to_string(t, ' ')] end"
+    )
+    sql["doc_decontam"] = f"""
+        WITH dt AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        et AS (SELECT {_TOKS} AS t FROM (
+                 SELECT substr({_NORM}, 1, 240) AS text
+                 FROM documents WHERE doc_id % 97 = 0)),
+        eg AS (SELECT DISTINCT unnest({sh8}) AS gram FROM et),
+        dg AS (SELECT DISTINCT doc_id, unnest({sh8}) AS gram FROM dt),
+        hits AS (SELECT doc_id, count(*) AS n_overlap
+                 FROM dg JOIN eg USING (gram) GROUP BY doc_id)
+        SELECT d.doc_id, coalesce(n_overlap, 0) AS n_overlap,
+               coalesce(n_overlap, 0) > 0 AS contaminated
+        FROM documents d LEFT JOIN hits USING (doc_id)
+    """
+
+    # doc_perplexity: add-k bigram LM self-audit (k=0.5); ln/ln(2) is the
+    # same libm double math Spark's log runs, so round(...,6) is stable
+    sql["doc_perplexity"] = f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        uc AS (SELECT w, count(*) AS c1 FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w),
+        v AS (SELECT count(*)::DOUBLE AS v FROM uc),
+        bg AS (SELECT doc_id, s.w1 AS w1, s.w2 AS w2 FROM (
+                 SELECT doc_id, unnest(list_transform(
+                   generate_series(1, len(toks) - 1),
+                   i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))) AS s
+                 FROM t)),
+        bc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+        scored AS (
+          SELECT doc_id,
+                 -ln((coalesce(c12, 0) + 0.5) / (coalesce(c1, 0) + 0.5 * v.v))
+                   / ln(2) AS bits
+          FROM bg LEFT JOIN bc USING (w1, w2)
+          LEFT JOIN uc ON bg.w1 = uc.w CROSS JOIN v),
+        per AS (SELECT doc_id, count(*) AS n_bigrams,
+                       round(avg(bits), 6) AS cross_entropy
+                FROM scored GROUP BY doc_id)
+        SELECT d.doc_id, coalesce(n_bigrams, 0) AS n_bigrams, cross_entropy
+        FROM documents d LEFT JOIN per USING (doc_id)
     """
     return sql

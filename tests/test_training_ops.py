@@ -463,3 +463,90 @@ def test_hash_split_deterministic_and_incremental(spark):
     big = {r.doc_id for r in hash_sample(docs, 0.2).collect()}
     assert small <= big
     assert abs(len(big) / 2000 - 0.2) < 0.05
+
+
+def test_contamination_and_decontaminate(spark):
+    """Docs sharing an 8-gram with the eval set are flagged with the right
+    distinct-overlap counts; clean and sub-8-token docs are not; the
+    anti-join filter drops exactly the flagged set."""
+    from entity_extraction_svc_spark.operators.decontam import (
+        contamination,
+        decontaminate,
+    )
+
+    leak = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (0, leak),                                    # full eval text
+        (1, f"prefix words here {leak} suffix words"),  # contains it
+        (2, "alpha beta gamma delta epsilon zeta eta"),  # only 7 tokens of it
+        (3, "totally unrelated prose about spark shuffles and joins"),
+        (4, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    ev = spark.createDataFrame([(leak,)], "text string")
+    got = {r.doc_id: (r.n_overlap, r.contaminated)
+           for r in contamination(docs, ev, n=8).collect()}
+    # eval text has 10 tokens -> 3 distinct 8-grams; doc 1 contains all 3
+    assert got[0] == (3, True)
+    assert got[1] == (3, True)
+    assert got[2] == (0, False)  # 7-token doc shingles to whole text, no match
+    assert got[3] == (0, False)
+    assert got[4] == (0, False)
+    kept = {r.doc_id for r in decontaminate(docs, ev, n=8).collect()}
+    assert kept == {2, 3, 4}
+
+
+def test_contamination_short_text_fallback(spark):
+    """Sub-n documents shingle to their whole text (with_shingles
+    contract): an exact short match is still caught."""
+    from entity_extraction_svc_spark.operators.decontam import contamination
+
+    docs = spark.createDataFrame(
+        [(0, "short eval question"), (1, "short eval questions")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([("short  EVAL question",)], "text string")
+    got = {r.doc_id: r.contaminated for r in contamination(docs, ev, n=8).collect()}
+    assert got == {0: True, 1: False}  # normalization folds case/whitespace
+
+
+def test_bigram_lm_hand_computed(spark):
+    """Cross-entropy matches the add-k formula computed by hand on a
+    two-document corpus; sub-2-token docs score NULL with n_bigrams 0."""
+    import math
+
+    from entity_extraction_svc_spark.operators.lm import score_cross_entropy
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a b"), (2, "x"), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_bigrams, r.cross_entropy)
+           for r in score_cross_entropy(docs).collect()}
+    # corpus: tokens a,b,a,b,a,b,x -> c1: a=3,b=3,x=1; V=3
+    # bigrams: (a,b)x3, (b,a)x1  [doc0: ab,ba,ab; doc1: ab]
+    k, V = 0.5, 3
+    p_ab = (3 + k) / (3 + k * V)
+    p_ba = (1 + k) / (3 + k * V)
+    ce0 = -(2 * math.log2(p_ab) + math.log2(p_ba)) / 3
+    ce1 = -math.log2(p_ab)
+    assert got[0][0] == 3 and abs(got[0][1] - ce0) < 1e-5
+    assert got[1][0] == 1 and abs(got[1][1] - ce1) < 1e-5
+    assert got[2] == (0, None) and got[3] == (0, None)
+
+
+def test_perplexity_bucket_ordering(spark):
+    """Repetitive text scores lower cross-entropy than shuffled-vocab text
+    under the self-trained model, and unscoreable docs land in 'tail'."""
+    from entity_extraction_svc_spark.operators.lm import perplexity_bucket
+
+    rows = [
+        (0, "the cat sat on the mat " * 10),
+        (1, "zebra quantum mat the purple on cat sat nebula the of"),
+        (2, "x"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.cross_entropy, r.bucket)
+           for r in perplexity_bucket(docs).collect()}
+    assert got[0][0] < got[1][0]
+    assert got[2][1] == "tail"
