@@ -654,9 +654,31 @@ def _dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from entity_extraction_svc_spark.operators.dedup import minhash_dup_pairs
+    """MinHash LSH pairs + their connected-component RESOLUTION (keeper
+    per dup group, keep flag for every doc), tagged and unioned.  The pair
+    set is localCheckpoint-ed so the signature/bucket work runs once for
+    both halves."""
+    from entity_extraction_svc_spark.operators.dedup import (
+        minhash_dup_pairs,
+        resolve_near_dups,
+    )
 
-    return minhash_dup_pairs(_docs(spark, sf_dir), threshold=0.5)
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_dup_pairs(docs, threshold=0.5).localCheckpoint(eager=True)
+    res = resolve_near_dups(docs, pairs)
+    pair_rows = pairs.select(
+        F.lit("pair").alias("part"),
+        F.col("id_a").alias("a"),
+        F.col("id_b").alias("b"),
+        F.col("est_jaccard").alias("score"),
+    )
+    res_rows = res.select(
+        F.lit("resolve").alias("part"),
+        F.col("doc_id").alias("a"),
+        F.col("keeper_id").alias("b"),
+        F.col("keep").cast("double").alias("score"),
+    )
+    return pair_rows.unionByName(res_rows)
 
 
 def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1579,9 +1601,12 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT doc_id, array_to_string(list_transform({mins}, x -> x::VARCHAR), ',') AS sig_str FROM s"
         ),
         "dedup_minhash_pairs": (
+            # pair half: LSH candidate gen + signature-agreement estimate;
+            # resolve half: recursive-CTE connected components over the
+            # kept pairs, keeper = min doc_id per component, every doc row
             f"""
-            WITH s AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
-            sig AS (SELECT doc_id, {mins} AS sig FROM s),
+            WITH RECURSIVE s AS MATERIALIZED (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
+            sig AS MATERIALIZED (SELECT doc_id, {mins} AS sig FROM s),
             bands AS (
               SELECT doc_id, b AS band,
                      md5(array_to_string(list_transform(list_slice(sig, b*4+1, b*4+4), x -> x::VARCHAR), ',')) AS band_hash
@@ -1596,9 +1621,29 @@ def oracle_sql() -> dict[str, str]:
               SELECT id_a, id_b,
                      len(list_filter(generate_series(1, 16), i -> a.sig[i] = b.sig[i])) / 16.0 AS est_jaccard
               FROM cand JOIN sig a ON cand.id_a = a.doc_id JOIN sig b ON cand.id_b = b.doc_id
+            ),
+            kept AS MATERIALIZED (SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5),
+            sym AS (
+              SELECT id_a AS src, id_b AS dst FROM kept
+              UNION SELECT id_b, id_a FROM kept
+            ),
+            reach AS (
+              SELECT DISTINCT src AS node, src AS r FROM sym
+              UNION
+              SELECT reach.node, sym.dst FROM reach JOIN sym ON reach.r = sym.src
+            ),
+            comp AS (SELECT node, min(r) AS comp FROM reach GROUP BY node),
+            keeper AS (SELECT comp, min(node) AS keeper_id FROM comp GROUP BY comp),
+            assigned AS (
+              SELECT node AS doc_id, keeper_id FROM comp JOIN keeper USING (comp)
             )
-            SELECT id_a, id_b, round(est_jaccard, 6) AS est_jaccard FROM est
-            WHERE est_jaccard >= 0.5
+            SELECT 'pair' AS part, id_a AS a, id_b AS b,
+                   round(est_jaccard, 6) AS score FROM kept
+            UNION ALL
+            SELECT 'resolve', d.doc_id, coalesce(a.keeper_id, d.doc_id),
+                   CASE WHEN coalesce(a.keeper_id, d.doc_id) = d.doc_id
+                        THEN 1.0 ELSE 0.0 END
+            FROM documents d LEFT JOIN assigned a USING (doc_id)
             """
         ),
         "dedup_simhash": (

@@ -49,13 +49,17 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
     sym = sym.persist()
+    # localCheckpoint, not persist, for the iterated vector: a persisted
+    # frame keeps its full logical plan, so the analyzer re-walks (and
+    # self-join-dedups) lineage that deepens every round — per-iteration
+    # driver cost DOUBLES by ~iter 7 (measured on operators/pagerank.py,
+    # same loop shape).  Checkpointing truncates the plan each round.
     labels = (
         sym.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("comp", F.col("node"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    labels.count()
     for _ in range(max_iter):
         # neighbor minimum: node <- min(comp over neighbors ∪ self)
         neigh = (
@@ -67,7 +71,7 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
             labels.select("node", "comp").union(neigh)
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -76,7 +80,6 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
             .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break

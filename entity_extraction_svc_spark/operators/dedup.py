@@ -649,3 +649,45 @@ def semantic_dedup(embeddings: DataFrame | None = None,
     return assigned.join(
         dup_ids, assigned["id"] == dup_ids["dup_id"], "left"
     ).select("id", "list_id", F.col("dup_id").isNull().alias("keep"))
+
+
+# ---------------------------------------------------------------------------
+# near-dup resolution: pairs -> connected components -> keeper assignment
+# ---------------------------------------------------------------------------
+
+def resolve_near_dups(docs: DataFrame, pairs: DataFrame,
+                      id_col: str = "doc_id",
+                      a_col: str = "id_a", b_col: str = "id_b") -> DataFrame:
+    """Turn a near-duplicate PAIR list into the per-document keep/drop
+    verdict a pipeline actually filters on.
+
+    Pairwise detectors (minhash/simhash/jaccard/embedding) emit edges; the
+    duplicate GROUPS are the connected components of that graph (a~b and
+    b~c must keep exactly one of {a,b,c}, even though (a,c) was never
+    emitted).  Components come from the hash-min label propagation in
+    ``operators/canonicalize.py`` (iteration count is log-diameter, and
+    dup-cluster diameters are tiny); the keeper is the component's min id.
+
+    Returns (id, keeper_id, keep) for EVERY document — docs in no pair
+    keep themselves — so the filter is one join: ``docs.join(resolution
+    .filter("keep"), id_col)``.  Scale shape: only pair members enter the
+    CC loop (the overwhelmingly-unique corpus rides through the final
+    left join untouched).
+    """
+    from entity_extraction_svc_spark.operators.canonicalize import (
+        connected_components,
+    )
+
+    edges = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    )
+    comps = connected_components(edges)
+    keepers = comps.groupBy("comp").agg(F.min("node").alias("keeper_id"))
+    assigned = comps.join(keepers, "comp").select(
+        F.col("node").alias(id_col), "keeper_id"
+    )
+    return docs.select(id_col).join(assigned, id_col, "left").select(
+        id_col,
+        F.coalesce("keeper_id", F.col(id_col)).alias("keeper_id"),
+        (F.coalesce("keeper_id", F.col(id_col)) == F.col(id_col)).alias("keep"),
+    )

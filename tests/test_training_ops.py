@@ -550,3 +550,21 @@ def test_perplexity_bucket_ordering(spark):
            for r in perplexity_bucket(docs).collect()}
     assert got[0][0] < got[1][0]
     assert got[2][1] == "tail"
+
+
+def test_resolve_near_dups_transitive(spark):
+    """a~b and b~c resolve to ONE keeper for all three (transitivity the
+    pair list never stated); pairless docs keep themselves; the keep
+    filter retains exactly one doc per dup group."""
+    from entity_extraction_svc_spark.operators.dedup import resolve_near_dups
+
+    docs = spark.range(7).withColumnRenamed("id", "doc_id")
+    pairs = spark.createDataFrame(
+        [(1, 3), (3, 5), (2, 6)], "id_a long, id_b long"
+    )
+    got = {r.doc_id: (r.keeper_id, r.keep)
+           for r in resolve_near_dups(docs, pairs).collect()}
+    assert got[1] == (1, True) and got[3] == (1, False) and got[5] == (1, False)
+    assert got[2] == (2, True) and got[6] == (2, False)
+    assert got[0] == (0, True) and got[4] == (4, True)
+    assert sum(1 for k, (kp, keep) in got.items() if keep) == 4
