@@ -59,11 +59,15 @@ def contamination(docs: DataFrame, eval_docs: DataFrame,
     the document shares with any eval document, and the flag a filter
     would act on.  Every input document gets a row (clean docs report 0),
     so the output is a total audit, not just the hit list.
+
+    Within-document gram dedup is ``array_distinct`` BEFORE the explode —
+    row-local, so (id, gram) rows are already unique and the corpus is
+    never shuffled on the gram; an explode-then-``.distinct()`` would
+    hash-exchange every n-gram of the 100 TB side (plan-audited).
     """
     grams = (
         with_shingles(docs.select(id_col, text_col), text_col, n=n)
-        .select(id_col, F.explode("_sh").alias("gram"))
-        .distinct()
+        .select(id_col, F.explode(F.array_distinct("_sh")).alias("gram"))
     )
     hits = (
         grams.join(F.broadcast(eval_ngrams(eval_docs, n, text_col)), "gram")
