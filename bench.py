@@ -49,11 +49,12 @@ def run_benches(spark, sf_dir: str, bench_docs: int = BENCH_DOCS) -> dict[str, d
 
     results: dict[str, dict] = {}
 
-    def timed(name, fn, repeats: int = 1):
-        """min-of-N wall time: the driver's bench is single-shot on a
-        multi-tenant box (BASELINE.md documents 0.70-0.87 tenant swings;
-        r2's kg_pipeline_10k 3.55->4.63s was exactly such noise), so the
-        flagship number follows tools/bench_scaling.py's min-of-3 protocol."""
+    def timed(name, fn, repeats: int = 3):
+        """min-of-N wall time for EVERY query: the driver's bench is
+        single-shot on a multi-tenant box (BASELINE.md documents 0.70-0.87
+        tenant swings; r2's kg_pipeline_10k 3.55->4.63s was exactly such
+        noise), so all rows follow tools/bench_scaling.py's min-of-3
+        protocol — steady-state throughput, not first-compile latency."""
         best, rows = None, None
         for _ in range(repeats):
             t0 = time.time()

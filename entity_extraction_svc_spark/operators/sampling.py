@@ -59,3 +59,44 @@ def hash_sample(docs: DataFrame, fraction: float,
     Unlike ``df.sample`` this is stable across runs/partitionings and
     consistent across any table sharing the id column."""
     return docs.filter(_bucket(id_col) < int(round(fraction * N_BUCKETS)))
+
+
+def stratified_sample(docs: DataFrame, group_col: str,
+                      fractions: dict[str, float] | float,
+                      id_col: str = "doc_id") -> DataFrame:
+    """Deterministic per-group sampling (language/domain rebalancing).
+
+    ``fractions`` is either one fraction for every group or a map
+    group -> fraction (groups absent from the map are dropped — the
+    explicit form a mixture spec takes).  Selection reuses the md5 bucket,
+    so it is stable across runs and consistent with hash_split/hash_sample
+    — and because the bucket is a pure function of the id, NO shuffle and
+    no per-group count pass: the filter is a row-local codegen expression,
+    unlike ``df.sampleBy`` which is seed-dependent per partition order.
+    """
+    b = _bucket(id_col)
+    if isinstance(fractions, dict):
+        expr = None
+        for g, frac in fractions.items():
+            cond = (F.col(group_col) == g) & (b < int(round(frac * N_BUCKETS)))
+            expr = cond if expr is None else expr | cond
+        if expr is None:
+            return docs.filter(F.lit(False))
+        return docs.filter(expr)
+    return docs.filter(b < int(round(float(fractions) * N_BUCKETS)))
+
+
+def cap_per_group(docs: DataFrame, group_col: str, max_per_group: int,
+                  id_col: str = "doc_id") -> DataFrame:
+    """Keep at most ``max_per_group`` rows per group, deterministically
+    (md5-bucket order, id tie-break).  The generic sibling of
+    textstats.cap_per_domain: one shuffle on the group key, AQE-skew-
+    handled like every windowed op."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group_col).orderBy(_bucket(id_col), F.col(id_col))
+    return (
+        docs.withColumn("_rnk", F.row_number().over(w))
+        .filter(F.col("_rnk") <= max_per_group)
+        .drop("_rnk")
+    )
