@@ -143,3 +143,61 @@ def test_windowed_counts_semantics(spark, fixture_dir):
     # and the streaming variant is accepted by the engine (plan validates)
     s = windowed_page_counts(stream_pages(spark, _staged_src(fixture_dir)))
     assert s.isStreaming
+
+
+def test_stream_rowlocal_curation_gates(spark):
+    """The row-local curation gates (PII scan/redact, quality stats,
+    hash_split) are pure column expressions, so the SAME operator code
+    runs unchanged on a streaming DataFrame — no forEachBatch escape
+    hatch needed.  Batch parity on identical rows is exact."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from entity_extraction_svc_spark.operators.privacy import pii_redact
+    from entity_extraction_svc_spark.operators.sampling import hash_split
+    from entity_extraction_svc_spark.operators.textstats import doc_stats
+
+    rows = [
+        (0, "plain prose with some of the usual stopwords in it"),
+        (1, "mail me at a@b.org or call +1 (415) 555-0199 now"),
+        (2, ""),
+    ]
+    src = tempfile.mkdtemp(prefix="kg_stream_gates_")
+    pq.write_table(
+        pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                  "text": pa.array([r[1] for r in rows], pa.string())}),
+        f"{src}/part-0.parquet",
+    )
+    batch_df = spark.read.parquet(src)
+    stream_df = spark.readStream.schema("doc_id long, text string").parquet(src)
+
+    def run_stream(df):
+        q = (
+            df.writeStream.format("memory")
+            .queryName("gates_out")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        out = spark.sql("select * from gates_out").collect()
+        spark.catalog.dropTempView("gates_out")
+        return out
+
+    composed = doc_stats(stream_df).join(
+        hash_split(stream_df.select("doc_id")).select("doc_id", "split"), "doc_id"
+    )
+    got = {r.doc_id: (r.n_ws_tokens, r.split) for r in run_stream(composed)}
+    want = {
+        r.doc_id: (r.n_ws_tokens, r.split)
+        for r in doc_stats(batch_df)
+        .join(hash_split(batch_df.select("doc_id")).select("doc_id", "split"),
+              "doc_id")
+        .collect()
+    }
+    assert got == want and len(got) == 3
+    # redaction as a pure projection on the stream
+    red = {r.doc_id: r.redacted for r in run_stream(pii_redact(stream_df))}
+    assert red[1] == "mail me at [EMAIL] or call [PHONE] now"

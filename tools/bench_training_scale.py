@@ -1,0 +1,147 @@
+"""Scale rehearsal for the training-data operators.
+
+The sf tables top out at 5k documents — enough for correctness, useless
+for the "does this shape survive 100x" question.  This harness generates a
+deterministic N-document corpus (seeded template text, a controlled 2%
+near-dup rate, PII sprinkled at 1%), runs each training-data operator
+family at full size on local[32], and prints one JSON line per op:
+wall seconds (min-of-2), output rows, and docs/sec.
+
+Usage: python tools/bench_training_scale.py [n_docs]   (default 200_000)
+
+The corpus is cached under /tmp keyed by (n, generator version) — bump
+_GEN_V when the generator changes or stale parquet will be reused.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+_GEN_V = 1
+_WORDS = (
+    "data spark shuffle partition executor broadcast join scan filter "
+    "column vector token entity graph triple index cluster batch stream "
+    "window schema codegen arrow pandas parquet bucket salt skew stage "
+    "driver worker memory disk network cache hash sort merge range"
+).split()
+
+
+def _ensure_corpus(spark, n_docs: int, shards: int = 64) -> str:
+    d = os.path.join("/tmp", f"kg_bench_training_{n_docs}_v{_GEN_V}")
+    marker = os.path.join(d, "_SUCCESS_GEN")
+    if os.path.exists(marker):
+        return d
+    from pyspark.sql import functions as F
+
+    w = F.array(*[F.lit(x) for x in _WORDS])
+    nw = len(_WORDS)
+    base = spark.range(n_docs).select(F.col("id").alias("doc_id"))
+    # 40 pseudo-random words per doc via md5-derived indices (deterministic,
+    # engine-independent); ~2% of docs copy the text of doc_id - 1 (near-dup
+    # pairs for LSH to find); 1% get a PII suffix
+    tok = F.transform(
+        F.sequence(F.lit(0), F.lit(39)),
+        lambda i: F.element_at(
+            w,
+            (
+                F.conv(
+                    F.substring(F.md5(F.concat_ws(":", F.col("eff_id"), i)), 1, 7),
+                    16, 10,
+                ).cast("long") % nw + 1
+            ).cast("int"),
+        ),
+    )
+    docs = (
+        base.withColumn(
+            "eff_id",
+            F.when((F.col("doc_id") % 50 == 1) & (F.col("doc_id") > 0),
+                   F.col("doc_id") - 1).otherwise(F.col("doc_id")),
+        )
+        .withColumn("text0", F.concat_ws(" ", tok))
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 100 == 7,
+                F.concat(F.col("text0"), F.lit(" contact a@b.org at 10.0.0.1")),
+            ).otherwise(F.col("text0")).alias("text"),
+        )
+    )
+    docs.repartition(shards).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    open(marker, "w").close()
+    return d
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+    from pyspark.sql import functions as F
+
+    from entity_extraction_svc_spark.session import get_spark
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(app_name="bench-training", master=f"local[{cpus}]",
+                      shuffle_partitions=max(cpus, 32))
+    d = _ensure_corpus(spark, n_docs)
+    docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
+
+    from entity_extraction_svc_spark.operators.decontam import contamination
+    from entity_extraction_svc_spark.operators.dedup import (
+        minhash_dup_pairs,
+        resolve_near_dups,
+    )
+    from entity_extraction_svc_spark.operators.lm import score_cross_entropy
+    from entity_extraction_svc_spark.operators.privacy import pii_scan
+    from entity_extraction_svc_spark.operators.sampling import hash_split
+    from entity_extraction_svc_spark.operators.textstats import (
+        repetition_stats,
+    )
+    from entity_extraction_svc_spark.plans.curate import curation_report
+
+    # eval set: 200 fixed probe docs' texts (decontam finds their copies)
+    ev = docs.filter(F.col("doc_id") % 997 == 0).select("text").limit(200)
+
+    results = {}
+
+    def timed(name, fn, repeats: int = 2):
+        best, rows = None, None
+        for _ in range(repeats):
+            t0 = time.time()
+            rows = fn()
+            sec = time.time() - t0
+            best = sec if best is None else min(best, sec)
+        results[name] = {
+            "sec": round(best, 2),
+            "rows": rows,
+            "docs_per_sec": round(n_docs / best, 0),
+        }
+        print(json.dumps({"op": name, **results[name]}), flush=True)
+
+    docs.count()  # warm scan
+    timed("pii_scan", lambda: pii_scan(docs).filter("has_pii").count())
+    timed("hash_split", lambda: hash_split(docs).groupBy("split").count().count())
+    timed("repetition_stats", lambda: repetition_stats(docs).count())
+    timed("lm_cross_entropy", lambda: score_cross_entropy(docs).count())
+    timed("decontam", lambda: contamination(docs, ev).filter("contaminated").count())
+    timed("minhash_pairs", lambda: minhash_dup_pairs(docs, threshold=0.5).count())
+
+    def resolve_run():
+        pairs = minhash_dup_pairs(docs, threshold=0.5).localCheckpoint(eager=True)
+        return resolve_near_dups(docs, pairs).filter("NOT keep").count()
+
+    timed("minhash_resolve", resolve_run)
+    timed(
+        "curation_report",
+        lambda: curation_report(docs, ev).filter("keep").count(),
+    )
+    total = round(sum(v["sec"] for v in results.values()), 2)
+    print(json.dumps({"n_docs": n_docs, "total_sec": total,
+                      "ops": results}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
