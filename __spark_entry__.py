@@ -773,7 +773,8 @@ _ANN_QIDS = list(range(0, 160, 10))
 # DuckDB side of the ANN recall contracts: the exact batch top-10 cosine sum
 # (grounded crosscheck of the Spark-side brute-force baseline the ANN probes
 # are measured against) + the recall_ok constant the Spark side must earn.
-def _ann_recall_oracle(src: str) -> str:
+def _ann_recall_oracle(src: str, extra_bools: tuple[str, ...] = ()) -> str:
+    extra = "".join(f", true AS {b}" for b in extra_bools)
     return f"""
     WITH q AS (
       SELECT vec_id AS qid, list_transform(embedding, x -> x::DOUBLE) AS qvec
@@ -793,7 +794,7 @@ def _ann_recall_oracle(src: str) -> str:
                                 ORDER BY cos_sim DESC, vec_id ASC) AS rn
       FROM scored
     )
-    SELECT round(sum(cos_sim), 4) AS exact_cos_sum, true AS recall_ok
+    SELECT round(sum(cos_sim), 4) AS exact_cos_sum, true AS recall_ok{extra}
     FROM ranked WHERE rn <= 10
 """
 
@@ -977,9 +978,12 @@ def _ensure_clustered_embeddings() -> str:
 
 
 def _sim_ivf_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF recall on clustered embeddings: n_probe=2 of 8 lists (25% scan)
-    must reach mean recall@10 >= 0.9 vs the exact top-10 (measured ~0.99);
-    exact_cos_sum is the DuckDB-grounded crosscheck of the baseline."""
+    """IVF and IVF-PQ recall on clustered embeddings.  IVF-flat at
+    n_probe=2 of 8 lists (25% scan) must reach mean recall@10 >= 0.9 vs
+    the exact top-10 (measured ~0.99); IVF-PQ (8x1-byte codes per 32-dim
+    vector, ADC shortlist 50 + exact refine join) must hold the same 0.9
+    bar while its index stores NO float vectors.  exact_cos_sum is the
+    DuckDB-grounded crosscheck of the shared exact baseline."""
     from entity_extraction_svc_spark.operators import annindex as ai
 
     path = _ensure_clustered_embeddings()
@@ -988,18 +992,27 @@ def _sim_ivf_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx_dir = _ann_index_dir(path, "ivf8c")
     if not ai.index_ready(idx_dir):
         ai.build_ivf_index(emb, idx_dir, n_lists=8)
-    exact = ai.batch_exact_topk(emb, queries, k=10)
+    pq_dir = _ann_index_dir(path, "ivfpq8c")
+    if not ai.index_ready(pq_dir):
+        ai.build_ivfpq_index(emb, pq_dir, n_lists=8, m_sub=8)
+    exact = ai.batch_exact_topk(emb, queries, k=10).localCheckpoint(eager=True)
     ann = ai.batch_probe_ivf(spark, idx_dir, queries, k=10, n_probe=2)
+    pq = ai.batch_probe_ivfpq(spark, pq_dir, queries, k=10, n_probe=2,
+                              shortlist=50, refine_with=emb)
     hits = exact.join(ann.select("qid", "vec_id"), ["qid", "vec_id"]).agg(
         F.count("*").alias("n_hit")
+    )
+    pq_hits = exact.join(pq.select("qid", "vec_id"), ["qid", "vec_id"]).agg(
+        F.count("*").alias("n_pq_hit")
     )
     base = exact.agg(
         F.round(F.sum("cos_sim"), 4).alias("exact_cos_sum"),
         F.count("*").alias("n_exact"),
     )
-    return base.crossJoin(hits).select(
+    return base.crossJoin(hits).crossJoin(pq_hits).select(
         "exact_cos_sum",
         (F.col("n_hit") >= F.col("n_exact") * 0.9).alias("recall_ok"),
+        (F.col("n_pq_hit") >= F.col("n_exact") * 0.9).alias("pq_recall_ok"),
     )
 
 
@@ -1870,7 +1883,8 @@ def oracle_sql() -> dict[str, str]:
         "sim_lsh_ann": _ann_recall_oracle("embeddings"),
         "sim_ivf_topk": _ann_recall_oracle("embeddings"),
         "sim_ivf_clustered": _ann_recall_oracle(
-            f"read_parquet('{_ensure_clustered_embeddings()}')"
+            f"read_parquet('{_ensure_clustered_embeddings()}')",
+            extra_bools=("pq_recall_ok",),
         ),
         "dedup_semantic": (
             # n_exact = corpus-wide near-dup pair count (the crosscheck);

@@ -439,3 +439,253 @@ def files_in_index(index_dir: str) -> int:
     for root, _dirs, files in os.walk(index_dir):
         n += sum(1 for f in files if f.endswith(".parquet"))
     return n
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: product-quantized codes inside the IVF lists (memory-bounded probes)
+# ---------------------------------------------------------------------------
+#
+# At 10^10 vectors even the pruned IVF lists are too big to scan as full
+# float arrays: a 64-dim float64 vector is 512 B, its PQ code is m_sub
+# bytes (64x smaller at m_sub=8).  The index stores ONLY (id, list_id,
+# codes); probes score candidates by asymmetric distance computation (ADC):
+# the query precomputes an (m_sub x n_codes) table of sub-dot-products once,
+# and every candidate's approximate dot is m_sub table lookups — no float
+# vector ever leaves disk.  An optional refine step exact-re-ranks the ADC
+# shortlist by joining the ORIGINAL embeddings table on the shortlist ids
+# (Faiss's IVFPQ+refine recipe).
+#
+# This is the no-residual variant (Faiss by_residual=false): codes quantize
+# the normalized vector itself, so one ADC table serves all probed lists.
+# Residual encoding would need a per-list table — better recall per byte,
+# 8x more query-side work; the refine join recovers the same accuracy here.
+
+def _pq_fit(X: np.ndarray, m_sub: int, n_codes: int,
+            iters: int = 25) -> np.ndarray:
+    """Codebooks (m_sub, n_codes, sub_dim) via per-subspace k-means on the
+    (already unit-normalized) sample.  Fixed RandomState; k-means++ init."""
+    n, dim = X.shape
+    sub = dim // m_sub
+    books = np.zeros((m_sub, n_codes, sub), dtype=np.float64)
+    rng = np.random.RandomState(7)
+    for m in range(m_sub):
+        S = X[:, m * sub:(m + 1) * sub]
+        k = min(n_codes, len(np.unique(S, axis=0)))
+        cents = [S[rng.randint(len(S))]]
+        for _ in range(1, k):
+            d2 = np.min(
+                np.stack([((S - c) ** 2).sum(axis=1) for c in cents]), axis=0
+            )
+            tot = d2.sum()
+            probs = d2 / tot if tot > 0 else np.full(len(S), 1.0 / len(S))
+            cents.append(S[rng.choice(len(S), p=probs)])
+        C = np.stack(cents)
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            newC = np.array([
+                S[assign == j].mean(axis=0) if (assign == j).any() else C[j]
+                for j in range(len(C))
+            ])
+            if np.allclose(newC, C, atol=1e-10):
+                C = newC
+                break
+            C = newC
+        books[m, :len(C)] = C
+        if len(C) < n_codes:  # degenerate sample: repeat last centroid
+            books[m, len(C):] = C[-1]
+    return books
+
+
+def _pq_encode_udf(books: np.ndarray):
+    """Arrow-batched PQ encoding: per subspace one (batch x n_codes)
+    distance matrix + argmin.  Returns array<smallint> codes."""
+    from pyspark.sql.types import ArrayType, ShortType
+
+    m_sub, n_codes, sub = books.shape
+
+    @F.pandas_udf(ArrayType(ShortType()))
+    def encode_udf(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        codes = np.zeros((len(mat), m_sub), dtype=np.int16)
+        for m in range(m_sub):
+            S = mat[:, m * sub:(m + 1) * sub]
+            # ||s - c||^2 = ||s||^2 - 2 s.c + ||c||^2 ; argmin over c
+            d = -2.0 * (S @ books[m].T) + (books[m] ** 2).sum(axis=1)[None, :]
+            codes[:, m] = np.argmin(d, axis=1)
+        return pd.Series(list(codes))
+
+    return encode_udf
+
+
+def build_ivfpq_index(embeddings: DataFrame, index_dir: str,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      n_lists: int = 16, m_sub: int = 8, n_codes: int = 256,
+                      sample_n: int = 4096) -> None:
+    """Coarse k-means lists + per-subspace PQ codebooks (both fitted on the
+    same deterministic bounded sample, driver numpy — model artifacts, not
+    data collects); vectors stored as (id, codes) partitioned by list_id.
+    The float vectors do NOT enter the index — that is the memory bound."""
+    first = embeddings.select(vec_col).first()
+    dim = len(first[0])
+    if dim % m_sub != 0:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    C = kmeans_centroids(embeddings, n_lists, id_col, vec_col, sample_n)
+    sample = (
+        embeddings.select(vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)))
+        .limit(sample_n)
+        .toPandas()
+    )
+    X = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    books = _pq_fit(X, m_sub, n_codes)
+    assign_udf = ivf_assign_udf(C)
+    encode_udf = _pq_encode_udf(books)
+    (
+        embeddings.select(
+            F.col(id_col),
+            assign_udf(F.col(vec_col)).alias("list_id"),
+            encode_udf(F.col(vec_col)).alias("codes"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("list_id")
+        .parquet(index_dir)
+    )
+    _write_meta(index_dir, {
+        "kind": "ivfpq", "n_lists": n_lists, "m_sub": m_sub,
+        "n_codes": n_codes, "dim": dim, "id_col": id_col, "vec_col": vec_col,
+        "centroids": C.tolist(), "codebooks": books.tolist(),
+    })
+
+
+def _adc_score_udf(table: np.ndarray):
+    """ADC scorer: approx dot(q, x) = sum_m table[m, codes[m]].  One numpy
+    take+sum per Arrow batch."""
+    from pyspark.sql.types import DoubleType
+
+    m_sub = table.shape[0]
+
+    @F.pandas_udf(DoubleType())
+    def adc_udf(codes: pd.Series) -> pd.Series:
+        mat = np.stack(codes.to_numpy()).astype(np.int64)  # (n, m_sub)
+        score = np.zeros(len(mat), dtype=np.float64)
+        for m in range(m_sub):
+            score += table[m][mat[:, m]]
+        return pd.Series(score)
+
+    return adc_udf
+
+
+def probe_ivfpq_index(spark: SparkSession, index_dir: str,
+                      qvec: Sequence[float], k: int = 10, n_probe: int = 4,
+                      shortlist: int = 100,
+                      refine_with: DataFrame | None = None,
+                      exclude_id: int | None = None) -> DataFrame:
+    """ADC top-``shortlist`` over the probed lists; exact-cosine re-rank to
+    top-k when ``refine_with`` (the original embeddings table) is given,
+    else ADC-ranked top-k directly.
+
+    The scan reads (id, codes) from n_probe/n_lists partitions only; the
+    refine join touches ``shortlist`` rows of the source table — at any
+    corpus size the probe's data volume is bounded by the code bytes of
+    the probed lists plus shortlist * dim floats.
+    """
+    meta = read_meta(index_dir)
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    C = np.asarray(meta["centroids"], dtype=np.float64)
+    books = np.asarray(meta["codebooks"], dtype=np.float64)
+    m_sub, _n_codes, sub = books.shape
+    q = np.asarray(qvec, dtype=np.float64)
+    q = q / max(np.linalg.norm(q), 1e-12)
+    probe = np.argsort(-(C @ q))[:n_probe].tolist()
+    # (m_sub x n_codes) sub-dot table: dot(q, decode(codes)) decomposes as
+    # the sum of per-subspace dots because subspaces are disjoint slices
+    table = np.stack([books[m] @ q[m * sub:(m + 1) * sub]
+                      for m in range(m_sub)])
+
+    idx = spark.read.parquet(index_dir).filter(F.col("list_id").isin(probe))
+    if exclude_id is not None:
+        idx = idx.filter(F.col(id_col) != exclude_id)
+    adc = idx.select(
+        F.col(id_col),
+        _adc_score_udf(table)(F.col("codes")).alias("adc_score"),
+    ).orderBy(F.desc("adc_score"), F.asc(id_col)).limit(shortlist)
+    if refine_with is None:
+        return adc.limit(k)
+    short = adc.select(id_col)
+    return (
+        refine_with.join(F.broadcast(short), id_col)
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), _qarr(qvec)), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def batch_probe_ivfpq(spark: SparkSession, index_dir: str,
+                      queries: list[tuple[int, Sequence[float]]], k: int = 10,
+                      n_probe: int = 4, shortlist: int = 100,
+                      refine_with: DataFrame | None = None) -> DataFrame:
+    """IVFPQ ANN for every query in ONE partition-pruned plan (no driver
+    probe loop).  ADC here decodes per (candidate, query) pair — decoded =
+    codebook gather, score = row-wise dot with that row's query — one
+    einsum per Arrow batch; the per-query table trick of the single probe
+    doesn't apply once rows carry different queries."""
+    from pyspark.sql.types import DoubleType
+
+    meta = read_meta(index_dir)
+    id_col = meta["id_col"]
+    C = np.asarray(meta["centroids"], dtype=np.float64)
+    books = np.asarray(meta["codebooks"], dtype=np.float64)
+    m_sub, _n_codes, sub = books.shape
+    probes = []
+    for q, v in queries:
+        qv = np.asarray(v, dtype=np.float64)
+        qv = qv / max(np.linalg.norm(qv), 1e-12)
+        for lid in np.argsort(-(C @ qv))[:n_probe]:
+            probes.append((int(q), int(lid)))
+    all_lists = sorted({l for _, l in probes})
+    pdf = spark.createDataFrame(probes, "qid long, list_id long")
+
+    @F.pandas_udf(DoubleType())
+    def adc_pair_udf(codes: pd.Series, qvecs: pd.Series) -> pd.Series:
+        cm = np.stack(codes.to_numpy()).astype(np.int64)        # (n, m_sub)
+        qm = np.stack(qvecs.to_numpy()).astype(np.float64)      # (n, dim)
+        qm /= np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
+        dec = np.concatenate(
+            [books[m][cm[:, m]] for m in range(m_sub)], axis=1
+        )  # (n, dim) decoded candidates
+        return pd.Series(np.einsum("nd,nd->n", dec, qm))
+
+    cand = (
+        spark.read.parquet(index_dir)
+        .filter(F.col("list_id").isin(all_lists))   # partition pruning
+        .join(F.broadcast(pdf), "list_id")
+        .filter(F.col(id_col) != F.col("qid"))
+        .join(F.broadcast(_queries_df(spark, queries)), "qid")
+        .select(
+            "qid", F.col(id_col),
+            adc_pair_udf(F.col("codes"), F.col("qvec")).alias("adc_score"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("qid").orderBy(F.desc("adc_score"), F.asc(id_col))
+    ranked = cand.withColumn("rn", F.row_number().over(w))
+    if refine_with is None:
+        return ranked.filter(F.col("rn") <= k).drop("rn")
+    short = ranked.filter(F.col("rn") <= shortlist).select("qid", id_col)
+    vec_col = meta["vec_col"]
+    scored = (
+        refine_with.join(F.broadcast(short), id_col)
+        .join(F.broadcast(_queries_df(spark, queries)), "qid")
+        .select(
+            "qid", F.col(id_col),
+            F.round(cosine(F.col(vec_col), F.col("qvec")), 6).alias("cos_sim"),
+        )
+    )
+    return _topk_per_qid(scored, k, id_col)

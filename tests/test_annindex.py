@@ -242,3 +242,81 @@ def test_ann_recall_high_on_clustered_embeddings(spark):
     recalls = [len(hits.get(q, set()) & exact[q]) / 10 for q in qids]
     # n_probe=2 of 8 lists (25% scan) on clustered data: near-perfect
     assert sum(recalls) / len(recalls) >= 0.9
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ
+# ---------------------------------------------------------------------------
+
+def _clustered(spark, n=400, dim=32, k=8, seed=0):
+    rng = np.random.RandomState(seed)
+    centers = rng.randn(k, dim) * 5
+    rows = [(i, [float(x) for x in centers[i % k] + rng.randn(dim) * 0.3])
+            for i in range(n)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    X = np.array([r[1] for r in rows])
+    return emb, rows, X / np.linalg.norm(X, axis=1, keepdims=True)
+
+
+def test_ivfpq_index_is_code_only_and_pruned(spark, tmp_path):
+    """The PQ index stores (id, list_id, codes) — no float vectors (the
+    memory bound) — and a probe scans < 1/2 of its files at n_probe=2/8."""
+    emb, rows, _ = _clustered(spark)
+    d = str(tmp_path / "ivfpq")
+    ai.build_ivfpq_index(emb, d, n_lists=8, m_sub=8)
+    idx = spark.read.parquet(d)
+    assert set(idx.columns) == {"vec_id", "codes", "list_id"}
+    meta = ai.read_meta(d)
+    C = np.asarray(meta["centroids"])
+    q = np.asarray(rows[0][1]); q /= np.linalg.norm(q)
+    probe = np.argsort(-(C @ q))[:2].tolist()
+    scan = idx.filter(F.col("list_id").isin(probe))
+    assert ai.files_scanned(scan) <= ai.files_in_index(d) / 2
+
+
+def test_ivfpq_refine_recall_clustered(spark, tmp_path):
+    """IVFPQ + exact-refine recall@10 >= 0.9 on clustered embeddings
+    (n_probe=2 of 8 lists, shortlist 50).  ADC-only identity-recall is
+    structurally low in THIS regime — tight-cluster members quantize to
+    near-identical codes, so ADC separates clusters, not members (exactly
+    why the refine join exists) — so the honest ADC assertion is pick
+    QUALITY: the mean exact cosine of its top-10 must be >= 0.95 of the
+    true top-10's mean."""
+    emb, rows, Xn = _clustered(spark)
+    d = str(tmp_path / "ivfpq")
+    ai.build_ivfpq_index(emb, d, n_lists=8, m_sub=8)
+    qids = list(range(0, 80, 10))
+    hit_refine = total = 0
+    adc_quality = []
+    for q in qids:
+        sims = Xn @ Xn[q]
+        sims[q] = -9
+        exact_top = np.argsort(-sims)[:10].tolist()
+        exact = set(exact_top)
+        ref = {r.vec_id for r in ai.probe_ivfpq_index(
+            spark, d, rows[q][1], k=10, n_probe=2, shortlist=50,
+            refine_with=emb, exclude_id=q).collect()}
+        adc = [r.vec_id for r in ai.probe_ivfpq_index(
+            spark, d, rows[q][1], k=10, n_probe=2, shortlist=10,
+            refine_with=None, exclude_id=q).collect()]
+        hit_refine += len(exact & ref)
+        total += 10
+        adc_quality.append(
+            float(np.mean(sims[adc])) / float(np.mean(sims[exact_top]))
+        )
+    assert hit_refine / total >= 0.9
+    assert min(adc_quality) >= 0.95
+
+
+def test_ivfpq_deterministic(spark, tmp_path):
+    """Two builds over the same data produce identical codes (fixed seeds,
+    deterministic sample)."""
+    emb, _rows, _ = _clustered(spark)
+    d1, d2 = str(tmp_path / "a"), str(tmp_path / "b")
+    ai.build_ivfpq_index(emb, d1, n_lists=8, m_sub=8)
+    ai.build_ivfpq_index(emb, d2, n_lists=8, m_sub=8)
+    c1 = {r.vec_id: (r.list_id, tuple(r.codes))
+          for r in spark.read.parquet(d1).collect()}
+    c2 = {r.vec_id: (r.list_id, tuple(r.codes))
+          for r in spark.read.parquet(d2).collect()}
+    assert c1 == c2
