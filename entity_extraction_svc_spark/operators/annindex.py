@@ -689,3 +689,27 @@ def batch_probe_ivfpq(spark: SparkSession, index_dir: str,
         )
     )
     return _topk_per_qid(scored, k, id_col)
+
+
+def append_ivfpq_index(embeddings: DataFrame, index_dir: str) -> None:
+    """Append new vectors to an EXISTING IVF-PQ index.  Codebooks and
+    coarse centroids are FROZEN at build time (the standard contract:
+    retrain when drift warrants a rebuild), so list assignment and codes
+    are pure functions of the vector — appends never touch existing
+    buckets' files and need no coordination, same as append_rp_index."""
+    meta = read_meta(index_dir)
+    C = np.asarray(meta["centroids"], dtype=np.float64)
+    books = np.asarray(meta["codebooks"], dtype=np.float64)
+    vec_col, id_col = meta["vec_col"], meta["id_col"]
+    assign_udf = ivf_assign_udf(C)
+    encode_udf = _pq_encode_udf(books)
+    (
+        embeddings.select(
+            F.col(id_col),
+            assign_udf(F.col(vec_col)).alias("list_id"),
+            encode_udf(F.col(vec_col)).alias("codes"),
+        )
+        .write.mode("append")
+        .partitionBy("list_id")
+        .parquet(index_dir)
+    )

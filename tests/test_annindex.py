@@ -320,3 +320,32 @@ def test_ivfpq_deterministic(spark, tmp_path):
     c2 = {r.vec_id: (r.list_id, tuple(r.codes))
           for r in spark.read.parquet(d2).collect()}
     assert c1 == c2
+
+
+def test_ivfpq_append_matches_batch(spark, tmp_path):
+    """Appending the second half of a corpus to a PQ index built on the
+    first half yields, for the appended vectors, codes bit-identical to a
+    from-scratch encode through the SAME frozen codebooks (append is a
+    pure function of the vector; no coordination, no bucket rewrites).
+    The indexes differ only in the model artifacts' training half."""
+    emb, _rows, _ = _clustered(spark)
+    first = emb.filter("vec_id < 200")
+    rest = emb.filter("vec_id >= 200")
+    d = str(tmp_path / "pq_inc")
+    ai.build_ivfpq_index(first, d, n_lists=8, m_sub=8)
+    ai.append_ivfpq_index(rest, d)
+    spark.catalog.refreshByPath(d)
+    got = {r.vec_id: (r.list_id, tuple(r.codes))
+           for r in spark.read.parquet(d).collect()}
+    assert len(got) == 400
+    # re-encode the appended half through the same frozen artifacts
+    meta = ai.read_meta(d)
+    C = np.asarray(meta["centroids"])
+    books = np.asarray(meta["codebooks"])
+    again = rest.select(
+        "vec_id",
+        ai.ivf_assign_udf(C)(F.col("embedding")).alias("list_id"),
+        ai._pq_encode_udf(books)(F.col("embedding")).alias("codes"),
+    )
+    want = {r.vec_id: (r.list_id, tuple(r.codes)) for r in again.collect()}
+    assert all(got[k] == v for k, v in want.items())

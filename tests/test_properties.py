@@ -229,3 +229,55 @@ def test_rp_signature_python_matches_definition(vec):
         if dot > 0:
             expected |= 1 << j
     assert sig == expected
+
+
+# ---------------------------------------------------------------------------
+# round-3 operators: pure-python twins of the UDF/SQL cores
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 30), st.integers(0, 30)),
+                max_size=40))
+def test_pagerank_reference_mass_conserved(edges):
+    """The driver-side reference recurrence (the semantics the Spark op and
+    the unrolled SQL both implement) conserves rank mass on ANY directed
+    graph — dangling redistribution is what makes this hold."""
+    from tests.test_pagerank import _pr_reference
+
+    if not edges:
+        return
+    r = _pr_reference(edges, iterations=8)
+    assert abs(sum(r.values()) - 1.0) < 1e-4
+    assert all(v > 0 for v in r.values())
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=300))
+def test_pii_redaction_idempotent(s):
+    """redact(redact(x)) == redact(x): placeholders never re-match any
+    pattern (a second pass over exported data must be a no-op)."""
+    import re
+
+    from entity_extraction_svc_spark.operators.privacy import PII_PATTERNS
+
+    def redact(text):
+        for _, pat, placeholder in PII_PATTERNS:
+            text = re.sub(pat, placeholder, text)
+        return text
+
+    once = redact(s)
+    assert redact(once) == once
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(min_value=0, max_value=2**62))
+def test_hash_split_python_twin_total_and_stable(doc_id):
+    """The md5-bucket rule (sampling._bucket's exact arithmetic) assigns
+    every id a bucket in range and a split label, independent of anything
+    but the id."""
+    import hashlib
+
+    b = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) % 10000
+    assert 0 <= b < 10000
+    label = "train" if b < 8000 else ("val" if b < 9000 else "test")
+    assert label in ("train", "val", "test")
