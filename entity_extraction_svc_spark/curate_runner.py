@@ -1,0 +1,79 @@
+"""spark-submit entry point for training-corpus curation.
+
+The batch face of ``plans/curate.py``: documents in, audited keep/drop
+report + PII-redacted survivors out.
+
+    spark-submit --py-files pkg.zip -m entity_extraction_svc_spark/curate_runner.py \
+        --docs s3://.../documents --out s3://.../curated \
+        [--eval s3://.../benchmarks] [--min-quality 0.5] [--dup-threshold 0.5]
+
+Local smoke:
+    python -m entity_extraction_svc_spark.curate_runner \
+        --docs /root/testdata/sf0.01/documents.parquet --out /tmp/curated
+
+Outputs under ``--out``:
+    report.parquet     per-document gate verdicts + reasons (full audit)
+    corpus.parquet     surviving documents, text PII-redacted
+and ONE JSON stats line on stdout (counts per gate — the numbers an
+operator pastes into a run log).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description="training-corpus curation runner")
+    ap.add_argument("--docs", required=True, help="documents parquet (doc_id, text, ...)")
+    ap.add_argument("--out", required=True, help="output dir")
+    ap.add_argument("--eval", default=None,
+                    help="eval/benchmark parquet with a text column (enables decontamination)")
+    ap.add_argument("--min-quality", type=float, default=0.5)
+    ap.add_argument("--dup-threshold", type=float, default=0.5)
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import functions as F
+
+    from entity_extraction_svc_spark.plans.curate import curate, curation_report
+    from entity_extraction_svc_spark.session import get_spark
+
+    spark = get_spark(app_name="curate-runner", master=args.master)
+    t0 = time.time()
+    docs = spark.read.parquet(args.docs)
+    ev = spark.read.parquet(args.eval) if args.eval else None
+
+    report = curation_report(docs, ev, args.text_col, args.id_col,
+                             args.min_quality, args.dup_threshold)
+    report.write.mode("overwrite").parquet(f"{args.out}/report.parquet")
+    spark.catalog.refreshByPath(f"{args.out}/report.parquet")
+    rep = spark.read.parquet(f"{args.out}/report.parquet")
+
+    corpus = curate(docs, ev, args.text_col, args.id_col,
+                    args.min_quality, args.dup_threshold)
+    corpus.write.mode("overwrite").parquet(f"{args.out}/corpus.parquet")
+    spark.catalog.refreshByPath(f"{args.out}/corpus.parquet")
+
+    stats = rep.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        F.sum((~F.col("quality_keep")).cast("long")).alias("n_low_quality"),
+        F.sum((~F.col("repetition_keep")).cast("long")).alias("n_repetitive"),
+        F.sum((~F.col("dup_keep")).cast("long")).alias("n_near_dups"),
+        F.sum(F.col("contaminated").cast("long")).alias("n_contaminated"),
+        F.sum((F.col("n_pii") > 0).cast("long")).alias("n_pii_docs"),
+    ).first().asDict()
+    stats["n_out"] = spark.read.parquet(f"{args.out}/corpus.parquet").count()
+    stats["sec"] = round(time.time() - t0, 2)
+    print(json.dumps(stats))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
