@@ -407,12 +407,6 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
-def _doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from entity_extraction_svc_spark.operators.textstats import doc_stats
-
-    return doc_stats(_docs(spark, sf_dir))
-
-
 def _doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality stats + language-ID + fingerprint joined per doc_id: the
     three row-local text profilers in one driver row (each remains an
@@ -492,18 +486,6 @@ def _doc_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from entity_extraction_svc_spark.operators.sampling import hash_split
 
     return hash_split(_docs(spark, sf_dir)).select("doc_id", "bucket", "split")
-
-
-def _doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from entity_extraction_svc_spark.operators.textstats import lang_id
-
-    return lang_id(_docs(spark, sf_dir))
-
-
-def _doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from entity_extraction_svc_spark.operators.textstats import fingerprint
-
-    return fingerprint(_docs(spark, sf_dir))
 
 
 def _doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -41,7 +41,7 @@ def main(argv: list[str] | None = None) -> int:
 
     from pyspark.sql import functions as F
 
-    from entity_extraction_svc_spark.plans.curate import curate, curation_report
+    from entity_extraction_svc_spark.plans.curate import curation_report
     from entity_extraction_svc_spark.session import get_spark
 
     spark = get_spark(app_name="curate-runner", master=args.master)
@@ -55,8 +55,19 @@ def main(argv: list[str] | None = None) -> int:
     spark.catalog.refreshByPath(f"{args.out}/report.parquet")
     rep = spark.read.parquet(f"{args.out}/report.parquet")
 
-    corpus = curate(docs, ev, args.text_col, args.id_col,
-                    args.min_quality, args.dup_threshold)
+    # derive the corpus FROM the materialized report (calling curate()
+    # here would rebuild every gate — minhash LSH, CC resolve, decontam —
+    # a second time; the report already holds the keep set)
+    from entity_extraction_svc_spark.operators.privacy import pii_redact
+
+    kept = docs.join(
+        rep.filter("keep").select(args.id_col), args.id_col, "semi"
+    )
+    red = pii_redact(kept, args.text_col, args.id_col)
+    others = [c for c in docs.columns if c != args.text_col]
+    corpus = kept.select(*others).join(red, args.id_col).withColumnRenamed(
+        "redacted", args.text_col
+    )
     corpus.write.mode("overwrite").parquet(f"{args.out}/corpus.parquet")
     spark.catalog.refreshByPath(f"{args.out}/corpus.parquet")
 

@@ -211,16 +211,12 @@ def probe_rp_index(spark: SparkSession, index_dir: str, qvec: Sequence[float],
 # IVF-flat index (spherical k-means coarse quantizer)
 # ---------------------------------------------------------------------------
 
-def kmeans_centroids(embeddings: DataFrame, n_lists: int,
-                     id_col: str = "vec_id", vec_col: str = "embedding",
-                     sample_n: int = 4096, iters: int = 20) -> np.ndarray:
-    """Spherical k-means on a deterministic sample.
-
-    The sample is TakeOrdered by xxhash64(id) (a uniform pseudo-random but
-    reproducible subset, bounded driver memory); the fit itself is numpy on
-    the driver — centroids are a model artifact, n_lists × dim floats.
-    k-means++ seeding with a fixed RandomState keeps the index reproducible.
-    """
+def unit_sample(embeddings: DataFrame, id_col: str = "vec_id",
+                vec_col: str = "embedding", sample_n: int = 4096) -> np.ndarray:
+    """Deterministic bounded sample as a unit-normalized (n, dim) matrix:
+    TakeOrdered by xxhash64(id) — uniform pseudo-random but reproducible,
+    bounded driver memory.  Shared by every index fit so one sample job
+    feeds both the coarse k-means and the PQ codebooks."""
     sample = (
         embeddings.select(F.col(id_col), F.col(vec_col))
         .orderBy(F.xxhash64(F.col(id_col)))
@@ -229,6 +225,20 @@ def kmeans_centroids(embeddings: DataFrame, n_lists: int,
     )
     X = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    return X
+
+
+def kmeans_centroids(embeddings: DataFrame, n_lists: int,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     sample_n: int = 4096, iters: int = 20,
+                     X: np.ndarray | None = None) -> np.ndarray:
+    """Spherical k-means on a deterministic sample (see ``unit_sample``;
+    pass ``X=`` to reuse an already-fetched sample).  The fit itself is
+    numpy on the driver — centroids are a model artifact, n_lists × dim
+    floats.  k-means++ seeding with a fixed RandomState keeps the index
+    reproducible."""
+    if X is None:
+        X = unit_sample(embeddings, id_col, vec_col, sample_n)
     rng = np.random.RandomState(0)
 
     # k-means++ init on the unit sphere (distance = 1 - cos)
@@ -531,15 +541,8 @@ def build_ivfpq_index(embeddings: DataFrame, index_dir: str,
     dim = len(first[0])
     if dim % m_sub != 0:
         raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
-    C = kmeans_centroids(embeddings, n_lists, id_col, vec_col, sample_n)
-    sample = (
-        embeddings.select(vec_col)
-        .orderBy(F.xxhash64(F.col(id_col)))
-        .limit(sample_n)
-        .toPandas()
-    )
-    X = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
-    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    X = unit_sample(embeddings, id_col, vec_col, sample_n)
+    C = kmeans_centroids(embeddings, n_lists, id_col, vec_col, sample_n, X=X)
     books = _pq_fit(X, m_sub, n_codes)
     assign_udf = ivf_assign_udf(C)
     encode_udf = _pq_encode_udf(books)

@@ -61,16 +61,34 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
-        # neighbor minimum: node <- min(comp over neighbors ∪ self)
+        # hop 1 — neighbor minimum: node <- min(comp over neighbors ∪ self).
+        # Alone this spreads the min ONE edge per round (O(diameter) —
+        # a 25-doc dup chain would outrun max_iter and silently split).
         neigh = (
             sym.join(labels.withColumnRenamed("node", "dst2"),
                      sym["dst"] == F.col("dst2"))
             .select(F.col("src").alias("node"), "comp")
         )
-        new_labels = (
+        hopped = (
             labels.select("node", "comp").union(neigh)
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
+        )
+        # hop 2 — pointer jump: comp <- comp's own comp (the label table
+        # joined to itself).  Squares the propagation distance per round,
+        # making convergence O(log diameter); comp is always a node id,
+        # so the lookup side always exists.
+        ptr = hopped.select(
+            F.col("node").alias("p_node"), F.col("comp").alias("p_comp")
+        )
+        new_labels = (
+            hopped.join(ptr, hopped["comp"] == ptr["p_node"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce("p_comp", F.col("comp"))
+                ).alias("comp"),
+            )
             .localCheckpoint(eager=True)
         )
         changed = (

@@ -521,6 +521,12 @@ def semantic_assign(embeddings: DataFrame, n_clusters: int | None = None,
         kmeans_centroids,
     )
 
+    if embeddings is None:
+        raise ValueError(
+            "semantic_assign needs an embeddings DataFrame (callers of "
+            "semantic_dup_pairs/semantic_dedup must pass exactly one of "
+            "embeddings= or assigned=)"
+        )
     if n_clusters is None:
         n = embeddings.count()
         n_clusters = max(16, math.ceil(n / max(target_cluster_size, 1)))
@@ -646,9 +652,16 @@ def semantic_dedup(embeddings: DataFrame | None = None,
         .select(F.col("id_b").alias("dup_id"))
         .distinct()
     )
-    return assigned.join(
+    out = assigned.join(
         dup_ids, assigned["id"] == dup_ids["dup_id"], "left"
     ).select("id", "list_id", F.col("dup_id").isNull().alias("keep"))
+    if owns:
+        # the assignment was created here, so its persisted (id, vector,
+        # list_id) copy must not outlive the call: materialize the (much
+        # smaller, vector-free) verdict frame and release the cache
+        out = out.localCheckpoint(eager=True)
+        assigned.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------

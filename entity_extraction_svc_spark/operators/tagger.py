@@ -247,8 +247,12 @@ class HFTokenTagger:
         }
 
     def _ensure(self):
-        if self.checkpoint in _HF_CACHE:
-            tok, model, order, tags = _HF_CACHE[self.checkpoint]
+        # cache key carries the decode contract: this class stores the
+        # O-reordered (order, tags); HFTwoHeadedTagger stores identity
+        # order + raw config labels under "raw:" — same checkpoint loaded
+        # through both paths must NOT share an entry (wrong label order)
+        if ("ord:" + self.checkpoint) in _HF_CACHE:
+            tok, model, order, tags = _HF_CACHE["ord:" + self.checkpoint]
         else:
             try:
                 import torch  # noqa: F401
@@ -270,7 +274,7 @@ class HFTokenTagger:
             # reorder so O is index 0 (tags_from_probas contract)
             order = sorted(range(len(labels)), key=lambda i: (labels[i] != "O", i))
             tags = [labels[i] for i in order]
-            _HF_CACHE[self.checkpoint] = (tok, model, order, tags)
+            _HF_CACHE["ord:" + self.checkpoint] = (tok, model, order, tags)
         self.tags_init = tags
         return tok, model, order
 
@@ -625,8 +629,9 @@ class HFTwoHeadedTagger:
         return state
 
     def _load_one(self, checkpoint: str):
-        if checkpoint in _HF_CACHE:
-            return _HF_CACHE[checkpoint]
+        # "raw:" = identity label order (see HFTokenTagger._ensure note)
+        if ("raw:" + checkpoint) in _HF_CACHE:
+            return _HF_CACHE["raw:" + checkpoint]
         try:
             import torch  # noqa: F401
             from transformers import (
@@ -644,8 +649,10 @@ class HFTwoHeadedTagger:
         model.eval()
         id2label = model.config.id2label
         labels = [id2label[i] for i in range(len(id2label))]
-        _HF_CACHE[checkpoint] = (tok, model, list(range(len(labels))), labels)
-        return _HF_CACHE[checkpoint]
+        _HF_CACHE["raw:" + checkpoint] = (
+            tok, model, list(range(len(labels))), labels
+        )
+        return _HF_CACHE["raw:" + checkpoint]
 
     def _ensure(self):
         tok_s, model_s, _, span_labels = self._load_one(self.spans_checkpoint)

@@ -568,3 +568,20 @@ def test_resolve_near_dups_transitive(spark):
     assert got[2] == (2, True) and got[6] == (2, False)
     assert got[0] == (0, True) and got[4] == (4, True)
     assert sum(1 for k, (kp, keep) in got.items() if keep) == 4
+
+
+def test_resolve_near_dups_long_chain(spark):
+    """A 60-edge duplicate CHAIN (diameter 60 > the CC loop's max_iter=20)
+    must still resolve to ONE keeper — pointer-jumping makes convergence
+    O(log diameter), so neighbor-min alone running out of iterations (the
+    silent-split failure mode) is guarded here."""
+    from entity_extraction_svc_spark.operators.dedup import resolve_near_dups
+
+    n = 61
+    docs = spark.range(n).withColumnRenamed("id", "doc_id")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    got = {r.doc_id: (r.keeper_id, r.keep)
+           for r in resolve_near_dups(docs, pairs).collect()}
+    assert all(got[i] == (0, i == 0) for i in range(n))
