@@ -56,14 +56,23 @@ def _ship_package(spark: SparkSession) -> None:
     import tempfile
 
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    # real spark-submit --py-files mode: the package is imported FROM the
+    # shipped zip (pkg_dir like /tmp/pkg.zip/entity_extraction_svc_spark),
+    # there is no source tree to walk, and the executors already have the
+    # zip — re-shipping is both impossible and unnecessary
+    if not os.path.isdir(pkg_dir):
+        return
     zip_base = os.path.join(tempfile.gettempdir(), "entity_extraction_svc_spark_pkg")
     zip_path = zip_base + ".zip"
-    src_mtime = max(
+    py_mtimes = [
         os.path.getmtime(os.path.join(root, f))
         for root, _, files in os.walk(pkg_dir)
         for f in files
         if f.endswith(".py")
-    )
+    ]
+    if not py_mtimes:
+        return
+    src_mtime = max(py_mtimes)
     if not os.path.exists(zip_path) or os.path.getmtime(zip_path) < src_mtime:
         shutil.make_archive(zip_base, "zip", os.path.dirname(pkg_dir),
                             os.path.basename(pkg_dir))
