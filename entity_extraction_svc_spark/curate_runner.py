@@ -28,7 +28,13 @@ import time
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description="training-corpus curation runner")
-    ap.add_argument("--docs", required=True, help="documents parquet (doc_id, text, ...)")
+    ap.add_argument("--docs", required=True,
+                    help="input path: documents parquet (doc_id, text) by "
+                         "default; pages parquet or WARC glob with --format")
+    ap.add_argument("--format", default="documents",
+                    choices=["documents", "pages", "warc"],
+                    help="pages/warc = raw web pages: extract text (the KG "
+                         "pipeline's byte-identical chain) before curating")
     ap.add_argument("--out", required=True, help="output dir")
     ap.add_argument("--eval", default=None,
                     help="eval/benchmark parquet with a text column (enables decontamination)")
@@ -46,7 +52,25 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark(app_name="curate-runner", master=args.master)
     t0 = time.time()
-    docs = spark.read.parquet(args.docs)
+    if args.format == "documents":
+        docs = spark.read.parquet(args.docs)
+    else:
+        # raw web pages: WARC segments or a pages table -> extracted text
+        # via the same chain the KG pipeline pins byte-identical; the url
+        # keyspace maps onto the id column via a stable 63-bit hash
+        from entity_extraction_svc_spark.operators.extract import extract_text
+
+        if args.format == "warc":
+            from entity_extraction_svc_spark.sources.warc import read_warc
+
+            pages = read_warc(spark, args.docs)
+        else:
+            pages = spark.read.parquet(args.docs)
+        docs = extract_text(pages).select(
+            F.abs(F.xxhash64("url")).alias(args.id_col),
+            F.col("url"),
+            F.col("text").alias(args.text_col),
+        )
     ev = spark.read.parquet(args.eval) if args.eval else None
 
     report = curation_report(docs, ev, args.text_col, args.id_col,
