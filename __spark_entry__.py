@@ -1661,10 +1661,16 @@ def oracle_sql() -> dict[str, str]:
             """
         ),
         "dedup_ngram_jaccard": (
+            # AS MATERIALIZED on the shingle CTE is the oracle's whole cost
+            # story: `s` is referenced by sizes + inv0, and DuckDB inlines
+            # plain CTEs, re-running the per-doc list_transform gram build
+            # per reference (~90s at sf0.1 without it)
             f"""
-            WITH s AS (SELECT doc_id AS id, list_distinct({_SHINGLES}) AS sh FROM documents),
+            WITH s AS MATERIALIZED (
+              SELECT doc_id AS id, list_distinct({_SHINGLES}) AS sh FROM documents
+            ),
             sizes AS (SELECT id, len(sh) AS n_sh FROM s),
-            inv0 AS (SELECT id, unnest(sh) AS shingle FROM s),
+            inv0 AS MATERIALIZED (SELECT id, unnest(sh) AS shingle FROM s),
             keep AS (SELECT shingle FROM inv0 GROUP BY shingle HAVING count(*) <= 1000),
             inv AS (SELECT inv0.* FROM inv0 JOIN keep USING (shingle)),
             shared AS (
