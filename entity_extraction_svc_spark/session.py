@@ -27,9 +27,19 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Arrow: the pandas-UDF hot path; batch size replaces the reference's
-        # batch_size=16 micro-batching (entity_detection_en.json:7)
+        # batch_size=16 micro-batching (entity_detection_en.json:7).
+        # 2048 held up under a round-3 min-of-3 A/B on the scaling harness
+        # (local[16], 200k pages: 6.8s vs 9.2s at 512); a single-shot 5M
+        # sweep had suggested 512, but that delta was tenant noise while
+        # the 512 regression at smaller per-task doc counts is consistent
+        # (~6 batches/task leaves per-batch fixed costs unamortized).
+        # Only the extremes are unambiguous: 16384 serializes the pipeline
+        # (2.2x slower at 5M). Workload-dependent — override via
+        # SPARK_GRAFT_ARROW_BATCH (a real GPU tagger wants it larger: one
+        # tag_batch forward per Arrow batch).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch",
+                os.environ.get("SPARK_GRAFT_ARROW_BATCH", "2048"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
