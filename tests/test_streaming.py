@@ -201,3 +201,55 @@ def test_stream_rowlocal_curation_gates(spark):
     # redaction as a pure projection on the stream
     red = {r.doc_id: r.redacted for r in run_stream(pii_redact(stream_df))}
     assert red[1] == "mail me at [EMAIL] or call [PHONE] now"
+
+
+def test_curate_stream_matches_batch_for_rowlocal_gates(spark, tmp_path):
+    """Streaming curation through foreachBatch: verdicts for the batch-
+    size-invariant gates equal the one-shot batch run on the same docs,
+    the redacted corpus carries only survivors, and a checkpoint restart
+    admits no file twice.  (Near-dup resolution is batch-scoped by
+    documented design — this corpus has its dup pair inside one file.)"""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from entity_extraction_svc_spark.plans.curate import curation_report
+    from entity_extraction_svc_spark.streaming.curate import curate_stream
+
+    prose = ("the quick brown fox jumps over the lazy dog and then the "
+             "dog wakes up to chase the fox around the yard for a while")
+    rows = [
+        (0, prose + " first version with enough clean words to pass"),
+        (1, prose + " first version with enough clean words to pass"),
+        (2, "buy buy buy " * 30),
+        (3, "x"),
+        (4, "separate clean document with plenty of ordinary words in it "
+            "that should simply pass and mail me at a@b.org please"),
+    ]
+    src = str(tmp_path / "src"); out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    import os
+    os.makedirs(src)
+    pq.write_table(
+        pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                  "text": pa.array([r[1] for r in rows], pa.string())}),
+        f"{src}/part-0.parquet",
+    )
+    q = curate_stream(spark, src, out, ckpt)
+    q.awaitTermination(180)
+
+    rep = {r.doc_id: r for r in spark.read.parquet(f"{out}/report.parquet").collect()}
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    want = {r.doc_id: r for r in curation_report(docs, None).collect()}
+    for k in want:
+        assert (rep[k].quality_keep, rep[k].repetition_keep, rep[k].keep) == (
+            want[k].quality_keep, want[k].repetition_keep, want[k].keep)
+    corpus = {r.doc_id: r.text for r in spark.read.parquet(f"{out}/corpus.parquet").collect()}
+    assert set(corpus) == {k for k, v in want.items() if v.keep}
+    assert "[EMAIL]" in corpus[4] and "a@b.org" not in corpus[4]
+
+    # restart on the same checkpoint: no re-admission, outputs unchanged
+    n_rep = spark.read.parquet(f"{out}/report.parquet").count()
+    q2 = curate_stream(spark, src, out, ckpt)
+    q2.awaitTermination(120)
+    spark.catalog.refreshByPath(f"{out}/report.parquet")
+    assert spark.read.parquet(f"{out}/report.parquet").count() == n_rep
