@@ -90,3 +90,37 @@ def test_pagerank_empty(spark):
 
     empty = spark.createDataFrame([], "src string, dst string")
     assert pagerank(empty).collect() == []
+
+
+def test_entity_salience_composition(spark, pipeline):
+    """Capstone composition: fused linking output -> within-document entity
+    co-occurrence edges -> PageRank = corpus-level entity salience.  Pins
+    that the KG pipeline's output schema feeds the graph operator directly
+    and that the salient entities are the fixture's hub entities (the ones
+    sharing documents with many others)."""
+    from pyspark.sql import functions as F
+
+    from entity_extraction_svc_spark.operators.pagerank import pagerank
+
+    linked = pipeline.linked.filter(
+        (F.col("rank") == 0) & F.col("qid").isNotNull()
+    ).select("url", "qid")
+    a, b = linked.alias("a"), linked.alias("b")
+    edges = (
+        a.join(b, (F.col("a.url") == F.col("b.url"))
+               & (F.col("a.qid") != F.col("b.qid")))
+        .select(F.col("a.qid").alias("src"), F.col("b.qid").alias("dst"))
+        .distinct()
+    )
+    ranks = {r.node: r.rank for r in pagerank(edges, iterations=5).collect()}
+    assert len(ranks) > 10
+    assert abs(sum(ranks.values()) - 1.0) < 1e-3
+    # the most-salient entity must be one that co-occurs broadly: compare
+    # against the degree ranking (PageRank on a symmetric co-occurrence
+    # graph correlates with degree; exact equality is not required, but
+    # the top entity must sit in the degree top-3)
+    deg = {r.src: r.n for r in edges.groupBy("src").agg(
+        F.count("*").alias("n")).collect()}
+    top_rank = max(ranks, key=ranks.get)
+    top3_deg = sorted(deg, key=deg.get, reverse=True)[:3]
+    assert top_rank in top3_deg
