@@ -96,3 +96,18 @@ def test_stratified_sample_and_cap(spark):
     # deterministic: same 14 rows every run
     again = {r.doc_id for r in cap_per_group(docs, "lang", 7).collect()}
     assert again == {r.doc_id for r in capped.collect()}
+
+
+def test_curation_partitioning_invariance(spark, corpus, eval_docs):
+    """Verdicts are a pure function of the corpus CONTENT: repartitioning
+    the input (different task boundaries, different Arrow batches,
+    different shuffle layouts) changes nothing."""
+    from entity_extraction_svc_spark.plans.curate import curation_report
+
+    base = {(r.doc_id, r.keep, tuple(r.quality_reasons), r.dup_keeper_id)
+            for r in curation_report(corpus, eval_docs).collect()}
+    for parts in (1, 7):
+        again = {(r.doc_id, r.keep, tuple(r.quality_reasons), r.dup_keeper_id)
+                 for r in curation_report(
+                     corpus.repartition(parts), eval_docs).collect()}
+        assert again == base
