@@ -585,3 +585,34 @@ def test_resolve_near_dups_long_chain(spark):
     got = {r.doc_id: (r.keeper_id, r.keep)
            for r in resolve_near_dups(docs, pairs).collect()}
     assert all(got[i] == (0, i == 0) for i in range(n))
+
+
+def test_resize_and_frames_plumbing(spark):
+    """Multimodal resize + frame sampling: real Spark plumbing (schemas,
+    1->N explosion, null path, determinism) with the labelled fake codec
+    in this container (SURVEY §7.4 risk 5 — no image/video libs)."""
+    from entity_extraction_svc_spark.operators.multimodal import (
+        resize_image,
+        sample_frames,
+    )
+
+    rows = [("u0", bytes(range(256)) * 4), ("u1", b"\xff" * 100), ("u2", None)]
+    df = spark.createDataFrame(rows, "url string, payload binary")
+
+    out = {r.url: r for r in resize_image(df, 8, 8).collect()}
+    assert out["u0"].out_width == 8 and len(out["u0"].resized) == 64
+    assert out["u1"].codec in ("pil", "strided-byte-fake")
+    assert out["u2"].resized is None  # null payload -> null row, no crash
+    again = {r.url: bytes(r.resized) if r.resized else None
+             for r in resize_image(df, 8, 8).collect()}
+    assert again["u0"] == bytes(out["u0"].resized)  # deterministic
+
+    fr = sample_frames(df, every_n_seconds=2.0, assumed_duration_sec=8.0,
+                       frame_bytes=16)
+    got = [(r.url, r.frame_idx, r.ts_sec, len(r.frame)) for r in
+           fr.orderBy("url", "frame_idx").collect()]
+    # 2 non-null payloads x 4 frames each; ts advances by the stride
+    assert len(got) == 8
+    assert [g for g in got if g[0] == "u0"][0][2] == 0.0
+    assert [g for g in got if g[0] == "u0"][3][2] == 6.0
+    assert all(g[3] <= 16 for g in got)
