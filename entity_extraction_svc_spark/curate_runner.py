@@ -66,10 +66,19 @@ def main(argv: list[str] | None = None) -> int:
             pages = read_warc(spark, args.docs)
         else:
             pages = spark.read.parquet(args.docs)
-        docs = extract_text(pages).select(
-            F.abs(F.xxhash64("url")).alias(args.id_col),
-            F.col("url"),
-            F.col("text").alias(args.text_col),
+        # crawls revisit URLs (read_warc does not dedup) and the per-id
+        # joins downstream assume unique ids: keep ONE record per url
+        # first, then derive a non-negative 63-bit id (mask, not abs —
+        # abs(Long.MIN_VALUE) stays negative in non-ANSI Spark)
+        docs = (
+            extract_text(pages)
+            .dropDuplicates(["url"])
+            .select(
+                (F.xxhash64("url").bitwiseAND(F.lit((1 << 63) - 1)))
+                .alias(args.id_col),
+                F.col("url"),
+                F.col("text").alias(args.text_col),
+            )
         )
     ev = spark.read.parquet(args.eval) if args.eval else None
 

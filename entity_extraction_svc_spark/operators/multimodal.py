@@ -202,9 +202,10 @@ def resize_image(df: DataFrame, width: int, height: int,
     cols = df.select(F.col(key_col).alias("url"), F.col(bin_col).alias("payload"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
         try:
             from PIL import Image
-            import io
 
             have_pil = True
         except ImportError:
@@ -221,19 +222,25 @@ def resize_image(df: DataFrame, width: int, height: int,
                     rows["codec"].append(None)
                     continue
                 if have_pil:
+                    # with a real codec present, a decode failure is DATA
+                    # corruption, not a missing library: surface it as a
+                    # null row labelled decode-error rather than silently
+                    # emitting fake bytes a consumer could mistake for a
+                    # resized image
                     try:
-                        import io as _io
-
-                        im = Image.open(_io.BytesIO(bytes(b))).resize((width, height))
-                        buf = _io.BytesIO()
+                        im = Image.open(io.BytesIO(bytes(b))).resize((width, height))
+                        buf = io.BytesIO()
                         im.save(buf, format="PNG")
                         rows["resized"].append(buf.getvalue())
                         rows["out_width"].append(width)
                         rows["out_height"].append(height)
                         rows["codec"].append("pil")
-                        continue
                     except Exception:
-                        pass
+                        rows["resized"].append(None)
+                        rows["out_width"].append(None)
+                        rows["out_height"].append(None)
+                        rows["codec"].append("decode-error")
+                    continue
                 arr = np.frombuffer(bytes(b), dtype=np.uint8)
                 n_out = width * height
                 idx = (np.arange(n_out, dtype=np.int64) * len(arr)) // n_out
@@ -274,12 +281,35 @@ def sample_frames(df: DataFrame, every_n_seconds: float = 1.0,
     n_frames = max(1, int(assumed_duration_sec / max(every_n_seconds, 1e-9)))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
         try:
-            import av  # noqa: F401
+            import av
 
             have_av = True
         except ImportError:
             have_av = False
+
+        def real_frames(data: bytes):
+            """pyav keyframe sampling; raises on any demux/decode problem
+            and the caller falls back to the labelled fake."""
+            out = []
+            with av.open(io.BytesIO(data)) as container:
+                stream = container.streams.video[0]
+                next_ts, idx = 0.0, 0
+                for frame in container.decode(stream):
+                    ts = float(frame.time or 0.0)
+                    if ts + 1e-9 < next_ts:
+                        continue
+                    buf = io.BytesIO()
+                    frame.to_image().save(buf, format="PNG")
+                    out.append((idx, ts, buf.getvalue(), "pyav"))
+                    idx += 1
+                    next_ts += every_n_seconds
+            if not out:
+                raise ValueError("no decodable video frames")
+            return out
+
         for pdf in batches:
             rows = {"url": [], "frame_idx": [], "ts_sec": [], "frame": [],
                     "codec": []}
@@ -288,12 +318,16 @@ def sample_frames(df: DataFrame, every_n_seconds: float = 1.0,
                     continue
                 data = bytes(b)
                 if have_av:
-                    # real path: demux + decode keyframes nearest each ts
-                    # (exercised only where pyav ships)
-                    raise NotImplementedError(
-                        "pyav decode path reserved; not reachable in this "
-                        "container"
-                    )
+                    try:
+                        for idx, ts, png, codec in real_frames(data):
+                            rows["url"].append(url)
+                            rows["frame_idx"].append(idx)
+                            rows["ts_sec"].append(ts)
+                            rows["frame"].append(png)
+                            rows["codec"].append(codec)
+                        continue
+                    except Exception:
+                        pass  # non-video / corrupt payload -> labelled fake
                 for i in range(n_frames):
                     start = (i * len(data)) // n_frames
                     rows["url"].append(url)

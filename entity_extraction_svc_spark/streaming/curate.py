@@ -28,12 +28,18 @@ DOCS_SCHEMA = "doc_id long, text string"
 def curate_stream(spark: SparkSession, src_dir: str, out_dir: str,
                   checkpoint_dir: str, eval_docs: DataFrame | None = None,
                   schema: str = DOCS_SCHEMA, available_now: bool = True,
-                  min_quality: float = 0.5, dup_threshold: float = 0.5):
+                  min_quality: float = 0.5, dup_threshold: float = 0.5,
+                  text_col: str = "text", id_col: str = "doc_id"):
     """documents files -> per-batch curation report + redacted corpus.
 
-    Appends ``report.parquet`` (gate verdicts + batch_id) and
-    ``corpus.parquet`` (PII-redacted survivors) under ``out_dir``.
-    Returns the started StreamingQuery; callers ``awaitTermination()``.
+    Appends ``report.parquet`` (gate verdicts, partitioned by batch_id)
+    and ``corpus.parquet`` (PII-redacted survivors, same partitioning)
+    under ``out_dir``.  foreachBatch is AT-LEAST-once — a crash between an
+    append and the checkpoint commit replays the batch — so writes are
+    made idempotent: outputs are partitioned by ``batch_id`` and a
+    replayed batch dynamically OVERWRITES its own partition instead of
+    appending duplicates.  Returns the started StreamingQuery; callers
+    ``awaitTermination()``.
     """
     from entity_extraction_svc_spark.operators.privacy import pii_redact
     from entity_extraction_svc_spark.plans.curate import curation_report
@@ -44,24 +50,32 @@ def curate_stream(spark: SparkSession, src_dir: str, out_dir: str,
         .parquet(src_dir)
     )
 
+    def _write_partition(df: DataFrame, path: str) -> None:
+        (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(path)
+        )
+
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         batch_df = batch_df.persist()
         report = curation_report(
-            batch_df, eval_docs, min_quality=min_quality,
+            batch_df, eval_docs, text_col, id_col, min_quality=min_quality,
             dup_threshold=dup_threshold,
         ).withColumn("batch_id", F.lit(batch_id)).persist()
-        report.write.mode("append").parquet(f"{out_dir}/report.parquet")
+        _write_partition(report, f"{out_dir}/report.parquet")
         kept = batch_df.join(
-            report.filter("keep").select("doc_id"), "doc_id", "semi"
+            report.filter("keep").select(id_col), id_col, "semi"
         )
-        red = pii_redact(kept)
-        others = [c for c in batch_df.columns if c != "text"]
-        corpus = kept.select(*others).join(red, "doc_id").withColumnRenamed(
-            "redacted", "text"
-        )
-        corpus.write.mode("append").parquet(f"{out_dir}/corpus.parquet")
+        red = pii_redact(kept, text_col, id_col)
+        others = [c for c in batch_df.columns if c != text_col]
+        corpus = kept.select(*others).join(red, id_col).withColumnRenamed(
+            "redacted", text_col
+        ).withColumn("batch_id", F.lit(batch_id))
+        _write_partition(corpus, f"{out_dir}/corpus.parquet")
         spark.catalog.refreshByPath(f"{out_dir}/report.parquet")
         spark.catalog.refreshByPath(f"{out_dir}/corpus.parquet")
         report.unpersist()

@@ -146,8 +146,11 @@ def test_multimodal_plumbing(spark, fixture_dir):
     assert all(r.decoder == "deterministic-fake" for r in dec)  # no PIL here
     assert all(64 <= r.width < 256 for r in dec)
 
-    with pytest.raises(NotImplementedError):
-        resize_image(pages, 64, 64)
+    # resize is now a real mapInPandas (labelled fake codec in this
+    # container) — exercised on the html binary column
+    rz = resize_image(pages.limit(3), 4, 4, bin_col="html", key_col="url").collect()
+    assert all(r.codec == "strided-byte-fake" and len(r.resized) == 16
+               for r in rz)
 
 
 def test_canonicalize_components(spark):
