@@ -425,7 +425,10 @@ def _doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.join(lang, "doc_id").join(fp, "doc_id")
 
 
-_PII_FIXTURE = os.path.join(FIXTURES, "pii_samples.parquet")
+# v2: near-miss rows for the tightened phone shape-allowlist (dates, year
+# lists, ISBN, thousands groupings, epoch) — new filename so a cached v1
+# parquet can never serve the extended contract
+_PII_FIXTURE = os.path.join(FIXTURES, "pii_samples_v2.parquet")
 
 # deterministic PII-bearing corpus: the sf documents carry no real PII, so
 # a zero-vs-zero count match would prove nothing — these rows give every
@@ -444,6 +447,11 @@ _PII_ROWS = [
     (1_000_000_009, "semver 1.2.3 is not an ip; user at host dot com either"),
     (1_000_000_010, "short digits 12345 should not be a phone"),
     (1_000_000_011, "unicode reseau 127.0.0.1 e-mail: zoe@ecole.fr tel +33 1 42 68 53 00"),
+    # near-misses for the phone shape-allowlist: every row must scan clean
+    (1_000_000_012, "dates 2026-08-17 and 17.08.2026 and range 2021-2022 stay"),
+    (1_000_000_013, "years 2021 2022 2023 amount 1 000 000 isbn 978-3-16-148410-0"),
+    (1_000_000_014, "epoch 1692230400 order 123456789012 invoice 45-678 kept"),
+    (1_000_000_015, "phones (415) 555-0199 and 555.123.4567 and +49 30 901820"),
 ]
 
 
@@ -1927,30 +1935,32 @@ def oracle_sql() -> dict[str, str]:
     # the byte-identical regexes (portable Java-regex/RE2 subset by design)
     from entity_extraction_svc_spark.operators.privacy import PII_PATTERNS
 
-    counts = ", ".join(
-        f"len(regexp_extract_all(text, '{pat}')) AS n_{kind}"
-        for kind, pat, _ in PII_PATTERNS
-    )
-    flags = " OR ".join(
-        f"len(regexp_extract_all(text, '{pat}')) > 0"
-        for _kind, pat, _ in PII_PATTERNS
-    )
-    redacted = "text"
-    for _kind, pat, placeholder in PII_PATTERNS:
-        redacted = f"regexp_replace({redacted}, '{pat}', '{placeholder}', 'g')"
+    # cascade parity: each count runs on the text with all EARLIER
+    # patterns already replaced (exactly pii_scan's nested expressions),
+    # so n_<kind> == number of placeholders pii_redact inserts
+    cascaded = "coalesce(text, '')"
+    counts = []
+    for kind, pat, placeholder in PII_PATTERNS:
+        counts.append(
+            f"len(regexp_extract_all({cascaded}, '{pat}')) AS n_{kind}"
+        )
+        cascaded = f"regexp_replace({cascaded}, '{pat}', '{placeholder}', 'g')"
+    flags = " OR ".join(f"n_{kind} > 0" for kind, _, _ in PII_PATTERNS)
+    ncols = ", ".join(f"n_{kind}" for kind, _, _ in PII_PATTERNS)
     sql["doc_pii"] = f"""
         WITH u AS (
           SELECT doc_id, text FROM read_parquet('{_ensure_pii_samples()}')
           UNION ALL SELECT doc_id, text FROM documents
-        ), t AS (SELECT doc_id, coalesce(text, '') AS text FROM u)
-        SELECT doc_id, {counts}, ({flags}) AS has_pii, {redacted} AS redacted
-        FROM t
+        ), c AS (
+          SELECT doc_id, {', '.join(counts)}, {cascaded} AS redacted FROM u
+        )
+        SELECT doc_id, {ncols}, ({flags}) AS has_pii, redacted FROM c
     """
 
     sql["doc_split"] = """
         WITH b AS (
           SELECT doc_id,
-                 ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000
+                 ('0x' || substr(md5(coalesce(doc_id::VARCHAR, chr(0))), 1, 8))::BIGINT % 10000
                    AS bucket
           FROM documents
         )

@@ -59,6 +59,18 @@ META_NAME = "_ann_meta.json"
 # shared helpers
 # ---------------------------------------------------------------------------
 
+def _vec_dim(embeddings: DataFrame, vec_col: str) -> int:
+    """Vector dimensionality from the first non-null row, with an explicit
+    error instead of the opaque ``len(None)`` TypeError on an empty (or
+    all-null) table."""
+    first = embeddings.select(vec_col).where(F.col(vec_col).isNotNull()).first()
+    if first is None:
+        raise ValueError(
+            f"cannot infer vector dim: '{vec_col}' has no non-null rows"
+        )
+    return len(first[0])
+
+
 def _planes(dim: int, bits: int) -> np.ndarray:
     """(bits, dim) ±1 hyperplane matrix, identical to simsearch.rp_signature's
     per-bit planes so on-the-fly and indexed signatures agree bit-for-bit."""
@@ -170,8 +182,7 @@ def build_rp_index(embeddings: DataFrame, index_dir: str,
     at cluster scale add ``.repartition("rp_sig")`` first if small files
     matter more than write parallelism.
     """
-    first = embeddings.select(vec_col).first()
-    dim = len(first[0])
+    dim = _vec_dim(embeddings, vec_col)
     sig_udf = _rp_sig_udf(dim, bits)
     (
         embeddings.withColumn("rp_sig", sig_udf(F.col(vec_col)))
@@ -223,6 +234,8 @@ def unit_sample(embeddings: DataFrame, id_col: str = "vec_id",
         .limit(sample_n)
         .toPandas()
     )
+    if sample.empty:
+        raise ValueError("empty embeddings table: nothing to sample for index fit")
     X = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     return X
@@ -543,8 +556,7 @@ def build_ivfpq_index(embeddings: DataFrame, index_dir: str,
     same deterministic bounded sample, driver numpy — model artifacts, not
     data collects); vectors stored as (id, codes) partitioned by list_id.
     The float vectors do NOT enter the index — that is the memory bound."""
-    first = embeddings.select(vec_col).first()
-    dim = len(first[0])
+    dim = _vec_dim(embeddings, vec_col)
     if dim % m_sub != 0:
         raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
     X = unit_sample(embeddings, id_col, vec_col, sample_n)

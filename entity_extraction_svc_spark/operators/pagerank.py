@@ -65,6 +65,7 @@ def pagerank(edges: DataFrame, iterations: int = ITERATIONS,
     n = nodes.count()
     if n == 0:
         e.unpersist()
+        nodes.unpersist()
         return nodes.select("node", F.lit(0.0).alias("rank"))
     deg = e.groupBy("src").agg(F.count("*").alias("outd"))
 

@@ -22,28 +22,53 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# The phone pattern is a shape ALLOWLIST, not a digit-run catchall: the
+# former `\+?[0-9][0-9 ().-]{6,}[0-9]` also swallowed ISO dates, year
+# lists, ISBNs and "1 000 000"-style groupings — systematic corpus
+# corruption the parity contract cannot see because both engines ran the
+# identical wrong pattern.  Without lookaround (kept out for RE2 parity)
+# total-digit counts can't be asserted, so each alternative pins one
+# concrete phone shape with \b / '+' / '(' guarding the start so a match
+# can never begin mid-digit-run:
+#   +CC 3-3-4   | (415) 555-0199 | 555-123-4567 | +44 20 7946 0958 (1-4
+#   digit groups, 3-5 of them) | 07700 900123 | 020 7946 0958 (trunk-0)
+# Deliberately NOT matched: bare 10+ digit runs (epoch timestamps, order
+# ids), 4-2-2 / 4-4 date shapes, thousands groupings, dotted quads.
+_PHONE = (
+    r"\+[0-9]{1,3}[ .-]?\(?[0-9]{3}\)?[ .-][0-9]{3}[ .-][0-9]{4}\b"
+    r"|\([0-9]{3}\)[ .-]?[0-9]{3}[ .-][0-9]{4}\b"
+    r"|\b[0-9]{3}[ .-][0-9]{3}[ .-][0-9]{4}\b"
+    r"|\+[0-9]{1,3}(?:[ .-]?\(?[0-9]{1,4}\)?){3,5}\b"
+    r"|\b0[0-9]{3,4}[ .-][0-9]{3,6}\b"
+    r"|\b0[0-9]{1,3}(?:[ .-][0-9]{3,4}){2,3}\b"
+)
+
 # ordered: redaction applies top to bottom (email before phone so the
 # digits inside a local-part are never half-eaten by the phone pattern)
 PII_PATTERNS: list[tuple[str, str, str]] = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
     ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "[SSN]"),
     ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "[IP]"),
-    ("phone", r"\+?[0-9][0-9 ().-]{6,}[0-9]", "[PHONE]"),
+    ("phone", _PHONE, "[PHONE]"),
 ]
 
 
 def pii_scan(docs: DataFrame, text_col: str = "text",
              id_col: str = "doc_id") -> DataFrame:
     """Per-document PII counts: one ``n_<kind>`` column per pattern plus a
-    ``has_pii`` flag.  Counts overlap-free left-to-right matches (the
-    engines' shared regex semantics)."""
-    text = F.coalesce(F.col(text_col), F.lit(""))
+    ``has_pii`` flag.  Counts mirror the redaction cascade — each pattern
+    is evaluated on the text with all EARLIER patterns already replaced by
+    their placeholders, so ``n_<kind>`` is exactly the number of
+    ``[<KIND>]`` placeholders ``pii_redact`` inserts (an SSN no longer
+    double-counts as a phone).  Still pure nested codegen expressions."""
+    cur = F.coalesce(F.col(text_col), F.lit(""))
     cols = [F.col(id_col)]
     flags = None
-    for kind, pat, _ in PII_PATTERNS:
-        n = F.size(F.regexp_extract_all(text, F.lit(pat), 0))
+    for kind, pat, placeholder in PII_PATTERNS:
+        n = F.size(F.regexp_extract_all(cur, F.lit(pat), 0))
         cols.append(n.alias(f"n_{kind}"))
         flags = n > 0 if flags is None else flags | (n > 0)
+        cur = F.regexp_replace(cur, pat, placeholder)
     cols.append(flags.alias("has_pii"))
     return docs.select(*cols)
 

@@ -24,8 +24,17 @@ N_BUCKETS = 10_000
 
 def _bucket(id_col: str) -> Column:
     """md5-derived bucket in [0, N_BUCKETS): first 8 hex chars -> int.
-    conv() returns a decimal string; the long cast keeps codegen."""
-    h = F.substring(F.md5(F.col(id_col).cast("string")), 1, 8)
+    conv() returns a decimal string; the long cast keeps codegen.
+
+    Null ids hash a NUL sentinel instead of propagating null — otherwise
+    hash_split's when/otherwise silently dumped them in the LAST split
+    while hash_sample/stratified_sample silently dropped them: the same
+    row would disagree across supposedly join-compatible operators.  With
+    the sentinel all md5-bucket consumers assign null ids one consistent
+    deterministic bucket (NUL cannot appear in a cast numeric id, and is
+    vanishingly unlikely in a string id)."""
+    s = F.coalesce(F.col(id_col).cast("string"), F.lit("\x00"))
+    h = F.substring(F.md5(s), 1, 8)
     return F.pmod(F.conv(h, 16, 10).cast("long"), F.lit(N_BUCKETS))
 
 

@@ -45,10 +45,9 @@ def test_curation_report_gates(spark, corpus, eval_docs):
     assert not rep[3].keep and not rep[3].quality_keep
     assert "too_short" in rep[3].quality_reasons
     assert not rep[4].keep and rep[4].contaminated
-    # PII redacts rather than drops; the bare IP also matches the phone
-    # counter (independent per-pattern counts overlap by design — the
-    # ordered redaction is what disambiguates)
-    assert rep[5].keep and rep[5].n_pii == 3
+    # PII redacts rather than drops; counts mirror the redaction cascade,
+    # so the IP counts once as ipv4 and never again as phone
+    assert rep[5].keep and rep[5].n_pii == 2
 
 
 def test_curate_output_redacted(spark, corpus, eval_docs):

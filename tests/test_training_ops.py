@@ -423,6 +423,18 @@ def test_pii_scan_and_redact(spark):
         (4, "no identifiers here"),
         (5, "semver 1.2.3 and 12345 are neither ip nor phone"),
         (6, None),
+        # phone shape-allowlist near-misses: dates, year lists, thousands
+        # groupings, ISBN, epoch timestamps, long order ids must all pass
+        # through untouched (the old digit-run pattern redacted them all)
+        (7, "meeting 2026-08-17 then 17.08.2026 range 2021-2022 ok"),
+        (8, "years 2021 2022 2023 budget 1 000 000 total"),
+        (9, "isbn 978-3-16-148410-0 epoch 1692230400 order 123456789012"),
+        # positive phone shapes across the alternatives
+        (10, "uk 020 7946 0958 or 07700 900123 or (415) 555-0199"),
+        (11, "intl +44 20 7946 0958 and dotted 555.123.4567"),
+        # cascade: the phone-shaped digits live inside an email local part
+        # -> counted once as email, zero times as phone
+        (12, "fwd 555-123-4567@relay.example.com only"),
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     scan = {r.doc_id: r for r in pii_scan(docs).collect()}
@@ -432,12 +444,19 @@ def test_pii_scan_and_redact(spark):
     assert scan[3].n_phone == 1
     assert not scan[4].has_pii and not scan[5].has_pii
     assert not scan[6].has_pii  # null text -> clean, not a crash
+    assert not scan[7].has_pii and not scan[8].has_pii and not scan[9].has_pii
+    assert scan[10].n_phone == 3
+    assert scan[11].n_phone == 2
+    assert scan[12].n_email == 1 and scan[12].n_phone == 0
     red = {r.doc_id: r.redacted for r in pii_redact(docs).collect()}
     assert red[0] == "mail [EMAIL] now"
     assert red[1] == "ssn [SSN] stays private"
     assert red[2] == "host [IP] port open"
     assert red[3] == "call [PHONE] today"
     assert red[6] == ""
+    assert red[7] == rows[7][1] and red[8] == rows[8][1] and red[9] == rows[9][1]
+    assert red[10] == "uk [PHONE] or [PHONE] or [PHONE]"
+    assert red[12] == "fwd [EMAIL] only"
 
 
 def test_hash_split_deterministic_and_incremental(spark):
@@ -448,6 +467,14 @@ def test_hash_split_deterministic_and_incremental(spark):
         hash_sample,
         hash_split,
     )
+
+    # null ids: one consistent deterministic bucket everywhere (NUL
+    # sentinel), so split membership and sample membership agree
+    nulls = spark.createDataFrame([(None,), (1,)], "doc_id long")
+    nsplit = {r.doc_id: r.split for r in hash_split(nulls).collect()}
+    assert nsplit[None] in {"train", "val", "test"}
+    frac_all = hash_sample(nulls, 1.0).count()
+    assert frac_all == 2  # null id is sampled, not silently dropped
 
     docs = spark.range(2000).withColumnRenamed("id", "doc_id")
     a = {r.doc_id: r.split for r in hash_split(docs).collect()}
