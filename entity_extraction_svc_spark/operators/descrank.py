@@ -66,19 +66,55 @@ def tfidf_cosine(a_tokens: list[str], b_tokens: list[str],
     return dot / (na * nb)
 
 
+def _tokens_col(col) -> "F.Column":
+    """Catalyst twin of ``_tokens`` up to set semantics: lowercase, split on
+    non-[a-z0-9'] runs, drop empties and stopwords, distinct.  Used for the
+    relational document-frequency pass, where only the per-description
+    DISTINCT token set matters."""
+    stop = F.array(*[F.lit(s) for s in sorted(ENGLISH_STOPWORDS)])
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(col, F.lit(""))), r"[^a-z0-9']+"),
+        lambda t: t != "",
+    )
+    return F.array_except(toks, stop)
+
+
 def rank_by_description(candidates: DataFrame, kb_entities: DataFrame,
                         context_col: str = "context",
                         id_cols: tuple[str, str] = ("url", "mention_id")) -> DataFrame:
     """candidates(url, mention_id, rank, qid, <context_col>) -> + descr_score,
     descr_rank.
 
-    The KB's (qid -> description) map and the idf table are broadcast once;
-    re-ranking is per-row python-free at the API level (one mapInPandas)."""
+    Nothing KB-sized ever reaches the driver: document frequencies are a
+    distributed wordcount over ALL descriptions (so idf values are exactly
+    ``build_idf``'s over the full KB), then semi-joined down to the tokens
+    the batch can actually touch (candidate descriptions + contexts);
+    descriptions are semi-joined to the candidates' distinct qids (bounded
+    at top-30 per mention).  Both collects are candidate-batch-bounded —
+    at 10^8 KB entities the driver holds only this batch's slice."""
     spark = candidates.sparkSession
-    kb_rows = kb_entities.select("qid", "descr").collect()
-    descr_map = {r.qid: (r.descr or "") for r in kb_rows}
-    idf = build_idf(list(descr_map.values()))
+    n_kb = kb_entities.count()
+    cand_qids = candidates.select("qid").where(F.col("qid").isNotNull()).distinct()
+    kb_cand = kb_entities.select("qid", "descr").join(F.broadcast(cand_qids), "qid")
+    descr_map = {r.qid: (r.descr or "") for r in kb_cand.collect()}
     descr_toks = {q: _tokens(d) for q, d in descr_map.items()}
+
+    # full-KB document frequencies (distributed), pruned to needed tokens
+    df_tbl = (
+        kb_entities.select(F.explode(_tokens_col(F.col("descr"))).alias("t"))
+        .groupBy("t").agg(F.count("*").alias("df"))
+    )
+    needed = (
+        candidates.select(F.explode(_tokens_col(F.col(context_col))).alias("t"))
+        .unionByName(
+            kb_cand.select(F.explode(_tokens_col(F.col("descr"))).alias("t"))
+        )
+        .distinct()
+    )
+    idf = {
+        r.t: math.log((1 + n_kb) / (1 + r.df)) + 1.0
+        for r in df_tbl.join(F.broadcast(needed), "t").collect()
+    }
     bc = spark.sparkContext.broadcast((descr_toks, idf))
 
     out_schema = ", ".join(

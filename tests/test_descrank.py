@@ -33,6 +33,18 @@ def test_rank_by_description_prefers_matching_sense(spark, fixture_dir):
         ],
         "url string, mention_id long, rank int, qid string, context string",
     )
-    out = {r.qid: r.descr_rank for r in rank_by_description(cands, kb).collect()}
+    rows = rank_by_description(cands, kb).collect()
+    out = {r.qid: r.descr_rank for r in rows}
     assert out["Q12418"] == 1  # work-of-art description wins the re-rank
     assert out["Q1756508"] == 2
+
+    # the relational idf path (distributed df counts pruned to the batch's
+    # tokens) must reproduce build_idf over the FULL description corpus
+    # exactly — same smoothing, same N, same fallback for unseen tokens
+    kb_rows = kb.select("qid", "descr").collect()
+    idf = build_idf([r.descr or "" for r in kb_rows])
+    descr = {r.qid: (r.descr or "") for r in kb_rows}
+    ctx = _tokens("a famous work of art by a painter")
+    for r in rows:
+        want = round(tfidf_cosine(ctx, _tokens(descr[r.qid]), idf), 6)
+        assert r.descr_score == want
