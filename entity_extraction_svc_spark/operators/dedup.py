@@ -177,6 +177,90 @@ def hot_bucket_report(buckets: DataFrame, key_cols: list[str],
     )
 
 
+def _band_hashes(sig_col: Column, rows_per_band: int, bands: int) -> Column:
+    """array<string> of per-band md5 digests over signature slices — THE
+    banding definition, shared by the batch self-join and the streaming
+    signature store so their buckets collide identically."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice(sig_col, b * rows_per_band + 1, rows_per_band),
+                    lambda x: x.cast("string"),
+                ),
+            )
+        ),
+    )
+
+
+def sig_agreement(sig_a: Column, sig_b: Column) -> Column:
+    """Fraction of agreeing minhash components — the Jaccard estimate."""
+    return F.size(
+        F.filter(F.zip_with(sig_a, sig_b, lambda x, y: x == y), lambda eq: eq)
+    ) / F.size(sig_a)
+
+
+def minhash_band_rows(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", num_hashes: int = 16,
+                      bands: int = 4, shingle_n: int = 3) -> DataFrame:
+    """(id, sig, band, band_hash, pfx) — one row per (doc, band), the
+    exploded LSH bucket table.  ``pfx`` (first 2 hex chars of the band
+    hash, 256 values) is the partition key a persisted signature store
+    uses so probes prune to the buckets a batch can actually touch."""
+    sigs = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_n)
+    rows_per_band = num_hashes // bands
+    return sigs.select(
+        F.col(id_col),
+        F.col("sig"),
+        F.posexplode(_band_hashes(F.col("sig"), rows_per_band, bands)).alias(
+            "band", "band_hash"
+        ),
+    ).withColumn("pfx", F.substring("band_hash", 1, 2))
+
+
+def cross_dup_pairs(probe_rows: DataFrame, store_rows: DataFrame,
+                    id_col: str = "doc_id", threshold: float = 0.6,
+                    max_bucket: int = 2000) -> DataFrame:
+    """Near-dup pairs BETWEEN two band-row tables (``minhash_band_rows``
+    shape): (id_probe, id_store, est_jaccard).
+
+    The cross-batch half of streaming dedup: ``probe_rows`` is the new
+    micro-batch, ``store_rows`` the persisted store of previously shipped
+    documents.  Join is on (band, band_hash) — shuffle proportional to
+    colliding buckets; both sides are hot-bucket-capped so one viral page
+    in the store can't go quadratic.  Same-id rows never pair (the guard
+    that makes an at-least-once replay see its own earlier write as
+    itself, not as a duplicate)."""
+    probe = cap_lsh_buckets(probe_rows, ["band", "band_hash"], max_bucket)
+    store = cap_lsh_buckets(store_rows, ["band", "band_hash"], max_bucket)
+    l, r = probe.alias("l"), store.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col(f"l.{id_col}") != F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_probe"),
+            F.col(f"r.{id_col}").alias("id_store"),
+            F.col("l.sig").alias("sig_a"),
+            F.col("r.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_probe", "id_store"])
+        .select(
+            "id_probe",
+            "id_store",
+            F.round(sig_agreement(F.col("sig_a"), F.col("sig_b")), 6).alias(
+                "est_jaccard"
+            ),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
 def lsh_buckets(signatures: DataFrame, id_col: str = "doc_id",
                 bands: int = 4) -> DataFrame:
     """Band the signature: (band, band_hash, id).  Equal band_hash within a
@@ -218,29 +302,12 @@ def minhash_dup_pairs(docs: DataFrame, text_col: str = "text",
     ``max_bucket`` bounds the quadratic blowup of any one hot bucket
     (see ``cap_lsh_buckets``).
     """
-    sigs = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_n)
     # the signature rides through the bucket explode so the agreement
     # estimate needs no re-join back to the signature table (which would
     # re-evaluate the minhash expressions once per join side)
-    rows_per_band = num_hashes // bands
-    buckets = sigs.select(
-        F.col(id_col),
-        F.col("sig"),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.md5(
-                    F.concat_ws(
-                        ",",
-                        F.transform(
-                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                            lambda x: x.cast("string"),
-                        ),
-                    )
-                ),
-            )
-        ).alias("band", "band_hash"),
-    )
+    buckets = minhash_band_rows(
+        docs, text_col, id_col, num_hashes, bands, shingle_n
+    ).drop("pfx")
     buckets = cap_lsh_buckets(buckets, ["band", "band_hash"], max_bucket)
     left = buckets.alias("l")
     right = buckets.alias("r")
@@ -261,15 +328,7 @@ def minhash_dup_pairs(docs: DataFrame, text_col: str = "text",
         .select(
             "id_a",
             "id_b",
-            (
-                F.size(
-                    F.filter(
-                        F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
-                        lambda eq: eq,
-                    )
-                )
-                / F.size(F.col("sig_a"))
-            ).alias("est_jaccard"),
+            sig_agreement(F.col("sig_a"), F.col("sig_b")).alias("est_jaccard"),
         )
         .filter(F.col("est_jaccard") >= threshold)
     )

@@ -253,3 +253,82 @@ def test_curate_stream_matches_batch_for_rowlocal_gates(spark, tmp_path):
     q2.awaitTermination(120)
     spark.catalog.refreshByPath(f"{out}/report.parquet")
     assert spark.read.parquet(f"{out}/report.parquet").count() == n_rep
+
+
+def test_curate_stream_cross_batch_neardup(spark, tmp_path):
+    """A near-dup pair SPLIT ACROSS two micro-batches is caught: the later
+    arrival is dropped with dup_keeper_id pointing at the already-shipped
+    keeper, via the persisted band-signature store (survivors only)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from entity_extraction_svc_spark.streaming.curate import curate_stream
+
+    prose = ("the quick brown fox jumps over the lazy dog and then the "
+             "dog wakes up to chase the fox around the yard for a while")
+    distinct = ("an entirely different report about harvest schedules in "
+                "the northern valley with plenty of ordinary words in it "
+                "that should simply pass the quality gate today")
+    src = str(tmp_path / "src"); out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    def _write(name, rows):
+        pq.write_table(
+            pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                      "text": pa.array([r[1] for r in rows], pa.string())}),
+            f"{src}/{name}",
+        )
+
+    _write("f0.parquet", [(0, prose + " first version with enough words"),
+                          (4, distinct)])
+    q = curate_stream(spark, src, out, ckpt)
+    q.awaitTermination(180)
+
+    # second batch arrives later: 10 near-dups the ALREADY-SHIPPED 0
+    _write("f1.parquet", [(10, prose + " first version with enuff words"),
+                          (11, distinct.replace("harvest", "irrigation")
+                                       .replace("valley", "plateau")
+                                       .replace("report", "summary")
+                                       .replace("northern", "eastern"))])
+    q2 = curate_stream(spark, src, out, ckpt)
+    q2.awaitTermination(180)
+
+    spark.catalog.refreshByPath(f"{out}/report.parquet")
+    rep = {r.doc_id: r for r in
+           spark.read.parquet(f"{out}/report.parquet").collect()}
+    assert rep[0].keep and rep[4].keep
+    assert not rep[10].keep and not rep[10].dup_keep
+    assert rep[10].dup_keeper_id == 0      # keeper is the shipped doc
+    assert rep[10].quality_keep            # only the dup gate dropped it
+    assert rep[11].keep
+
+    spark.catalog.refreshByPath(f"{out}/corpus.parquet")
+    corpus = {r.doc_id for r in
+              spark.read.parquet(f"{out}/corpus.parquet").collect()}
+    assert corpus == {0, 4, 11}
+
+    # store carries survivors only, partitioned by band/pfx
+    store = spark.read.parquet(f"{out}/sig_store.parquet")
+    assert set(r.doc_id for r in store.select("doc_id").distinct().collect()) \
+        == {0, 4, 11}
+    assert {"band", "pfx"} <= set(store.columns)
+
+
+def test_cross_dup_pairs_same_id_replay_guard(spark):
+    """A replayed batch probing a store that already contains its OWN rows
+    (at-least-once foreachBatch) must not pair a document with itself."""
+    from entity_extraction_svc_spark.operators.dedup import (
+        cross_dup_pairs,
+        minhash_band_rows,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+         (2, "one two three four five six seven eight nine ten eleven")],
+        "doc_id long, text string",
+    )
+    rows = minhash_band_rows(docs)
+    assert cross_dup_pairs(rows, rows, threshold=0.1).count() == 0
