@@ -478,10 +478,19 @@ def files_in_index(index_dir: str) -> int:
 # shortlist by joining the ORIGINAL embeddings table on the shortlist ids
 # (Faiss's IVFPQ+refine recipe).
 #
-# This is the no-residual variant (Faiss by_residual=false): codes quantize
-# the normalized vector itself, so one ADC table serves all probed lists.
-# Residual encoding would need a per-list table — better recall per byte,
-# 8x more query-side work; the refine join recovers the same accuracy here.
+# Residual encoding (Faiss by_residual=true, the default here): codes
+# quantize x − centroid[list(x)] with ONE codebook set shared across lists
+# (pooled-residual training, Faiss's recipe).  Under the dot-product
+# metric the per-list cost collapses: dot(q, c + dec(r)) = dot(q, c) +
+# dot(q, dec(r)), so a probe still precomputes a single (m_sub x n_codes)
+# table from the shared books plus an n_lists-long constant vector q @ C —
+# NOT a table per list.  Residuals matter exactly where flat PQ is
+# structurally blind: members of a tight cluster share near-identical
+# codes when the vector itself is quantized (codes separate clusters, not
+# members), but their residuals spread across the code space, so ADC can
+# rank WITHIN a cluster and the refine shortlist shrinks ~10x (see
+# BENCH.md).  ``by_residual=False`` keeps the flat variant readable and
+# probes branch on the meta flag, so pre-existing indexes keep working.
 
 def _pq_fit(X: np.ndarray, m_sub: int, n_codes: int,
             iters: int = 25) -> np.ndarray:
@@ -548,28 +557,65 @@ def _pq_encode_udf(books: np.ndarray):
     return encode_udf
 
 
+def _pq_encode_residual_udf(C: np.ndarray, books: np.ndarray):
+    """Arrow-batched residual-PQ encoding: residual = unit(x) − C[list],
+    then per-subspace argmin against the shared residual codebooks."""
+    from pyspark.sql.types import ArrayType, ShortType
+
+    m_sub, _n_codes, sub = books.shape
+
+    @F.pandas_udf(ArrayType(ShortType()))
+    def encode_udf(vecs: pd.Series, lids: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        R = mat - C[lids.to_numpy().astype(np.int64)]
+        codes = np.zeros((len(R), m_sub), dtype=np.int16)
+        for m in range(m_sub):
+            S = R[:, m * sub:(m + 1) * sub]
+            d = -2.0 * (S @ books[m].T) + (books[m] ** 2).sum(axis=1)[None, :]
+            codes[:, m] = np.argmin(d, axis=1)
+        return pd.Series(list(codes))
+
+    return encode_udf
+
+
+def _encoded_rows(embeddings: DataFrame, C: np.ndarray, books: np.ndarray,
+                  id_col: str, vec_col: str, by_residual: bool) -> DataFrame:
+    """(id, list_id, codes) — the stored IVF-PQ row shape, shared by build
+    and append so both encode identically off the frozen model."""
+    assign_udf = ivf_assign_udf(C)
+    with_list = embeddings.select(
+        F.col(id_col), F.col(vec_col),
+        assign_udf(F.col(vec_col)).alias("list_id"),
+    )
+    if by_residual:
+        enc = _pq_encode_residual_udf(C, books)
+        codes = enc(F.col(vec_col), F.col("list_id"))
+    else:
+        codes = _pq_encode_udf(books)(F.col(vec_col))
+    return with_list.select(F.col(id_col), "list_id", codes.alias("codes"))
+
+
 def build_ivfpq_index(embeddings: DataFrame, index_dir: str,
                       id_col: str = "vec_id", vec_col: str = "embedding",
                       n_lists: int = 16, m_sub: int = 8, n_codes: int = 256,
-                      sample_n: int = 4096) -> None:
+                      sample_n: int = 4096, by_residual: bool = True) -> None:
     """Coarse k-means lists + per-subspace PQ codebooks (both fitted on the
     same deterministic bounded sample, driver numpy — model artifacts, not
     data collects); vectors stored as (id, codes) partitioned by list_id.
-    The float vectors do NOT enter the index — that is the memory bound."""
+    The float vectors do NOT enter the index — that is the memory bound.
+    ``by_residual`` (default) trains the codebooks on pooled residuals
+    x − centroid[list(x)] — see the section comment for why that fixes
+    within-cluster ranking at zero extra query cost."""
     dim = _vec_dim(embeddings, vec_col)
     if dim % m_sub != 0:
         raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
     X = unit_sample(embeddings, id_col, vec_col, sample_n)
     C = kmeans_centroids(embeddings, n_lists, id_col, vec_col, sample_n, X=X)
-    books = _pq_fit(X, m_sub, n_codes)
-    assign_udf = ivf_assign_udf(C)
-    encode_udf = _pq_encode_udf(books)
+    fit_input = X - C[np.argmax(X @ C.T, axis=1)] if by_residual else X
+    books = _pq_fit(fit_input, m_sub, n_codes)
     (
-        embeddings.select(
-            F.col(id_col),
-            assign_udf(F.col(vec_col)).alias("list_id"),
-            encode_udf(F.col(vec_col)).alias("codes"),
-        )
+        _encoded_rows(embeddings, C, books, id_col, vec_col, by_residual)
         .write.mode("overwrite")
         .partitionBy("list_id")
         .parquet(index_dir)
@@ -577,21 +623,26 @@ def build_ivfpq_index(embeddings: DataFrame, index_dir: str,
     _write_meta(index_dir, {
         "kind": "ivfpq", "n_lists": n_lists, "m_sub": m_sub,
         "n_codes": n_codes, "dim": dim, "id_col": id_col, "vec_col": vec_col,
+        "by_residual": by_residual,
         "centroids": C.tolist(), "codebooks": books.tolist(),
     })
 
 
-def _adc_score_udf(table: np.ndarray):
-    """ADC scorer: approx dot(q, x) = sum_m table[m, codes[m]].  One numpy
-    take+sum per Arrow batch."""
+def _adc_score_udf(table: np.ndarray, base: np.ndarray | None = None):
+    """ADC scorer: approx dot(q, x) = [base[list_id] +] sum_m
+    table[m, codes[m]].  One numpy take+sum per Arrow batch; ``base`` is
+    the per-list constant q @ C of a residual index (None for flat PQ)."""
     from pyspark.sql.types import DoubleType
 
     m_sub = table.shape[0]
 
     @F.pandas_udf(DoubleType())
-    def adc_udf(codes: pd.Series) -> pd.Series:
+    def adc_udf(codes: pd.Series, lids: pd.Series) -> pd.Series:
         mat = np.stack(codes.to_numpy()).astype(np.int64)  # (n, m_sub)
-        score = np.zeros(len(mat), dtype=np.float64)
+        if base is None:
+            score = np.zeros(len(mat), dtype=np.float64)
+        else:
+            score = base[lids.to_numpy().astype(np.int64)].copy()
         for m in range(m_sub):
             score += table[m][mat[:, m]]
         return pd.Series(score)
@@ -613,11 +664,13 @@ def probe_ivfpq_index(spark: SparkSession, index_dir: str,
     corpus size the probe's data volume is bounded by the code bytes of
     the probed lists plus shortlist * dim floats.
 
-    Sizing ``shortlist``: it must cover the ADC-tie set.  Codes cannot
-    rank WITHIN a tight cluster (members share near-identical codes), so
-    if the data has dup-clusters of ~m members, shortlist < m degrades
-    top-k agreement with the exact ranking (measured 2/10 at shortlist
-    200 vs 10/10 at 4,000 on 3,125-member clusters — BENCH.md).
+    Sizing ``shortlist``: it must cover the ADC-tie set.  FLAT-PQ codes
+    cannot rank WITHIN a tight cluster (members share near-identical
+    codes), so dup-clusters of ~m members needed shortlist ≥ m (measured
+    2/10 at shortlist 200 vs 10/10 at 4,000 on 3,125-member clusters).
+    Residual indexes (the default) rank within clusters too, so the
+    shortlist only needs to absorb residual-quantization noise — an order
+    of magnitude smaller on the same fixture (BENCH.md).
     """
     meta = read_meta(index_dir)
     id_col, vec_col = meta["id_col"], meta["vec_col"]
@@ -632,12 +685,15 @@ def probe_ivfpq_index(spark: SparkSession, index_dir: str,
     table = np.stack([books[m] @ q[m * sub:(m + 1) * sub]
                       for m in range(m_sub)])
 
+    base = (C @ q) if meta.get("by_residual") else None
     idx = spark.read.parquet(index_dir).filter(F.col("list_id").isin(probe))
     if exclude_id is not None:
         idx = idx.filter(F.col(id_col) != exclude_id)
     adc = idx.select(
         F.col(id_col),
-        _adc_score_udf(table)(F.col("codes")).alias("adc_score"),
+        _adc_score_udf(table, base)(
+            F.col("codes"), F.col("list_id")
+        ).alias("adc_score"),
     ).orderBy(F.desc("adc_score"), F.asc(id_col)).limit(shortlist)
     if refine_with is None:
         return adc.limit(k)
@@ -678,14 +734,19 @@ def batch_probe_ivfpq(spark: SparkSession, index_dir: str,
     all_lists = sorted({l for _, l in probes})
     pdf = spark.createDataFrame(probes, "qid long, list_id long")
 
+    by_residual = bool(meta.get("by_residual"))
+
     @F.pandas_udf(DoubleType())
-    def adc_pair_udf(codes: pd.Series, qvecs: pd.Series) -> pd.Series:
+    def adc_pair_udf(codes: pd.Series, lids: pd.Series,
+                     qvecs: pd.Series) -> pd.Series:
         cm = np.stack(codes.to_numpy()).astype(np.int64)        # (n, m_sub)
         qm = np.stack(qvecs.to_numpy()).astype(np.float64)      # (n, dim)
         qm /= np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
         dec = np.concatenate(
             [books[m][cm[:, m]] for m in range(m_sub)], axis=1
-        )  # (n, dim) decoded candidates
+        )  # (n, dim) decoded candidates (residuals if by_residual)
+        if by_residual:
+            dec = dec + C[lids.to_numpy().astype(np.int64)]
         return pd.Series(np.einsum("nd,nd->n", dec, qm))
 
     cand = (
@@ -696,7 +757,9 @@ def batch_probe_ivfpq(spark: SparkSession, index_dir: str,
         .join(F.broadcast(_queries_df(spark, queries)), "qid")
         .select(
             "qid", F.col(id_col),
-            adc_pair_udf(F.col("codes"), F.col("qvec")).alias("adc_score"),
+            adc_pair_udf(
+                F.col("codes"), F.col("list_id"), F.col("qvec")
+            ).alias("adc_score"),
         )
     )
     from pyspark.sql.window import Window
@@ -728,14 +791,9 @@ def append_ivfpq_index(embeddings: DataFrame, index_dir: str) -> None:
     C = np.asarray(meta["centroids"], dtype=np.float64)
     books = np.asarray(meta["codebooks"], dtype=np.float64)
     vec_col, id_col = meta["vec_col"], meta["id_col"]
-    assign_udf = ivf_assign_udf(C)
-    encode_udf = _pq_encode_udf(books)
     (
-        embeddings.select(
-            F.col(id_col),
-            assign_udf(F.col(vec_col)).alias("list_id"),
-            encode_udf(F.col(vec_col)).alias("codes"),
-        )
+        _encoded_rows(embeddings, C, books, id_col, vec_col,
+                      bool(meta.get("by_residual")))
         .write.mode("append")
         .partitionBy("list_id")
         .parquet(index_dir)

@@ -42,13 +42,69 @@ def alias_edges(kb_entities: DataFrame, kb_aliases: DataFrame) -> DataFrame:
     return lab.union(ali).distinct()
 
 
-def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+def _cc_local(sym: DataFrame) -> DataFrame:
+    """Single-task union-find over the whole edge list — the small-graph
+    fast path.  One shuffle (repartition(1)) + one Python pass replaces
+    ~log(diameter) rounds of {2 joins, a groupBy, an eager checkpoint and
+    a convergence count} — on a 1M-doc curation run the pair graph is ~2%
+    of the corpus and the iterative loop's cost is pure per-round job
+    LATENCY, not data.  Union-by-min-label keeps the exact contract of the
+    distributed path: every root is the minimum label of its component
+    (inductively: merging two trees keeps the smaller root on top)."""
+    import pandas as pd
+
+    node_t = sym.schema["src"].dataType.simpleString()
+
+    def _uf(batches):
+        parent: dict = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for pdf in batches:
+            for s, d in zip(pdf["src"].tolist(), pdf["dst"].tolist()):
+                rs, rd = find(s), find(d)
+                if rs != rd:
+                    if rd < rs:
+                        rs, rd = rd, rs
+                    parent[rd] = rs
+        nodes = list(parent)
+        for i in range(0, len(nodes), 500_000):
+            chunk = nodes[i:i + 500_000]
+            yield pd.DataFrame(
+                {"node": chunk, "comp": [find(n) for n in chunk]}
+            )
+
+    return sym.repartition(1).mapInPandas(_uf, f"node {node_t}, comp {node_t}")
+
+
+def connected_components(edges: DataFrame, max_iter: int = 20,
+                         local_max_edges: int = 5_000_000) -> DataFrame:
     """(node, component) for every node in the undirected edge list; the
-    component id is the lexicographically smallest node label in it."""
+    component id is the lexicographically smallest node label in it.
+
+    Adaptive execution: an edge list at or under ``local_max_edges``
+    (directed, post-symmetrization ~2x) runs single-task union-find — one
+    job, flat latency, plenty of headroom for dup graphs that are a few
+    percent of even a 10^9-doc corpus.  Bigger graphs (alias clustering
+    over a full KB, pathological dup rates) take the distributed
+    hash-min + pointer-jumping loop below, whose per-round shuffles are
+    the O(log diameter) scale path.  The one count() that picks the path
+    is a partial-agg job over the already-persisted edge list."""
     sym = edges.select("src", "dst").union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
     sym = sym.persist()
+    if sym.count() <= 2 * local_max_edges:
+        out = _cc_local(sym).localCheckpoint(eager=True)
+        sym.unpersist()
+        return out
     # localCheckpoint, not persist, for the iterated vector: a persisted
     # frame keeps its full logical plan, so the analyzer re-walks (and
     # self-join-dedups) lineage that deepens every round — per-iteration

@@ -53,6 +53,22 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
 ]
 
 
+def pii_count_exprs(text_col: str = "text") -> dict[str, "F.Column"]:
+    """The cascade count COLUMNS keyed ``n_<kind>`` plus ``has_pii`` —
+    exposed so composed pipelines can inline the scan next to other
+    row-local gates in one projection (no per-id join)."""
+    cur = F.coalesce(F.col(text_col), F.lit(""))
+    out: dict = {}
+    flags = None
+    for kind, pat, placeholder in PII_PATTERNS:
+        n = F.size(F.regexp_extract_all(cur, F.lit(pat), 0))
+        out[f"n_{kind}"] = n
+        flags = n > 0 if flags is None else flags | (n > 0)
+        cur = F.regexp_replace(cur, pat, placeholder)
+    out["has_pii"] = flags
+    return out
+
+
 def pii_scan(docs: DataFrame, text_col: str = "text",
              id_col: str = "doc_id") -> DataFrame:
     """Per-document PII counts: one ``n_<kind>`` column per pattern plus a
@@ -61,16 +77,10 @@ def pii_scan(docs: DataFrame, text_col: str = "text",
     their placeholders, so ``n_<kind>`` is exactly the number of
     ``[<KIND>]`` placeholders ``pii_redact`` inserts (an SSN no longer
     double-counts as a phone).  Still pure nested codegen expressions."""
-    cur = F.coalesce(F.col(text_col), F.lit(""))
-    cols = [F.col(id_col)]
-    flags = None
-    for kind, pat, placeholder in PII_PATTERNS:
-        n = F.size(F.regexp_extract_all(cur, F.lit(pat), 0))
-        cols.append(n.alias(f"n_{kind}"))
-        flags = n > 0 if flags is None else flags | (n > 0)
-        cur = F.regexp_replace(cur, pat, placeholder)
-    cols.append(flags.alias("has_pii"))
-    return docs.select(*cols)
+    e = pii_count_exprs(text_col)
+    return docs.select(
+        F.col(id_col), *[c.alias(name) for name, c in e.items()]
+    )
 
 
 def pii_redact(docs: DataFrame, text_col: str = "text",

@@ -35,12 +35,11 @@ def _tokens(col: Column) -> Column:
     return F.filter(F.split(F.lower(col), r"\s+"), lambda t: t != "")
 
 
-def doc_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Per-document quality statistics.
-
-    Columns: n_chars, n_ws_tokens (whitespace), n_re_tokens (word/punct
-    regex), punct_ratio, stopword_ratio, mean_token_len, quality_score.
-    """
+def stat_exprs(text_col: str = "text") -> dict[str, Column]:
+    """The per-document statistic COLUMNS (rounded, final form) keyed by
+    their ``doc_stats`` output names.  Exposed so composed pipelines
+    (``plans/curate``) can inline the quality gate into one projection
+    instead of a per-id join — same expressions, zero extra scan."""
     text = F.coalesce(F.col(text_col), F.lit(""))
     toks = _tokens(text)
     n_ws = F.size(toks)
@@ -63,15 +62,26 @@ def doc_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         + (F.lit(1.0) - F.least(punct_ratio * F.lit(4.0), F.lit(1.0))) * F.lit(0.3)
         + F.least(stop_ratio * F.lit(3.0), F.lit(1.0)) * F.lit(0.3),
     ).otherwise(F.lit(0.0))
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_ws_tokens": n_ws.cast("long"),
+        "n_re_tokens": n_re.cast("long"),
+        "punct_ratio": F.round(punct_ratio, 6),
+        "stopword_ratio": F.round(stop_ratio, 6),
+        "mean_token_len": F.round(mean_tok, 6),
+        "quality_score": F.round(quality, 6),
+    }
+
+
+def doc_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document quality statistics.
+
+    Columns: n_chars, n_ws_tokens (whitespace), n_re_tokens (word/punct
+    regex), punct_ratio, stopword_ratio, mean_token_len, quality_score.
+    """
+    e = stat_exprs(text_col)
     return docs.select(
-        F.col(id_col),
-        n_chars.cast("long").alias("n_chars"),
-        n_ws.cast("long").alias("n_ws_tokens"),
-        n_re.cast("long").alias("n_re_tokens"),
-        F.round(punct_ratio, 6).alias("punct_ratio"),
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
-        F.round(mean_tok, 6).alias("mean_token_len"),
-        F.round(quality, 6).alias("quality_score"),
+        F.col(id_col), *[c.alias(name) for name, c in e.items()]
     )
 
 
@@ -99,6 +109,24 @@ def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     )
 
 
+def quality_exprs(text_col: str = "text", min_score: float = 0.5,
+                  min_tokens: int = 5,
+                  max_punct_ratio: float = 0.2) -> tuple[Column, Column]:
+    """(keep, reasons) as inline column expressions over the text — the
+    joinless form of ``quality_filter`` (same rounded stats, identical
+    verdicts).  Composed pipelines select these next to other row-local
+    gates so Catalyst bundles everything into one scan."""
+    e = stat_exprs(text_col)
+    reasons = F.array_compact(
+        F.array(
+            F.when(e["n_ws_tokens"] < min_tokens, F.lit("too_short")),
+            F.when(e["punct_ratio"] > max_punct_ratio, F.lit("punct_soup")),
+            F.when(e["quality_score"] < min_score, F.lit("low_quality")),
+        )
+    )
+    return (F.size(reasons) == 0), reasons
+
+
 def quality_filter(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                    min_score: float = 0.5, min_tokens: int = 5,
                    max_punct_ratio: float = 0.2) -> DataFrame:
@@ -107,18 +135,10 @@ def quality_filter(docs: DataFrame, text_col: str = "text", id_col: str = "doc_i
     Returns (id, keep, reasons) where reasons lists every violated rule —
     the auditable form a data pipeline needs (silent drops are undebuggable
     at 10^12 docs).  Pure column expressions over doc_stats."""
-    stats = doc_stats(docs, text_col, id_col)
-    reasons = F.array_compact(
-        F.array(
-            F.when(F.col("n_ws_tokens") < min_tokens, F.lit("too_short")),
-            F.when(F.col("punct_ratio") > max_punct_ratio, F.lit("punct_soup")),
-            F.when(F.col("quality_score") < min_score, F.lit("low_quality")),
-        )
-    )
-    return stats.select(
-        F.col(id_col),
-        (F.size(reasons) == 0).alias("keep"),
-        reasons.alias("reasons"),
+    keep, reasons = quality_exprs(text_col, min_score, min_tokens,
+                                  max_punct_ratio)
+    return docs.select(
+        F.col(id_col), keep.alias("keep"), reasons.alias("reasons")
     )
 
 

@@ -25,6 +25,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _pii_kinds():
+    from entity_extraction_svc_spark.operators.privacy import PII_PATTERNS
+
+    return PII_PATTERNS
+
+
 def curation_report(docs: DataFrame, eval_docs: DataFrame | None = None,
                     text_col: str = "text", id_col: str = "doc_id",
                     min_quality: float = 0.5,
@@ -40,18 +46,26 @@ def curation_report(docs: DataFrame, eval_docs: DataFrame | None = None,
         minhash_dup_pairs,
         resolve_near_dups,
     )
-    from entity_extraction_svc_spark.operators.privacy import pii_scan
+    from entity_extraction_svc_spark.operators.privacy import pii_count_exprs
     from entity_extraction_svc_spark.operators.textstats import (
-        quality_filter,
+        quality_exprs,
         repetition_filter,
     )
 
-    quality = quality_filter(
-        docs, text_col, id_col, min_score=min_quality
-    ).select(
-        id_col,
-        F.col("keep").alias("quality_keep"),
-        F.col("reasons").alias("quality_reasons"),
+    # quality + PII are row-local — inlined as ONE projection (one scan,
+    # no per-id join) via the operators' expression builders; only the
+    # genuinely shuffling gates (repetition wordcount, minhash LSH + CC
+    # resolve, decontam gram join) join afterwards
+    q_keep, q_reasons = quality_exprs(text_col, min_score=min_quality)
+    pii_e = pii_count_exprs(text_col)
+    n_pii = sum(
+        (pii_e[f"n_{kind}"] for kind, _, _ in _pii_kinds()), F.lit(0)
+    )
+    rowlocal = docs.select(
+        F.col(id_col),
+        q_keep.alias("quality_keep"),
+        q_reasons.alias("quality_reasons"),
+        n_pii.alias("n_pii"),
     )
     repetition = repetition_filter(docs, text_col, id_col).select(
         id_col, F.col("keep").alias("repetition_keep")
@@ -64,17 +78,7 @@ def curation_report(docs: DataFrame, eval_docs: DataFrame | None = None,
         F.col("keep").alias("dup_keep"),
         F.col("keeper_id").alias("dup_keeper_id"),
     )
-    pii = pii_scan(docs, text_col, id_col).select(
-        id_col,
-        (
-            F.col("n_email") + F.col("n_ssn") + F.col("n_ipv4") + F.col("n_phone")
-        ).alias("n_pii"),
-    )
-    report = (
-        quality.join(repetition, id_col)
-        .join(dups, id_col)
-        .join(pii, id_col)
-    )
+    report = rowlocal.join(repetition, id_col).join(dups, id_col)
     if eval_docs is not None:
         contam = contamination(docs, eval_docs, text_col=text_col,
                                id_col=id_col).select(id_col, "contaminated")

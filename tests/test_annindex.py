@@ -339,13 +339,60 @@ def test_ivfpq_append_matches_batch(spark, tmp_path):
            for r in spark.read.parquet(d).collect()}
     assert len(got) == 400
     # re-encode the appended half through the same frozen artifacts
+    # (residual path by default — the shared _encoded_rows is what both
+    # build and append run, so this pins the pure-function contract)
     meta = ai.read_meta(d)
     C = np.asarray(meta["centroids"])
     books = np.asarray(meta["codebooks"])
-    again = rest.select(
-        "vec_id",
-        ai.ivf_assign_udf(C)(F.col("embedding")).alias("list_id"),
-        ai._pq_encode_udf(books)(F.col("embedding")).alias("codes"),
-    )
+    again = ai._encoded_rows(rest, C, books, "vec_id", "embedding",
+                             bool(meta.get("by_residual")))
     want = {r.vec_id: (r.list_id, tuple(r.codes)) for r in again.collect()}
+    assert meta["by_residual"] is True
     assert all(got[k] == v for k, v in want.items())
+
+
+def test_ivfpq_residual_ranks_within_tight_clusters(spark, tmp_path):
+    """THE residual-PQ payoff: flat PQ quantizes cluster MEMBERS to
+    near-identical codes (ADC separates clusters, not members), so a
+    shortlist smaller than the cluster was blind inside it; residual codes
+    quantize x - centroid and spread members across the code space.  On
+    100-member tight clusters a shortlist of 20 (= k*2, 5x smaller than
+    the cluster) must give refine recall >= 0.9 and ADC-only identity
+    recall clearly above flat's."""
+    rng = np.random.RandomState(3)
+    centers = rng.randn(4, 32) * 5
+    rows = []
+    for i in range(400):
+        v = centers[i % 4] + rng.randn(32) * 0.1
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    X = np.array([r[1] for r in rows])
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+
+    d_res = str(tmp_path / "res")
+    d_flat = str(tmp_path / "flat")
+    ai.build_ivfpq_index(emb, d_res, n_lists=4, m_sub=8)
+    ai.build_ivfpq_index(emb, d_flat, n_lists=4, m_sub=8, by_residual=False)
+
+    qids = [0, 17, 42, 103, 250]
+    ref_hits = adc_res = adc_flat = 0
+    for q in qids:
+        sims = Xn @ Xn[q]
+        sims[q] = -9
+        exact = set(np.argsort(-sims)[:10].tolist())
+        ref = {r.vec_id for r in ai.probe_ivfpq_index(
+            spark, d_res, rows[q][1], k=10, n_probe=1, shortlist=20,
+            refine_with=emb, exclude_id=q).collect()}
+        a_res = {r.vec_id for r in ai.probe_ivfpq_index(
+            spark, d_res, rows[q][1], k=10, n_probe=1, shortlist=10,
+            refine_with=None, exclude_id=q).collect()}
+        a_flat = {r.vec_id for r in ai.probe_ivfpq_index(
+            spark, d_flat, rows[q][1], k=10, n_probe=1, shortlist=10,
+            refine_with=None, exclude_id=q).collect()}
+        ref_hits += len(exact & ref)
+        adc_res += len(exact & a_res)
+        adc_flat += len(exact & a_flat)
+    n = 10 * len(qids)
+    assert ref_hits / n >= 0.9          # small shortlist + refine: near-exact
+    assert adc_res > adc_flat           # residual ADC sees inside clusters
+    assert adc_res / n >= 0.5           # and is genuinely informative alone

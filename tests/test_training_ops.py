@@ -617,6 +617,31 @@ def test_resolve_near_dups_long_chain(spark):
     assert all(got[i] == (0, i == 0) for i in range(n))
 
 
+def test_connected_components_paths_agree(spark):
+    """The single-task union-find fast path and the distributed hash-min +
+    pointer-jump loop produce identical components (same min-label comp
+    ids) on a graph mixing a long chain, cliques and isolated self-loops —
+    and the 61-chain still converges when the distributed path is FORCED
+    (local_max_edges=0), so the loop stays covered now that small graphs
+    default to the local path."""
+    from entity_extraction_svc_spark.operators.canonicalize import (
+        connected_components,
+    )
+
+    edges = [(i, i + 1) for i in range(61)]                  # chain 0..61
+    edges += [(100 + a, 100 + b) for a in range(5) for b in range(a)]
+    edges += [(200, 200), (301, 300)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    local = {r.node: r.comp
+             for r in connected_components(df).collect()}
+    dist = {r.node: r.comp
+            for r in connected_components(df, local_max_edges=0).collect()}
+    assert local == dist
+    assert all(local[i] == 0 for i in range(62))
+    assert all(local[100 + i] == 100 for i in range(5))
+    assert local[200] == 200 and local[300] == 300 and local[301] == 300
+
+
 def test_resize_and_frames_plumbing(spark):
     """Multimodal resize + frame sampling: real Spark plumbing (schemas,
     1->N explosion, null path, determinism) with the labelled fake codec
