@@ -425,10 +425,10 @@ def _doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.join(lang, "doc_id").join(fp, "doc_id")
 
 
-# v2: near-miss rows for the tightened phone shape-allowlist (dates, year
-# lists, ISBN, thousands groupings, epoch) — new filename so a cached v1
-# parquet can never serve the extended contract
-_PII_FIXTURE = os.path.join(FIXTURES, "pii_samples_v2.parquet")
+# v3: iban/card rows (valid + checksum-failing near-misses); v2 added the
+# phone near-misses — new filename so a cached older parquet can never
+# serve the extended contract
+_PII_FIXTURE = os.path.join(FIXTURES, "pii_samples_v3.parquet")
 
 # deterministic PII-bearing corpus: the sf documents carry no real PII, so
 # a zero-vs-zero count match would prove nothing — these rows give every
@@ -452,6 +452,11 @@ _PII_ROWS = [
     (1_000_000_013, "years 2021 2022 2023 amount 1 000 000 isbn 978-3-16-148410-0"),
     (1_000_000_014, "epoch 1692230400 order 123456789012 invoice 45-678 kept"),
     (1_000_000_015, "phones (415) 555-0199 and 555.123.4567 and +49 30 901820"),
+    # checksummed kinds: valid instances redact, checksum-failing shapes stay
+    (1_000_000_016, "iban GB82 WEST 1234 5698 7654 32 pays card 4111 1111 1111 1111"),
+    (1_000_000_017, "not iban GB82 WEST 1234 5698 7654 33 not card 4111-1111-1111-1112"),
+    (1_000_000_018, "compact iban DE89370400440532013000 card 4012888888881881 ok"),
+    (1_000_000_019, "order 1234 5678 9012 3456 fails luhn; ref AB12 CDEF 3456 too"),
 ]
 
 
@@ -982,7 +987,9 @@ def _sim_ivf_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx_dir = _ann_index_dir(path, "ivf8c")
     if not ai.index_ready(idx_dir):
         ai.build_ivf_index(emb, idx_dir, n_lists=8)
-    pq_dir = _ann_index_dir(path, "ivfpq8c")
+    # "r" = residual-encoded (round 4 default); the kind string is part of
+    # the cache key, so a flat-coded r3 index can never serve this contract
+    pq_dir = _ann_index_dir(path, "ivfpq8r")
     if not ai.index_ready(pq_dir):
         ai.build_ivfpq_index(emb, pq_dir, n_lists=8, m_sub=8)
     exact = ai.batch_exact_topk(emb, queries, k=10).localCheckpoint(eager=True)
@@ -1933,26 +1940,22 @@ def oracle_sql() -> dict[str, str]:
 
     # doc_pii: patterns come FROM the operator module, so the oracle runs
     # the byte-identical regexes (portable Java-regex/RE2 subset by design)
-    from entity_extraction_svc_spark.operators.privacy import PII_PATTERNS
+    from entity_extraction_svc_spark.operators.privacy import duckdb_pii_exprs
 
-    # cascade parity: each count runs on the text with all EARLIER
-    # patterns already replaced (exactly pii_scan's nested expressions),
-    # so n_<kind> == number of placeholders pii_redact inserts
-    cascaded = "coalesce(text, '')"
-    counts = []
-    for kind, pat, placeholder in PII_PATTERNS:
-        counts.append(
-            f"len(regexp_extract_all({cascaded}, '{pat}')) AS n_{kind}"
-        )
-        cascaded = f"regexp_replace({cascaded}, '{pat}', '{placeholder}', 'g')"
-    flags = " OR ".join(f"n_{kind} > 0" for kind, _, _ in PII_PATTERNS)
-    ncols = ", ".join(f"n_{kind}" for kind, _, _ in PII_PATTERNS)
+    # cascade parity: counts run on the text with all EARLIER kinds
+    # already replaced and checksummed kinds (iban/card) count only
+    # validator-passing candidates — both generated by the operator
+    # module itself, so the oracle runs the one ordered spec verbatim
+    kcounts, redacted_sql = duckdb_pii_exprs("text")
+    counts = ", ".join(f"{c} AS n_{kind}" for kind, c in kcounts)
+    flags = " OR ".join(f"n_{kind} > 0" for kind, _ in kcounts)
+    ncols = ", ".join(f"n_{kind}" for kind, _ in kcounts)
     sql["doc_pii"] = f"""
         WITH u AS (
           SELECT doc_id, text FROM read_parquet('{_ensure_pii_samples()}')
           UNION ALL SELECT doc_id, text FROM documents
         ), c AS (
-          SELECT doc_id, {', '.join(counts)}, {cascaded} AS redacted FROM u
+          SELECT doc_id, {counts}, {redacted_sql} AS redacted FROM u
         )
         SELECT doc_id, {ncols}, ({flags}) AS has_pii, redacted FROM c
     """

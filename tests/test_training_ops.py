@@ -435,6 +435,10 @@ def test_pii_scan_and_redact(spark):
         # cascade: the phone-shaped digits live inside an email local part
         # -> counted once as email, zero times as phone
         (12, "fwd 555-123-4567@relay.example.com only"),
+        # checksummed kinds: mod-97/Luhn-passing instances redact,
+        # shape-matching checksum failures stay (16-digit order ids live)
+        (13, "pay iban GB82 WEST 1234 5698 7654 32 card 4111 1111 1111 1111"),
+        (14, "shape-only GB82 WEST 1234 5698 7654 33 and 4111-1111-1111-1112"),
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     scan = {r.doc_id: r for r in pii_scan(docs).collect()}
@@ -448,6 +452,8 @@ def test_pii_scan_and_redact(spark):
     assert scan[10].n_phone == 3
     assert scan[11].n_phone == 2
     assert scan[12].n_email == 1 and scan[12].n_phone == 0
+    assert scan[13].n_iban == 1 and scan[13].n_card == 1 and scan[13].has_pii
+    assert not scan[14].has_pii  # checksum failures are not PII
     red = {r.doc_id: r.redacted for r in pii_redact(docs).collect()}
     assert red[0] == "mail [EMAIL] now"
     assert red[1] == "ssn [SSN] stays private"
@@ -457,6 +463,8 @@ def test_pii_scan_and_redact(spark):
     assert red[7] == rows[7][1] and red[8] == rows[8][1] and red[9] == rows[9][1]
     assert red[10] == "uk [PHONE] or [PHONE] or [PHONE]"
     assert red[12] == "fwd [EMAIL] only"
+    assert red[13] == "pay iban [IBAN] card [CARD]"
+    assert red[14] == rows[14][1]
 
 
 def test_hash_split_deterministic_and_incremental(spark):
