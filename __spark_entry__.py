@@ -393,12 +393,18 @@ def _doc_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bigram-LM self-audit (CCNet-style): train add-k bigram counts on
-    the documents table, score every document's cross-entropy in
-    bits/token against it."""
+    """N-gram-LM self-audit (CCNet-style): add-k bigram cross-entropy AND
+    the Jelinek-Mercer-interpolated trigram cross-entropy per document,
+    both trained on the documents table (order parameter surface)."""
     from entity_extraction_svc_spark.operators.lm import score_cross_entropy
 
-    return score_cross_entropy(_docs(spark, sf_dir))
+    docs = _docs(spark, sf_dir)
+    bi = score_cross_entropy(docs)
+    tri = score_cross_entropy(docs, order=3).select(
+        "doc_id", "n_trigrams",
+        F.col("cross_entropy").alias("cross_entropy3"),
+    )
+    return bi.join(tri, "doc_id")
 
 
 # --- training-data ops on documents / embeddings ----------------------------
@@ -2006,28 +2012,61 @@ def oracle_sql() -> dict[str, str]:
         FROM documents d LEFT JOIN hits USING (doc_id)
     """
 
-    # doc_perplexity: add-k bigram LM self-audit (k=0.5); ln/ln(2) is the
-    # same libm double math Spark's log runs, so round(...,6) is stable
+    # doc_perplexity: add-k bigram LM self-audit (k=0.5) + Jelinek-Mercer
+    # interpolated trigram (0.5/0.3/0.2), expression order mirroring the
+    # Spark column math exactly; ln/ln(2) is the same libm double math
+    # Spark's log runs, so round(...,6) is stable.  The count CTEs are
+    # MATERIALIZED — each is referenced 2-4x and DuckDB inlines plain CTEs
     sql["doc_perplexity"] = f"""
-        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
-        uc AS (SELECT w, count(*) AS c1 FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w),
-        v AS (SELECT count(*)::DOUBLE AS v FROM uc),
-        bg AS (SELECT doc_id, s.w1 AS w1, s.w2 AS w2 FROM (
+        WITH t AS MATERIALIZED (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        uc AS MATERIALIZED (
+          SELECT w, count(*) AS c1
+          FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w),
+        dims AS (SELECT count(*)::DOUBLE AS v, sum(c1)::DOUBLE AS n FROM uc),
+        bg AS MATERIALIZED (SELECT doc_id, s.w1 AS w1, s.w2 AS w2 FROM (
                  SELECT doc_id, unnest(list_transform(
                    generate_series(1, len(toks) - 1),
                    i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))) AS s
                  FROM t)),
-        bc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+        bc AS MATERIALIZED (
+          SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
         scored AS (
           SELECT doc_id,
-                 -ln((coalesce(c12, 0) + 0.5) / (coalesce(c1, 0) + 0.5 * v.v))
+                 -ln((coalesce(c12, 0) + 0.5) / (coalesce(c1, 0) + 0.5 * dims.v))
                    / ln(2) AS bits
           FROM bg LEFT JOIN bc USING (w1, w2)
-          LEFT JOIN uc ON bg.w1 = uc.w CROSS JOIN v),
+          LEFT JOIN uc ON bg.w1 = uc.w CROSS JOIN dims),
         per AS (SELECT doc_id, count(*) AS n_bigrams,
                        round(avg(bits), 6) AS cross_entropy
-                FROM scored GROUP BY doc_id)
-        SELECT d.doc_id, coalesce(n_bigrams, 0) AS n_bigrams, cross_entropy
+                FROM scored GROUP BY doc_id),
+        tg AS MATERIALIZED (SELECT doc_id, s.w1 AS w1, s.w2 AS w2, s.w3 AS w3 FROM (
+                 SELECT doc_id, unnest(list_transform(
+                   generate_series(1, len(toks) - 2),
+                   i -> struct_pack(w1 := toks[i], w2 := toks[i+1],
+                                    w3 := toks[i+2]))) AS s
+                 FROM t)),
+        tc AS MATERIALIZED (
+          SELECT w1, w2, w3, count(*) AS c123 FROM tg GROUP BY w1, w2, w3),
+        scored3 AS (
+          SELECT doc_id,
+                 -ln(0.5 * ((coalesce(c123, 0) + 0.5) / (coalesce(c12_h, 0) + 0.5 * dims.v))
+                   + 0.3 * ((coalesce(c23, 0) + 0.5) / (coalesce(c1_2, 0) + 0.5 * dims.v))
+                   + 0.2 * ((coalesce(c1_3, 0) + 0.5) / (dims.n + 0.5 * dims.v)))
+                   / ln(2) AS bits
+          FROM tg LEFT JOIN tc USING (w1, w2, w3)
+          LEFT JOIN (SELECT w1, w2, c12 AS c12_h FROM bc) USING (w1, w2)
+          LEFT JOIN (SELECT w1 AS w2, w2 AS w3, c12 AS c23 FROM bc) USING (w2, w3)
+          LEFT JOIN (SELECT w AS w2, c1 AS c1_2 FROM uc) USING (w2)
+          LEFT JOIN (SELECT w AS w3, c1 AS c1_3 FROM uc) USING (w3)
+          CROSS JOIN dims),
+        per3 AS (SELECT doc_id, count(*) AS n_trigrams,
+                        round(avg(bits), 6) AS cross_entropy3
+                 FROM scored3 GROUP BY doc_id)
+        SELECT d.doc_id, coalesce(per.n_bigrams, 0) AS n_bigrams,
+               per.cross_entropy,
+               coalesce(per3.n_trigrams, 0) AS n_trigrams,
+               per3.cross_entropy3
         FROM documents d LEFT JOIN per USING (doc_id)
+        LEFT JOIN per3 USING (doc_id)
     """
     return sql

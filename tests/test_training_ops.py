@@ -573,6 +573,45 @@ def test_bigram_lm_hand_computed(spark):
     assert got[2] == (0, None) and got[3] == (0, None)
 
 
+def test_trigram_interpolated_hand_computed(spark):
+    """The Jelinek-Mercer interpolated trigram cross-entropy matches the
+    formula computed by hand; sub-3-token docs score NULL with
+    n_trigrams 0; order=2 output is unchanged by the new parameter."""
+    import math
+
+    from entity_extraction_svc_spark.operators.lm import score_cross_entropy
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "a b c"), (3, "x y"), (4, "")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_trigrams, r.cross_entropy)
+           for r in score_cross_entropy(docs, order=3).collect()}
+    # corpus: tokens a,b,a,b,a,a,b,c,x,y -> c1: a=4,b=3,c=1,x=1,y=1;
+    # V=5, N=10; bi: (a,b)=3,(b,a)=2,(b,c)=1,(x,y)=1;
+    # tri: (a,b,a)=2,(b,a,b)=1,(a,b,c)=1
+    k, V, N = 0.5, 5, 10
+    kv = k * V
+    l3, l2, l1 = 0.5, 0.3, 0.2
+
+    def p(c123, c12h, c23, c2, c3):
+        return (l3 * ((c123 + k) / (c12h + kv))
+                + l2 * ((c23 + k) / (c2 + kv))
+                + l1 * ((c3 + k) / (N + kv)))
+
+    # doc1 trigrams: (a,b,a)x2, (b,a,b)x1
+    ce1 = -(2 * math.log2(p(2, 3, 2, 3, 4)) + math.log2(p(1, 2, 3, 4, 3))) / 3
+    # doc2 trigram: (a,b,c)
+    ce2 = -math.log2(p(1, 3, 1, 3, 1))
+    assert got[1][0] == 3 and abs(got[1][1] - ce1) < 1e-5
+    assert got[2][0] == 1 and abs(got[2][1] - ce2) < 1e-5
+    assert got[3] == (0, None) and got[4] == (0, None)
+    # order=2 path unchanged
+    bi = {r.doc_id: r.n_bigrams
+          for r in score_cross_entropy(docs, order=2).collect()}
+    assert bi == {1: 4, 2: 2, 3: 1, 4: 0}
+
+
 def test_perplexity_bucket_ordering(spark):
     """Repetitive text scores lower cross-entropy than shuffled-vocab text
     under the self-trained model, and unscoreable docs land in 'tail'."""
