@@ -31,7 +31,11 @@ def main(only: list[str] | None = None) -> int:
 
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+        # sharded tables (tools/make_sf.py) are a DIRECTORY named
+        # <t>.parquet; Spark reads those natively, DuckDB needs the glob
+        path = f"{SF_DIR}/{t}.parquet"
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
 
     spark = get_spark(master="local[8]", shuffle_partitions=8)
     qs, os_ = e.queries(), e.oracle_sql()
