@@ -521,29 +521,58 @@ def embedding_dup_pairs(embeddings: DataFrame, threshold: float = 0.9,
 
 def embedding_dup_pairs_lsh(embeddings: DataFrame, threshold: float = 0.9,
                             id_col: str = "vec_id", vec_col: str = "embedding",
-                            bits: int = 16, bands: int = 8,
-                            max_bucket: int = 2000) -> DataFrame:
+                            bits: int | None = None, bands: int | None = None,
+                            max_bucket: int = 2000,
+                            target_recall: float = 0.95,
+                            max_bands: int = 64) -> DataFrame:
     """Near-dup pairs at scale: random-hyperplane signature banded into
     ``bands`` chunks; candidates share >= 1 exact chunk (the SimHash
     pigeonhole trick applied to embeddings), then exact cosine filters.
-    ``max_bucket`` bounds hot chunks (see ``cap_lsh_buckets``)."""
+    ``max_bucket`` bounds hot chunks (see ``cap_lsh_buckets``).
+
+    SELF-TUNING (bits/bands omitted): chunk width comes from the corpus
+    size (buckets stay under ~max_bucket/4 members, so a 10x corpus can
+    never silently push every bucket over the cap — the failure mode a
+    fixed 2-bit chunk hit at the 10x gate), and the band count from the
+    standard OR-of-bands recall bound: P(pair at cos=t shares a band) =
+    (1 − acos(t)/π)^chunk_bits, bands ≈ ln(1−R)/ln(1−p_band).  When the
+    tuning itself proves LSH degenerate — the estimated candidate volume
+    (bands·n²/2^chunk_bits) approaches n², which happens exactly when the
+    threshold is low relative to the data's similarity structure (random
+    vectors at cos 0.35 have no locality for ANY banding to exploit) —
+    it falls back to the exact tiled-matmul ``embedding_dup_pairs``:
+    recall 1.0 at the same or lower cost beats a fake sub-quadratic plan.
+    At real near-dup thresholds (0.8+) the tuning stays LSH with a
+    handful of bands.  Explicit bits+bands skip tuning and reproduce the
+    legacy banding bit-for-bit (band b = planes [b·cb, (b+1)·cb))."""
+    import math
+
     from entity_extraction_svc_spark.operators.simsearch import cosine, rp_signature
 
-    dim = len(embeddings.select(vec_col).first()[0])
+    first = embeddings.select(vec_col).where(F.col(vec_col).isNotNull()).first()
+    if first is None:
+        raise ValueError(f"'{vec_col}' has no non-null rows")
+    dim = len(first[0])
+    if bits is None or bands is None:
+        n = max(embeddings.count(), 2)
+        chunk_bits = max(2, math.ceil(math.log2(max(n / max(max_bucket / 4, 1), 4))))
+        p = max(1e-9, 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi)
+        p_band = min(p ** chunk_bits, 1.0 - 1e-12)
+        bands = max(2, min(max_bands, math.ceil(
+            math.log(max(1e-12, 1.0 - target_recall)) / math.log(1.0 - p_band))))
+        est_candidates = bands * n * n / float(2 ** chunk_bits)
+        if est_candidates >= 0.5 * n * n:
+            return embedding_dup_pairs(embeddings, threshold, id_col, vec_col)
+    else:
+        chunk_bits = bits // bands
     sigd = embeddings.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-        rp_signature(F.col(vec_col), dim, bits).alias("sig"),
-    )
-    chunk_bits = bits // bands
-    mask = (1 << chunk_bits) - 1
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    band_sigs = F.array(*[
+        rp_signature(F.col("v"), dim, chunk_bits, offset=b * chunk_bits)
+        for b in range(bands)
+    ])
     chunks = sigd.select(
-        "id", "v",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, {bands - 1}), "
-                f"b -> shiftright(sig, b * {chunk_bits}) & {mask}L)"
-            )
-        ).alias("band", "chunk"),
+        "id", "v", F.posexplode(band_sigs).alias("band", "chunk")
     )
     chunks = cap_lsh_buckets(chunks, ["band", "chunk"], max_bucket)
     l, r = chunks.alias("l"), chunks.alias("r")

@@ -85,11 +85,16 @@ def _plane_component(plane: int, dim: int) -> float:
     return 1.0 if int(h[:8], 16) % 2 == 0 else -1.0
 
 
-def rp_signature(vec_col: Column, dim: int, bits: int = 8) -> Column:
-    """Random-hyperplane b-bit signature: bit_j = sign(<v, plane_j>)."""
+def rp_signature(vec_col: Column, dim: int, bits: int = 8,
+                 offset: int = 0) -> Column:
+    """Random-hyperplane b-bit signature: bit_j = sign(<v, plane_{offset+j}>).
+    ``offset`` selects a disjoint plane family, so per-band signatures
+    (banding beyond a single long's 63 bits) reuse the same deterministic
+    plane table — band b over planes [b*cb, (b+1)*cb) is bit-identical to
+    slicing one wide signature."""
     sig = F.lit(0).cast("long")
     for j in range(bits):
-        plane = [ _plane_component(j, d) for d in range(dim) ]
+        plane = [ _plane_component(offset + j, d) for d in range(dim) ]
         dot = F.aggregate(
             F.zip_with(
                 vec_col,

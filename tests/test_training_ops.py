@@ -87,15 +87,23 @@ def test_embedding_dup_pairs(spark):
     emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     brute = {(r.id_a, r.id_b): r.cos_sim for r in
              embedding_dup_pairs(emb, threshold=0.4).collect()}
-    lsh = {(r.id_a, r.id_b): r.cos_sim for r in
-           embedding_dup_pairs_lsh(emb, threshold=0.4).collect()}
     assert brute, "threshold should yield pairs on the sf0.01 embeddings"
-    # every LSH pair is a true pair with the identical score (no false hits)
+    # explicit banding path: every LSH pair is a true pair with the
+    # identical score (no false hits), recall floor holds
+    lsh = {(r.id_a, r.id_b): r.cos_sim for r in
+           embedding_dup_pairs_lsh(emb, threshold=0.4, bits=16,
+                                   bands=8).collect()}
     for k, v in lsh.items():
         assert brute.get(k) == v
     # recall floor (rp-LSH at a low 0.4-cosine threshold is intentionally
     # lossy; production near-dup thresholds >= 0.9 recall far higher)
     assert len(lsh) / len(brute) >= 0.4
+    # auto-tuned path: at this n/threshold the tuner detects LSH is
+    # degenerate (no locality at cos 0.4 in near-random vectors) and
+    # falls back to the exact tiled matmul -> identical to brute
+    auto = {(r.id_a, r.id_b): r.cos_sim for r in
+            embedding_dup_pairs_lsh(emb, threshold=0.4).collect()}
+    assert auto == brute
 
 
 def test_ivf_ann_recall(spark):
@@ -218,8 +226,12 @@ def test_embedding_lsh_cap(spark):
     rows = [(i, vec) for i in range(80)] + [
         (100, [1.0, -1.0] * 4), (101, [1.0, -0.9] * 4)]
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
-    unc = embedding_dup_pairs_lsh(emb, threshold=0.9, max_bucket=10**9).count()
-    cap = embedding_dup_pairs_lsh(emb, threshold=0.9, max_bucket=40).count()
+    # explicit bits/bands: the cap guard lives on the banding path (auto
+    # tuning would fall back to the exact tiled matmul at this tiny n)
+    unc = embedding_dup_pairs_lsh(emb, threshold=0.9, bits=16, bands=8,
+                                  max_bucket=10**9).count()
+    cap = embedding_dup_pairs_lsh(emb, threshold=0.9, bits=16, bands=8,
+                                  max_bucket=40).count()
     assert unc >= 80 * 79 / 2
     assert cap < 50
 
