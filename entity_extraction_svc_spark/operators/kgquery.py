@@ -187,6 +187,45 @@ def triples_per_subject(triples: DataFrame, top_n: int | None = None,
     return counts
 
 
+def top_objects_per_subject(triples: DataFrame, k: int = 10,
+                            salt: int | None = None) -> DataFrame:
+    """Per subject, the ``k`` most frequent objects (count desc, obj asc) —
+    the W12 top-people cache generalized from "top subjects overall" to
+    "top neighbors per subject" (wiki_parser.py:72-125 keeps exactly this
+    shape precomputed for Q5 humans).
+
+    The count aggregation itself is skew-safe without help (map-side
+    combine collapses a hot subject inside each task).  The part that is
+    NOT is the ranking window: ``row_number() over (partition by subj)``
+    sends every (subj, obj) count row of a head entity to ONE task — a
+    hot QID with 10^7 distinct neighbors serializes there.  ``salt``
+    switches to the exact two-stage cut: partial top-k per
+    (subj, hash(obj) % salt) — each obj's TOTAL count lives in exactly one
+    count row, so no bucket splits an object's count and the partial cut
+    can never drop a global top-k member — then the final window ranks at
+    most ``salt * k`` rows per subject.  Results are identical (pinned in
+    tests/test_skew.py); measured at 20M rows in BENCH.md §skew."""
+    counts = triples.groupBy("subj", "obj").agg(F.count("*").alias("n"))
+    order = [F.desc("n"), F.asc("obj")]
+    from pyspark.sql.window import Window
+
+    if salt:
+        pre = Window.partitionBy(
+            "subj", F.pmod(F.xxhash64("obj"), F.lit(salt))
+        ).orderBy(*order)
+        counts = (
+            counts.withColumn("_r", F.row_number().over(pre))
+            .filter(F.col("_r") <= k)
+            .drop("_r")
+        )
+    w = Window.partitionBy("subj").orderBy(*order)
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("subj", "obj", F.col("n").alias("n_triples"), "rank")
+    )
+
+
 def top_triplets_for(linked_qids: DataFrame, triples: DataFrame,
                      whitelist: list[str], labels: DataFrame | None = None) -> DataFrame:
     """W11 (wiki_parser.py:475-604): per linked entity, its whitelisted

@@ -48,6 +48,59 @@ def test_topn_under_skew(spark):
     assert len(top) == 3
 
 
+def _hot_neighbor_triples(spark, n=40_000):
+    """Hot subject with MANY DISTINCT objects (the window-skew case: count
+    agg alone doesn't rank them) — 50% of rows on Qhot across 1,200 objs
+    with a deterministic non-uniform frequency profile; the rest spread
+    over 997 cold subjects x few objs each."""
+    return spark.range(n).select(
+        F.when(F.col("id") % 2 == 0, F.lit("Qhot"))
+        .otherwise(F.concat(F.lit("Q"), (F.col("id") % 997).cast("string")))
+        .alias("subj"),
+        F.lit("P31").alias("pred"),
+        F.when(
+            F.col("id") % 2 == 0,
+            # frequency ~ harmonic: obj j appears ~ n/(2*1200) * weight(j)
+            F.concat(F.lit("O"), F.pmod(F.xxhash64((F.col("id") / 3).cast("long")), F.lit(1200)).cast("string")),
+        )
+        .otherwise(F.concat(F.lit("o"), (F.col("id") % 7).cast("string")))
+        .alias("obj"),
+    )
+
+
+def test_top_objects_salted_equals_plain(spark):
+    from entity_extraction_svc_spark.operators.kgquery import (
+        top_objects_per_subject,
+    )
+
+    t = _hot_neighbor_triples(spark)
+    plain = sorted(
+        tuple(r) for r in top_objects_per_subject(t, k=5).collect()
+    )
+    salted = sorted(
+        tuple(r) for r in top_objects_per_subject(t, k=5, salt=16).collect()
+    )
+    assert salted == plain
+    hot = [r for r in plain if r[0] == "Qhot"]
+    assert len(hot) == 5 and [r[3] for r in sorted(hot)] != []
+
+
+def test_top_objects_partial_cut_never_drops_global_winner(spark):
+    """Adversarial: pile the true top-k of the hot subject into what would
+    be a single salt bucket if salting split an object's count — it can't,
+    because counts are already total per (subj, obj)."""
+    from entity_extraction_svc_spark.operators.kgquery import (
+        top_objects_per_subject,
+    )
+
+    rows = [("Qh", "P31", f"Obig{i % 3}") for i in range(300)] + [
+        ("Qh", "P31", f"Osmall{i}") for i in range(200)
+    ]
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    got = {r.obj for r in top_objects_per_subject(t, k=3, salt=8).collect()}
+    assert got == {"Obig0", "Obig1", "Obig2"}
+
+
 def test_lm_scoring_under_zipf_token_skew(spark):
     """The bigram-LM score joins on token keys; web text is Zipfian ('the'
     in half of all bigrams).  Build a corpus where ONE token dominates and
