@@ -421,6 +421,55 @@ def simhash_dup_pairs(docs: DataFrame, text_col: str = "text",
 # embedding-cosine near-dup
 # ---------------------------------------------------------------------------
 
+def _score_tile(rows_a, rows_b, same: bool, threshold: float):
+    """Score one (block_a x block_b) tile: numpy matmul prefilter at
+    threshold - 1e-6, then an exact re-score whose fold applies the
+    IDENTICAL left-to-right IEEE operation order as the Catalyst
+    ``aggregate(zip_with(...))`` cosine and DuckDB's ``list_sum`` — so the
+    emitted values are bit-for-bit what a per-pair codegen cosine yields.
+    Shared by ``embedding_dup_pairs`` (corpus-wide tiles) and
+    ``_pairs_from_assigned`` (per-cluster tiles).  Returns
+    (ids_a, ids_b, raw_cos) lists; F.round stays in Catalyst (HALF_UP)."""
+    import numpy as np
+
+    def _fold_dot(X: "np.ndarray", Y: "np.ndarray") -> "np.ndarray":
+        # sequential left-to-right per-pair fold, vectorized ACROSS pairs
+        acc = np.zeros(len(X), dtype=np.float64)
+        for i in range(X.shape[1]):
+            acc = acc + X[:, i] * Y[:, i]
+        return acc
+
+    ids_a = np.array([r["_id"] for r in rows_a])
+    A = np.stack([np.asarray(r["_v"], dtype=np.float64) for r in rows_a])
+    if same:
+        ids_b, B = ids_a, A
+    else:
+        ids_b = np.array([r["_id"] for r in rows_b])
+        B = np.stack([np.asarray(r["_v"], dtype=np.float64) for r in rows_b])
+    na = np.linalg.norm(A, axis=1)
+    nb = na if same else np.linalg.norm(B, axis=1)
+    S = (A / np.maximum(na, 1e-300)[:, None]) @ \
+        (B / np.maximum(nb, 1e-300)[:, None]).T
+    cand = np.argwhere(S >= threshold - 1e-6)
+    if same and len(cand):
+        # same-block tile holds both orders of every pair — keep the
+        # strict upper triangle (also drops i==i)
+        cand = cand[ids_a[cand[:, 0]] < ids_b[cand[:, 1]]]
+    elif len(cand):
+        # cross tile: each unordered pair appears exactly once but in
+        # arbitrary id order — drop only true self-ids
+        cand = cand[ids_a[cand[:, 0]] != ids_b[cand[:, 1]]]
+    if not len(cand):
+        return [], [], []
+    X, Y = A[cand[:, 0]], B[cand[:, 1]]
+    dot = _fold_dot(X, Y)
+    exact = dot / (np.sqrt(_fold_dot(X, X)) * np.sqrt(_fold_dot(Y, Y)))
+    ok = exact >= threshold
+    ia, ib = ids_a[cand[ok, 0]], ids_b[cand[ok, 1]]
+    return (np.minimum(ia, ib).tolist(), np.maximum(ia, ib).tolist(),
+            exact[ok].tolist())
+
+
 def embedding_dup_pairs(embeddings: DataFrame, threshold: float = 0.9,
                         id_col: str = "vec_id", vec_col: str = "embedding",
                         n_blocks: int = 16) -> DataFrame:
@@ -444,55 +493,16 @@ def embedding_dup_pairs(embeddings: DataFrame, threshold: float = 0.9,
     so results (and their round-6 forms) are bit-for-bit what the old
     plan produced.  Output is independent of ``n_blocks``.
     """
-    import numpy as np
-    import pandas as pd
-
     id_t = embeddings.schema[id_col].dataType.simpleString()
 
-    def _fold_dot(X: "np.ndarray", Y: "np.ndarray") -> "np.ndarray":
-        # sequential left-to-right per-pair fold, vectorized ACROSS pairs
-        acc = np.zeros(len(X), dtype=np.float64)
-        for i in range(X.shape[1]):
-            acc = acc + X[:, i] * Y[:, i]
-        return acc
-
     def _score(batches):
+        import pandas as pd
+
         for pdf in batches:
             for rows_a, rows_b, same in zip(
                     pdf["rows_a"], pdf["rows_b"], pdf["bid_a"] == pdf["bid_b"]):
-                ids_a = np.array([r["_id"] for r in rows_a])
-                A = np.stack([np.asarray(r["_v"], dtype=np.float64)
-                              for r in rows_a])
-                if same:
-                    ids_b, B = ids_a, A
-                else:
-                    ids_b = np.array([r["_id"] for r in rows_b])
-                    B = np.stack([np.asarray(r["_v"], dtype=np.float64)
-                                  for r in rows_b])
-                na = np.linalg.norm(A, axis=1)
-                nb = na if same else np.linalg.norm(B, axis=1)
-                S = (A / np.maximum(na, 1e-300)[:, None]) @ \
-                    (B / np.maximum(nb, 1e-300)[:, None]).T
-                cand = np.argwhere(S >= threshold - 1e-6)
-                if same and len(cand):
-                    # same-block tile holds both orders of every pair —
-                    # keep the strict upper triangle (also drops i==i)
-                    cand = cand[ids_a[cand[:, 0]] < ids_b[cand[:, 1]]]
-                elif len(cand):
-                    # cross tile: each unordered pair appears exactly once
-                    # but in arbitrary id order — drop only true self-ids
-                    cand = cand[ids_a[cand[:, 0]] != ids_b[cand[:, 1]]]
-                out_a, out_b, out_c = [], [], []
-                if len(cand):
-                    X, Y = A[cand[:, 0]], B[cand[:, 1]]
-                    dot = _fold_dot(X, Y)
-                    exact = dot / (np.sqrt(_fold_dot(X, X))
-                                   * np.sqrt(_fold_dot(Y, Y)))
-                    ok = exact >= threshold
-                    ia, ib = ids_a[cand[ok, 0]], ids_b[cand[ok, 1]]
-                    out_a = np.minimum(ia, ib).tolist()
-                    out_b = np.maximum(ia, ib).tolist()
-                    out_c = exact[ok].tolist()  # raw; F.round applies AFTER
+                out_a, out_b, out_c = _score_tile(rows_a, rows_b, same,
+                                                  threshold)
                 yield pd.DataFrame(
                     {"id_a": out_a, "id_b": out_b, "cos_sim": out_c}
                 )
@@ -722,66 +732,65 @@ def semantic_dup_pairs(embeddings: DataFrame | None = None,
 
 
 def _pairs_from_assigned(assigned: DataFrame, threshold: float,
-                         n_blocks: int = 1) -> DataFrame:
-    """Self-join within list_id.  ``n_blocks > 1`` adds a block-salt for
-    skewed clusters: each row lands in block ``xxhash64(id) % B``, the join
-    key becomes (list_id, block_i, block_j) with i <= j — same pair set,
-    B(B+1)/2 times more join cells per cluster, so one hot cluster no
-    longer serializes on a single reducer (the triples_per_subject(salt=)
-    trick adapted to a self-join)."""
-    from entity_extraction_svc_spark.operators.simsearch import cosine
+                         n_blocks: int = 4) -> DataFrame:
+    """Within-cluster pairs as PER-CLUSTER MATMUL TILES.
 
-    if n_blocks > 1:
-        b = F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)).cast("int")
-        blocked = assigned.withColumn("_b", b)
-        # left row in block i joins cells (i, j) for j in i..B-1; right row
-        # in block j joins cells (i, j) for i in 0..j — each unordered block
-        # pair is enumerated exactly once
-        l = blocked.withColumn(
-            "_cell",
-            F.explode(F.sequence(F.col("_b"), F.lit(n_blocks - 1))),
-        ).select(
-            F.col("id"), F.col("v"), F.col("list_id"),
-            F.col("_b").alias("_bi"), F.col("_cell").alias("_bj"),
-        ).alias("l")
-        r = blocked.withColumn(
-            "_cell", F.explode(F.sequence(F.lit(0), F.col("_b")))
-        ).select(
-            F.col("id"), F.col("v"), F.col("list_id"),
-            F.col("_cell").alias("_bi"), F.col("_b").alias("_bj"),
-        ).alias("r")
-        # diagonal cells (i == j) hold one block on both sides -> order by
-        # id as usual; off-diagonal cells hold two DISJOINT blocks -> every
-        # cross pair appears exactly once regardless of id order, so take
-        # them all and normalize the output ordering with least/greatest
-        joined = l.join(
-            r,
-            (F.col("l.list_id") == F.col("r.list_id"))
-            & (F.col("l._bi") == F.col("r._bi"))
-            & (F.col("l._bj") == F.col("r._bj"))
-            & (F.col("l.id") != F.col("r.id"))
-            & (
-                (F.col("l._bi") != F.col("l._bj"))
-                | (F.col("l.id") < F.col("r.id"))
-            ),
+    The former shape was a self-join on list_id with the codegen cosine
+    evaluated per pair — the exact nested-loop pattern
+    ``embedding_dup_pairs`` replaced with tiled matmuls (its docstring
+    carries the 40-minutes-for-2e8-pairs measurement; the 10x gate showed
+    this path at 547 s Spark-side for 25M pair-cosines).  Here each
+    cluster's rows hash into ``n_blocks`` blocks; every (list_id, block
+    pair) cell becomes one task scoring the tile as a single numpy matmul
+    via ``_score_tile`` — the same exact-rescore fold, so cos_sim values
+    stay bit-for-bit equal to the corpus-wide pair set (pinned by
+    test_semantic_dup_pairs_subset_of_exact).  ``n_blocks`` only trades
+    per-task tile size against parallelism — the pair set is invariant
+    (test_semantic_pairs_block_salt_invariant); a hot cluster spreads
+    over B(B+1)/2 tasks instead of serializing on one reducer."""
+    id_t = assigned.schema["id"].dataType.simpleString()
+    n_blocks = max(n_blocks, 1)
+
+    blocks = (
+        assigned.select(
+            "list_id",
+            F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)).alias("bid"),
+            F.struct(F.col("id").alias("_id"), F.col("v").alias("_v"))
+            .alias("_row"),
         )
-    else:
-        l, r = assigned.alias("l"), assigned.alias("r")
-        joined = l.join(
-            r,
-            (F.col("l.list_id") == F.col("r.list_id"))
-            & (F.col("l.id") < F.col("r.id")),
-        )
-    return (
-        joined.withColumn("cos_sim", cosine(F.col("l.v"), F.col("r.v")))
-        .filter(F.col("cos_sim") >= threshold)
-        .select(
-            F.least(F.col("l.id"), F.col("r.id")).alias("id_a"),
-            F.greatest(F.col("l.id"), F.col("r.id")).alias("id_b"),
-            F.round("cos_sim", 6).alias("cos_sim"),
-            F.col("l.list_id").alias("list_id"),
-        )
+        .groupBy("list_id", "bid")
+        .agg(F.collect_list("_row").alias("rows"))
     )
+    l = blocks.select("list_id", F.col("bid").alias("bid_a"),
+                      F.col("rows").alias("rows_a"))
+    r = blocks.select("list_id", F.col("bid").alias("bid_b"),
+                      F.col("rows").alias("rows_b"))
+    tiles = (
+        l.join(r, "list_id")
+        .where(F.col("bid_a") <= F.col("bid_b"))
+        .repartition(F.col("list_id"), F.col("bid_a"), F.col("bid_b"))
+    )
+
+    def _score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for lid, rows_a, rows_b, same in zip(
+                    pdf["list_id"], pdf["rows_a"], pdf["rows_b"],
+                    pdf["bid_a"] == pdf["bid_b"]):
+                out_a, out_b, out_c = _score_tile(rows_a, rows_b, same,
+                                                  threshold)
+                yield pd.DataFrame(
+                    {"id_a": out_a, "id_b": out_b, "cos_sim": out_c,
+                     "list_id": [lid] * len(out_a)}
+                )
+
+    lid_t = assigned.schema["list_id"].dataType.simpleString()
+    return tiles.mapInPandas(
+        _score,
+        f"id_a {id_t}, id_b {id_t}, cos_sim double, list_id {lid_t}",
+    ).select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"),
+             "list_id")
 
 
 def semantic_dedup(embeddings: DataFrame | None = None,
