@@ -204,7 +204,17 @@ def top_objects_per_subject(triples: DataFrame, k: int = 10,
     count row, so no bucket splits an object's count and the partial cut
     can never drop a global top-k member — then the final window ranks at
     most ``salt * k`` rows per subject.  Results are identical (pinned in
-    tests/test_skew.py); measured at 20M rows in BENCH.md §skew."""
+    tests/test_skew.py).
+
+    When to salt (measured at 20M/40M rows, BENCH.md §skew): NOT for
+    latency on a saturated box — the two-stage cut adds a full extra
+    exchange and the hot key's single-task sort hides behind the other
+    tasks' work (plain 10.7s vs salted 13.0s at 40M rows / 10^7 hot
+    neighbors).  Salt when one subject's neighbor set exceeds a single
+    task's sort memory (10^8+ at executor defaults) — there the plain
+    window spills or OOMs while each salted bucket stays 1/salt the size;
+    and on a real gang-scheduled cluster where a straggler holds the whole
+    stage, not just one of 32 local threads."""
     counts = triples.groupBy("subj", "obj").agg(F.count("*").alias("n"))
     order = [F.desc("n"), F.asc("obj")]
     from pyspark.sql.window import Window

@@ -39,8 +39,11 @@ from entity_extraction_svc_spark.session import get_spark
 
 
 def skewed(spark, n):
-    # 30% of rows -> Qhot with ~1M distinct objs; the rest uniform over
-    # 2M cold subjects x small neighbor sets
+    # 30% of rows -> Qhot with ~n/4 distinct objs (the window-skew knob:
+    # the ranking input per subject is its DISTINCT neighbor count, so it
+    # must grow with n for the rehearsal to stress what 10^12 triples
+    # would); the rest uniform over 2M cold subjects x small neighbor sets
+    hot_objs = max(n // 4, 1_000)
     return spark.range(n).select(
         F.when(F.col("id") % 10 < 3, F.lit("Qhot"))
         .otherwise(
@@ -50,7 +53,7 @@ def skewed(spark, n):
         F.lit("P31").alias("pred"),
         F.when(
             F.col("id") % 10 < 3,
-            F.concat(F.lit("O"), F.pmod(F.xxhash64("id", F.lit(1)), F.lit(1_000_000)).cast("string")),
+            F.concat(F.lit("O"), F.pmod(F.xxhash64("id", F.lit(1)), F.lit(hot_objs)).cast("string")),
         )
         .otherwise(F.concat(F.lit("o"), (F.col("id") % 13).cast("string")))
         .alias("obj"),
