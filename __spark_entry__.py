@@ -143,20 +143,32 @@ def _kg_linked_top1_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _kg_triples_per_subject(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-subject triple counts through BOTH plans in one contract row:
-    the plain aggregation over the pipeline's triples (part=pipeline) and
-    the salted two-stage aggregation over the KB (part=kb_salted) — merged
-    so each keeps a driver-verified row inside the 50-query window."""
-    from entity_extraction_svc_spark.operators.kgquery import triples_per_subject
+    """Per-subject triple counts through THREE plans in one contract row:
+    the plain aggregation over the pipeline's triples (part=pipeline), the
+    salted two-stage aggregation over the KB (part=kb_salted), and the
+    exact two-stage top-k neighbor cut (part=kb_topk,
+    kgquery.top_objects_per_subject with salt) — merged so each keeps a
+    driver-verified row inside the 50-query window.  Non-topk parts carry
+    sentinel obj=''/rank=0 (not NULL: the two engines stringify missing
+    values differently under the driver's sorted-value hash)."""
+    from entity_extraction_svc_spark.operators.kgquery import (
+        top_objects_per_subject,
+        triples_per_subject,
+    )
 
+    sent_obj, sent_rank = F.lit("").alias("obj"), F.lit(0).cast("long").alias("rank")
     plain = triples_per_subject(_fixtures_pipeline(spark).triples).select(
-        F.lit("pipeline").alias("part"), "subj", "n_triples"
+        F.lit("pipeline").alias("part"), "subj", "n_triples", sent_obj, sent_rank
     )
     kb = spark.read.parquet(f"{FIXTURES}/kb_triples.parquet")
     salted = triples_per_subject(kb, salt=16).select(
-        F.lit("kb_salted").alias("part"), "subj", "n_triples"
+        F.lit("kb_salted").alias("part"), "subj", "n_triples", sent_obj, sent_rank
     )
-    return plain.unionByName(salted)
+    topk = top_objects_per_subject(kb, k=3, salt=8).select(
+        F.lit("kb_topk").alias("part"), "subj", "n_triples", "obj",
+        F.col("rank").cast("long").alias("rank"),
+    )
+    return plain.unionByName(salted).unionByName(topk)
 
 
 def _kg_find_types(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1211,11 +1223,19 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT subj, pred, obj FROM read_parquet('{fx}/golden_triples.parquet')"
         ),
         "kg_triples_per_subject": (
-            f"SELECT 'pipeline' AS part, subj, count(*) AS n_triples "
+            f"SELECT 'pipeline' AS part, subj, count(*) AS n_triples, "
+            f"       '' AS obj, 0::BIGINT AS rank "
             f"FROM read_parquet('{fx}/golden_triples.parquet') GROUP BY subj "
             f"UNION ALL "
-            f"SELECT 'kb_salted', subj, count(*) "
-            f"FROM read_parquet('{fx}/kb_triples.parquet') GROUP BY subj"
+            f"SELECT 'kb_salted', subj, count(*), '', 0::BIGINT "
+            f"FROM read_parquet('{fx}/kb_triples.parquet') GROUP BY subj "
+            f"UNION ALL "
+            f"SELECT 'kb_topk', subj, n_triples, obj, rank FROM ("
+            f"  SELECT subj, obj, count(*) AS n_triples, "
+            f"         row_number() OVER (PARTITION BY subj "
+            f"           ORDER BY count(*) DESC, obj ASC)::BIGINT AS rank "
+            f"  FROM read_parquet('{fx}/kb_triples.parquet') GROUP BY subj, obj"
+            f") WHERE rank <= 3"
         ),
         "kg_find_types": (
             f"WITH t AS (SELECT * FROM read_parquet('{fx}/kb_triples.parquet')), "
