@@ -136,23 +136,22 @@ def run_checkpointed(
     triples.write.mode("append").parquet(triples_path(out_dir))
     added = sorted(_triple_files() - before)
     _write_snapshot(out_dir, run_id, seq=len(_read_snapshots(out_dir)), files=added)
-    metrics = lineage.groupBy("run_id", "partition_id").agg(
-        F.count("*").alias("n_urls"),
-        F.sum("n_mentions").alias("n_mentions"),
-        F.sum("n_linked").alias("n_linked"),
-        F.max("max_link_score").alias("max_link_score"),
-    )
-    metrics.write.mode("append").parquet(metrics_path(out_dir))
     # the lineage append is the COMMIT POINT: a crash anywhere above leaves
     # these urls absent from lineage, so the next resume reprocesses them
-    # (triples are set-semantic, so the duplicate appends dedupe on read)
+    # (triples are set-semantic, so the duplicate appends dedupe on read;
+    # a pre-commit snapshot is a phantom only reachable by its crashed
+    # run_id).  Metrics are written AFTER the commit, derived from the
+    # committed lineage via repair_metrics — a hard kill between the two
+    # appends can therefore never double-count a reprocessed url (the old
+    # metrics-first order did: metrics landed, lineage didn't, the urls
+    # were reprocessed under a new run_id and counted twice forever).
     lineage.write.mode("append").parquet(lineage_path(out_dir))
     # appended files are invisible to readers holding the session-shared
     # FileStatusCache entry for these paths — refresh so the next resume's
     # anti-join (and any open reader) sees this commit
     spark.catalog.refreshByPath(lineage_path(out_dir))
     spark.catalog.refreshByPath(triples_path(out_dir))
-    spark.catalog.refreshByPath(metrics_path(out_dir))
+    repair_metrics(spark, out_dir)
     n_triples = spark.read.parquet(triples_path(out_dir)).distinct().count()
     lineage.unpersist()
     linked.unpersist()
@@ -172,6 +171,42 @@ def run_to_completion(spark: SparkSession, pages_path: str, kb_dir: str,
         if s["n_pages"] == 0 or batch_docs is None:
             break
     return stats
+
+
+def repair_metrics(spark: SparkSession, out_dir: str) -> int:
+    """Backfill the metrics table for every committed run_id it is missing.
+
+    Metrics are a pure aggregation of the lineage table, so any torn state
+    (a kill between the lineage commit and the metrics append) is
+    self-healing: the next run — or any direct call — recomputes exactly
+    the missing run_ids from committed lineage and appends them.  Metrics
+    run_ids are therefore always a subset of lineage run_ids, and a url
+    reprocessed after a crash is counted in exactly one committed run.
+    Returns the number of backfilled (run_id, partition_id) rows.  At
+    10^12 docs the anti-join prunes to the two run_id columns and the agg
+    only touches the missing runs' lineage partitions."""
+    try:
+        lin = spark.read.parquet(lineage_path(out_dir))
+    except Exception:
+        return 0
+    try:
+        have = spark.read.parquet(metrics_path(out_dir)) \
+            .select("run_id").distinct()
+        missing = lin.join(have, "run_id", "left_anti")
+    except Exception:
+        missing = lin
+    metrics = missing.groupBy("run_id", "partition_id").agg(
+        F.count("*").alias("n_urls"),
+        F.sum("n_mentions").alias("n_mentions"),
+        F.sum("n_linked").alias("n_linked"),
+        F.max("max_link_score").alias("max_link_score"),
+    ).persist()
+    n = metrics.count()
+    if n:
+        metrics.write.mode("append").parquet(metrics_path(out_dir))
+        spark.catalog.refreshByPath(metrics_path(out_dir))
+    metrics.unpersist()
+    return n
 
 
 def snapshots_path(out_dir: str) -> str:

@@ -55,3 +55,65 @@ def test_resume_after_partial_run(spark, fixture_dir):
           for r in L.read_triples(spark, out, as_of=s2["run_id"]).collect()}
     assert t1 < t2 == got
     assert len(t1) == s1["n_triples"]
+
+
+def test_torn_states_self_heal(spark, fixture_dir):
+    """Deterministic versions of the states a SIGKILL between appends
+    leaves behind (tools/rehearse_kill_resume.py aims kills at the same
+    window by wall clock; here we construct each state exactly).
+
+    State A — killed after the lineage commit, before repair_metrics:
+    metrics rows for that run are missing.  The NEXT run must backfill
+    them (metrics run_ids == lineage run_ids, sum(n_urls) exact).
+
+    State B — killed after the triples append + snapshot, before the
+    lineage commit: urls uncommitted, orphan triple files on disk.  The
+    next run must reprocess those urls; reads dedupe the duplicate
+    triples; each url is counted in exactly ONE committed run."""
+    import glob
+    import os
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="kg_torn_")
+    pages_path = f"{fixture_dir}/pages.parquet"
+
+    # --- State A: commit run1, then delete its metrics (pre-repair kill)
+    s1 = L.run_checkpointed(spark, pages_path, fixture_dir, out, max_docs=60)
+    for f in glob.glob(os.path.join(L.metrics_path(out), "*")):
+        os.remove(f)
+    spark.catalog.refreshByPath(L.metrics_path(out))
+
+    # --- State B: append run-X triples + snapshot WITHOUT a lineage commit
+    from entity_extraction_svc_spark.plans.fused import build_fused
+
+    done = L.processed_urls(spark, out)
+    slice2 = (spark.read.parquet(pages_path)
+              .join(done, "url", "left_anti").limit(60).persist())
+    _, t2 = build_fused(spark, slice2, fixture_dir)
+    t2.write.mode("append").parquet(L.triples_path(out))
+    L._write_snapshot(out, "deadbeefcafe", seq=len(L._read_snapshots(out)),
+                      files=[])
+    slice2.unpersist()
+    spark.catalog.refreshByPath(L.triples_path(out))
+
+    # --- drain: both torn states must heal with no double counting
+    L.run_to_completion(spark, pages_path, fixture_dir, out, batch_docs=100)
+    lin = spark.read.parquet(L.lineage_path(out))
+    assert lin.count() == lin.select("url").distinct().count() == 206
+
+    met = spark.read.parquet(L.metrics_path(out))
+    assert met.agg(F.sum("n_urls")).first()[0] == 206  # A backfilled, B once
+    met_ids = {r.run_id for r in met.select("run_id").distinct().collect()}
+    lin_ids = {r.run_id for r in lin.select("run_id").distinct().collect()}
+    assert met_ids == lin_ids  # no orphan metrics, nothing missing
+    assert s1["run_id"] in met_ids  # the deleted run1 metrics came back
+
+    # orphan triples from state B deduped away on read
+    got = {(r.subj, r.pred, r.obj) for r in L.read_triples(spark, out).collect()}
+    want = {
+        tuple(r)
+        for r in duckdb.sql(
+            f"select subj, pred, obj from '{fixture_dir}/golden_triples.parquet'"
+        ).fetchall()
+    }
+    assert got == want
