@@ -213,17 +213,75 @@ def snapshots_path(out_dir: str) -> str:
     return os.path.join(out_dir, "_snapshots")
 
 
-def _write_snapshot(out_dir: str, run_id: str, seq: int, files: list[str]) -> None:
+def _write_snapshot(out_dir: str, run_id: str, seq: int, files: list[str],
+                    compaction: bool = False) -> None:
     """Manifest-based snapshot (the parquet-only stand-in for an Iceberg
     snapshot commit): one JSON per run listing the triple files it added.
     ``read_triples(as_of=run_id)`` time-travels by unioning manifests up to
     that run — the SURVEY §7.4 degradation path when no table format is
-    available."""
+    available.  A ``compaction`` manifest REPLACES the file set accumulated
+    so far (rewrite_data_files + expire_snapshots in one)."""
     import json
 
     os.makedirs(snapshots_path(out_dir), exist_ok=True)
     with open(os.path.join(snapshots_path(out_dir), f"{seq:06d}-{run_id}.json"), "w") as f:
-        json.dump({"run_id": run_id, "seq": seq, "files": sorted(files)}, f)
+        json.dump({"run_id": run_id, "seq": seq, "files": sorted(files),
+                   "compaction": compaction}, f)
+
+
+def compact_triples(spark: SparkSession, out_dir: str,
+                    num_buckets: int = 32) -> dict:
+    """Rewrite the triples store into ``num_buckets`` subject-hash files
+    and collapse snapshot history up to the latest commit — the
+    parquet-manifest stand-in for Iceberg's rewrite_data_files +
+    expire_snapshots.  At 10^12 docs the append-per-run layout is the
+    operational pain point (thousands of runs x 32 files each); compaction
+    restores a bounded file count and subject-hash locality in one job.
+
+    Crash-safe BY SET SEMANTICS, no atomic swap needed: compacted files
+    are moved into the live dir BEFORE the manifest, and the old files
+    deleted only after it — every intermediate state holds a superset of
+    the triple set, and ``read_triples`` applies DISTINCT, so a kill at
+    any point leaves reads correct and a re-run of ``compact_triples``
+    finishes the job (pinned in test_lineage.py).  Lineage/metrics are NOT
+    compacted here: they lack set semantics, so safe rewrite needs a real
+    table-format commit (the documented Iceberg swap-in point).
+
+    Time travel after compaction: ``as_of`` any run at-or-after the
+    compaction (and the run immediately before it, whose state the base
+    equals) keeps working; earlier history is expired and raises."""
+    import shutil
+    import uuid
+
+    p = triples_path(out_dir)
+    old = {
+        os.path.join(p, f) for f in os.listdir(p)
+        if f.endswith(".parquet") and not f.startswith("_")
+    }
+    snaps = _read_snapshots(out_dir)
+    seq = len(snaps)
+    run_id = f"compact{seq}-{uuid.uuid4().hex[:8]}"
+    tmp = os.path.join(out_dir, f"_compact_tmp_{seq}")
+    (
+        spark.read.parquet(p).distinct()
+        .repartition(num_buckets, F.pmod(F.xxhash64("subj"), F.lit(num_buckets)))
+        .write.mode("overwrite").parquet(tmp)
+    )
+    moved = []
+    for i, f in enumerate(sorted(
+            x for x in os.listdir(tmp) if x.endswith(".parquet"))):
+        dst = os.path.join(p, f"compact-{seq:06d}-{i:05d}.parquet")
+        os.replace(os.path.join(tmp, f), dst)
+        moved.append(dst)
+    # manifest lands while BOTH file generations are live: a crash here
+    # only costs disk (duplicate rows), never rows
+    _write_snapshot(out_dir, run_id, seq=seq, files=moved, compaction=True)
+    for f in old:
+        os.remove(f)
+    shutil.rmtree(tmp, ignore_errors=True)
+    spark.catalog.refreshByPath(p)
+    return {"run_id": run_id, "files_before": len(old),
+            "files_after": len(moved)}
 
 
 def _read_snapshots(out_dir: str) -> list[dict]:
@@ -248,13 +306,31 @@ def read_triples(spark: SparkSession, out_dir: str,
     using the snapshot manifests; default reads the current state."""
     if as_of is None:
         return spark.read.parquet(triples_path(out_dir)).distinct()
-    files: list[str] = []
-    for snap in _read_snapshots(out_dir):
-        files.extend(snap["files"])
-        if snap["run_id"] == as_of:
-            break
-    else:
+    snaps = _read_snapshots(out_dir)
+    by_id = {s["run_id"]: s for s in snaps}
+    if as_of not in by_id:
         raise ValueError(f"unknown snapshot run_id: {as_of}")
+    target_seq = by_id[as_of]["seq"]
+    compact_seqs = [s["seq"] for s in snaps if s.get("compaction")]
+    latest_compact = max(compact_seqs, default=-1)
+    # a compaction expires history: only the state at-or-after it — plus
+    # the run immediately before it, whose state the base file set equals
+    # exactly — remains addressable
+    if target_seq < latest_compact - 1:
+        raise ValueError(
+            f"snapshot {as_of} (seq {target_seq}) was expired by the "
+            f"compaction at seq {latest_compact}"
+        )
+    if target_seq == latest_compact - 1:
+        target_seq = latest_compact  # identical state, redirected
+    files: list[str] = []
+    for snap in snaps:
+        if snap["seq"] > target_seq:
+            break
+        if snap.get("compaction"):
+            files = list(snap["files"])  # REPLACES accumulated history
+        else:
+            files.extend(snap["files"])
     if not files:
         raise ValueError(f"snapshot {as_of} carries no files")
     return spark.read.parquet(*files).distinct()

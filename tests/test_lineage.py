@@ -117,3 +117,64 @@ def test_torn_states_self_heal(spark, fixture_dir):
         ).fetchall()
     }
     assert got == want
+
+
+def test_compaction(spark, fixture_dir):
+    """compact_triples: file count collapses, reads and post-compaction
+    time travel are unchanged, expired history raises, and the
+    mid-compaction crash window (both file generations live) still reads
+    correctly by set semantics."""
+    import os
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="kg_compact_")
+    pages_path = f"{fixture_dir}/pages.parquet"
+
+    s1 = L.run_checkpointed(spark, pages_path, fixture_dir, out, max_docs=60)
+    s2 = L.run_checkpointed(spark, pages_path, fixture_dir, out, max_docs=60)
+    mid = {(r.subj, r.pred, r.obj) for r in L.read_triples(spark, out).collect()}
+
+    stats = L.compact_triples(spark, out, num_buckets=4)
+    assert stats["files_after"] <= 4 < stats["files_before"]
+    assert {(r.subj, r.pred, r.obj)
+            for r in L.read_triples(spark, out).collect()} == mid
+    # time travel: the compaction state, and the run it equals, both work
+    assert {(r.subj, r.pred, r.obj)
+            for r in L.read_triples(spark, out, as_of=stats["run_id"]).collect()} == mid
+    assert {(r.subj, r.pred, r.obj)
+            for r in L.read_triples(spark, out, as_of=s2["run_id"]).collect()} == mid
+    # earlier history is expired
+    import pytest
+
+    with pytest.raises(ValueError, match="expired"):
+        L.read_triples(spark, out, as_of=s1["run_id"])
+
+    # appends continue on top of the compacted base
+    s3 = L.run_checkpointed(spark, pages_path, fixture_dir, out)
+    full = {(r.subj, r.pred, r.obj) for r in L.read_triples(spark, out).collect()}
+    assert {(r.subj, r.pred, r.obj)
+            for r in L.read_triples(spark, out, as_of=s3["run_id"]).collect()} == full
+    import duckdb as _duck
+
+    want = {tuple(r) for r in _duck.sql(
+        f"select subj, pred, obj from '{fixture_dir}/golden_triples.parquet'"
+    ).fetchall()}
+    assert full == want
+
+    # crash window: a second compaction killed after moving files + manifest
+    # but BEFORE deleting the old generation == both generations live.
+    # Emulate by copying the current files under spare names, then writing
+    # a compaction pass over the doubled dir — reads stay exact throughout.
+    tp = L.triples_path(out)
+    import shutil
+
+    for f in list(os.listdir(tp)):
+        if f.endswith(".parquet") and not f.startswith("_"):
+            shutil.copy(os.path.join(tp, f), os.path.join(tp, f"dup-{f}"))
+    spark.catalog.refreshByPath(tp)
+    assert {(r.subj, r.pred, r.obj)
+            for r in L.read_triples(spark, out).collect()} == full
+    stats2 = L.compact_triples(spark, out, num_buckets=4)
+    assert stats2["files_after"] <= 4
+    assert {(r.subj, r.pred, r.obj)
+            for r in L.read_triples(spark, out).collect()} == full
