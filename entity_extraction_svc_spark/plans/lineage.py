@@ -209,6 +209,45 @@ def repair_metrics(spark: SparkSession, out_dir: str) -> int:
     return n
 
 
+def vacuum_triples(spark: SparkSession, out_dir: str) -> dict:
+    """Delete triple files no snapshot references — the debris of runs
+    killed between the triples append and the snapshot write (Iceberg's
+    remove_orphan_files stand-in; pairs with ``compact_triples`` the way
+    rewrite_data_files pairs with orphan GC).
+
+    Safe by the commit protocol: an unreferenced file belongs to a run
+    that never reached its snapshot, so its urls are absent from lineage
+    and WILL be reprocessed — the rows are either already duplicated by a
+    later committed run or about to be recreated.  Never deletes
+    snapshot-referenced files; a compaction manifest resets the live set,
+    so files only pre-compaction snapshots reference are removed too
+    (their history is already expired for time travel).
+
+    Run it while no writer is active (like remove_orphan_files' retention
+    guard): a concurrent run between its append and its snapshot write
+    would look orphaned and lose its in-flight files."""
+    p = triples_path(out_dir)
+    if not os.path.isdir(p):
+        return {"removed": 0, "kept": 0}
+    snaps = _read_snapshots(out_dir)
+    live: set[str] = set()
+    for snap in snaps:
+        if snap.get("compaction"):
+            live = set(snap["files"])
+        else:
+            live.update(snap["files"])
+    removed = 0
+    for f in list(os.listdir(p)):
+        full = os.path.join(p, f)
+        if (f.endswith(".parquet") and not f.startswith("_")
+                and full not in live):
+            os.remove(full)
+            removed += 1
+    if removed:
+        spark.catalog.refreshByPath(p)
+    return {"removed": removed, "kept": len(live)}
+
+
 def snapshots_path(out_dir: str) -> str:
     return os.path.join(out_dir, "_snapshots")
 

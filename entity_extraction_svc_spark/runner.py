@@ -29,6 +29,14 @@ def main(argv: list[str] | None = None) -> int:
                     help="pages input format (warc = Common-Crawl segments)")
     ap.add_argument("--resume", action="store_true",
                     help="checkpointed run: skip urls already in the lineage table")
+    ap.add_argument("--compact", action="store_true",
+                    help="after the run drains: rewrite the triples store "
+                         "into subject-hash buckets and expire history "
+                         "(run only while no other writer is active)")
+    ap.add_argument("--vacuum", action="store_true",
+                    help="after the run: delete snapshot-unreferenced "
+                         "triple files left by killed runs (run only "
+                         "while no other writer is active)")
     ap.add_argument("--max-docs", type=int, default=None)
     ap.add_argument("--master", default=None, help="override spark master (local dev)")
     args = ap.parse_args(argv)
@@ -64,6 +72,17 @@ def main(argv: list[str] | None = None) -> int:
         write_triples(triples, f"{args.out}/triples")
         stats = {"n_linked": n_linked,
                  "n_triples": spark.read.parquet(f"{args.out}/triples").count()}
+    if args.vacuum or args.compact:
+        if not args.resume:
+            print("--compact/--vacuum maintain the checkpointed (append) "
+                  "store; use them with --resume", file=sys.stderr)
+            return 2
+        from entity_extraction_svc_spark.plans import lineage as L
+
+        if args.vacuum:
+            stats["vacuum"] = L.vacuum_triples(spark, args.out)
+        if args.compact:
+            stats["compact"] = L.compact_triples(spark, args.out)
     stats["wall_sec"] = round(time.time() - t0, 2)
     print(json.dumps(stats))
     return 0

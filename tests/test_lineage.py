@@ -178,3 +178,59 @@ def test_compaction(spark, fixture_dir):
     assert stats2["files_after"] <= 4
     assert {(r.subj, r.pred, r.obj)
             for r in L.read_triples(spark, out).collect()} == full
+
+
+def test_vacuum_orphans(spark, fixture_dir):
+    """vacuum_triples removes only snapshot-unreferenced debris (a run
+    killed between append and snapshot), leaves committed state intact,
+    and composes with compaction (pre-compaction files already deleted by
+    the compactor are simply absent)."""
+    import os
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="kg_vac_")
+    pages_path = f"{fixture_dir}/pages.parquet"
+
+    L.run_checkpointed(spark, pages_path, fixture_dir, out, max_docs=60)
+
+    # orphan debris: an append that never reached its snapshot
+    from entity_extraction_svc_spark.plans.fused import build_fused
+
+    done = L.processed_urls(spark, out)
+    sl = (spark.read.parquet(pages_path)
+          .join(done, "url", "left_anti").limit(40).persist())
+    _, t = build_fused(spark, sl, fixture_dir)
+    t.write.mode("append").parquet(L.triples_path(out))
+    sl.unpersist()
+    spark.catalog.refreshByPath(L.triples_path(out))
+
+    before = {(r.subj, r.pred, r.obj)
+              for r in L.read_triples(spark, out).collect()}
+    st = L.vacuum_triples(spark, out)
+    assert st["removed"] > 0
+    # committed state unchanged: vacuum dropped only uncommitted rows
+    committed = {(r.subj, r.pred, r.obj)
+                 for r in L.read_triples(spark, out).collect()}
+    assert committed <= before
+    # second vacuum is a no-op
+    assert L.vacuum_triples(spark, out)["removed"] == 0
+
+    # the orphaned urls were never committed -> drain reprocesses them
+    L.run_to_completion(spark, pages_path, fixture_dir, out, batch_docs=100)
+    import duckdb as _duck
+
+    want = {tuple(r) for r in _duck.sql(
+        f"select subj, pred, obj from '{fixture_dir}/golden_triples.parquet'"
+    ).fetchall()}
+    got = {(r.subj, r.pred, r.obj)
+           for r in L.read_triples(spark, out).collect()}
+    assert got == want
+
+    # composes with compaction: compact, then vacuum keeps the base
+    L.compact_triples(spark, out, num_buckets=4)
+    assert L.vacuum_triples(spark, out)["removed"] == 0
+    files = [f for f in os.listdir(L.triples_path(out))
+             if f.endswith(".parquet")]
+    assert len(files) <= 4
+    assert {(r.subj, r.pred, r.obj)
+            for r in L.read_triples(spark, out).collect()} == want
