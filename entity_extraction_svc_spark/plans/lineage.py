@@ -185,15 +185,25 @@ def repair_metrics(spark: SparkSession, out_dir: str) -> int:
     Returns the number of backfilled (run_id, partition_id) rows.  At
     10^12 docs the anti-join prunes to the two run_id columns and the agg
     only touches the missing runs' lineage partitions."""
+    # missing/empty tables are expected states (AnalysisException, like
+    # streaming/curate._read_store); anything else — a TRANSIENT read
+    # failure — must propagate: swallowing it would treat every committed
+    # run as missing and append duplicate metrics forever (append-mode
+    # writes have no undo)
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    if not os.path.isdir(lineage_path(out_dir)):
+        return 0
     try:
         lin = spark.read.parquet(lineage_path(out_dir))
-    except Exception:
+        lin.schema
+    except AnalysisException:
         return 0
     try:
         have = spark.read.parquet(metrics_path(out_dir)) \
             .select("run_id").distinct()
         missing = lin.join(have, "run_id", "left_anti")
-    except Exception:
+    except AnalysisException:
         missing = lin
     metrics = missing.groupBy("run_id", "partition_id").agg(
         F.count("*").alias("n_urls"),
@@ -232,16 +242,22 @@ def vacuum_triples(spark: SparkSession, out_dir: str) -> dict:
     snaps = _read_snapshots(out_dir)
     live: set[str] = set()
     for snap in snaps:
+        # liveness by BASENAME (part/compact file names embed a uuid, so
+        # basenames are unique): manifests record the path spelling of the
+        # run that wrote them, and comparing full strings against paths
+        # built from THIS call's out_dir argument (relative vs absolute,
+        # different cwd, symlinked mount) would make every committed file
+        # look orphaned — and vacuum deletes what looks orphaned
+        names = {os.path.basename(x) for x in snap["files"]}
         if snap.get("compaction"):
-            live = set(snap["files"])
+            live = names
         else:
-            live.update(snap["files"])
+            live.update(names)
     removed = 0
     for f in list(os.listdir(p)):
-        full = os.path.join(p, f)
         if (f.endswith(".parquet") and not f.startswith("_")
-                and full not in live):
-            os.remove(full)
+                and f not in live):
+            os.remove(os.path.join(p, f))
             removed += 1
     if removed:
         spark.catalog.refreshByPath(p)
@@ -306,16 +322,22 @@ def compact_triples(spark: SparkSession, out_dir: str,
         .repartition(num_buckets, F.pmod(F.xxhash64("subj"), F.lit(num_buckets)))
         .write.mode("overwrite").parquet(tmp)
     )
+    # dst names carry this ATTEMPT's uuid, not just seq: a rerun after a
+    # crash between the moves and the manifest must not collide with the
+    # crashed attempt's files — with seq-only names the rerun would
+    # os.replace onto paths that are also in `old` and then delete its own
+    # freshly committed files (manifest pointing at nothing = data loss)
     moved = []
+    attempt = run_id.split("-")[-1]
     for i, f in enumerate(sorted(
             x for x in os.listdir(tmp) if x.endswith(".parquet"))):
-        dst = os.path.join(p, f"compact-{seq:06d}-{i:05d}.parquet")
+        dst = os.path.join(p, f"compact-{seq:06d}-{attempt}-{i:05d}.parquet")
         os.replace(os.path.join(tmp, f), dst)
         moved.append(dst)
     # manifest lands while BOTH file generations are live: a crash here
     # only costs disk (duplicate rows), never rows
     _write_snapshot(out_dir, run_id, seq=seq, files=moved, compaction=True)
-    for f in old:
+    for f in old - set(moved):
         os.remove(f)
     shutil.rmtree(tmp, ignore_errors=True)
     spark.catalog.refreshByPath(p)
@@ -372,4 +394,8 @@ def read_triples(spark: SparkSession, out_dir: str,
             files.extend(snap["files"])
     if not files:
         raise ValueError(f"snapshot {as_of} carries no files")
+    # rebase onto THIS call's out_dir spelling: manifests carry the
+    # writing run's path strings, which may be relative/differently-rooted
+    files = [os.path.join(triples_path(out_dir), os.path.basename(f))
+             for f in files]
     return spark.read.parquet(*files).distinct()

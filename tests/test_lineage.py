@@ -234,3 +234,57 @@ def test_vacuum_orphans(spark, fixture_dir):
     assert len(files) <= 4
     assert {(r.subj, r.pred, r.obj)
             for r in L.read_triples(spark, out).collect()} == want
+
+
+def test_compaction_rerun_after_crash_window(spark, fixture_dir):
+    """A compaction killed between the file moves and the manifest write
+    leaves its attempt files as unreferenced debris.  The RERUN must not
+    collide with them (attempt-unique names) nor delete its own output —
+    committed triples survive byte-for-byte."""
+    import os
+    import shutil
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="kg_crashcompact_")
+    pages_path = f"{fixture_dir}/pages.parquet"
+    L.run_to_completion(spark, pages_path, fixture_dir, out, batch_docs=100)
+    want = {(r.subj, r.pred, r.obj)
+            for r in L.read_triples(spark, out).collect()}
+
+    # crashed attempt: files moved in under the NEXT seq with some uuid,
+    # no manifest written
+    tp = L.triples_path(out)
+    seq = len(L._read_snapshots(out))
+    for i, f in enumerate(sorted(
+            x for x in os.listdir(tp) if x.endswith(".parquet"))):
+        shutil.copy(os.path.join(tp, f),
+                    os.path.join(tp, f"compact-{seq:06d}-deadcafe-{i:05d}.parquet"))
+    spark.catalog.refreshByPath(tp)
+
+    stats = L.compact_triples(spark, out, num_buckets=4)
+    got = {(r.subj, r.pred, r.obj)
+           for r in L.read_triples(spark, out).collect()}
+    assert got == want
+    # the manifest's files all exist (the rerun did not delete its output)
+    snap = [s for s in L._read_snapshots(out) if s["run_id"] == stats["run_id"]][0]
+    assert snap["files"] and all(os.path.exists(f) for f in snap["files"])
+    # debris from the crashed attempt is gone
+    assert not [f for f in os.listdir(tp) if "deadcafe" in f]
+
+
+def test_vacuum_is_path_spelling_robust(spark, fixture_dir):
+    """vacuum_triples compares snapshot liveness by basename: reaching the
+    same store through a different path spelling (symlink here) must not
+    make committed files look orphaned."""
+    import os
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="kg_vacsym_")
+    pages_path = f"{fixture_dir}/pages.parquet"
+    L.run_checkpointed(spark, pages_path, fixture_dir, out, max_docs=60)
+
+    alias = out + "_alias"
+    os.symlink(out, alias)
+    assert L.vacuum_triples(spark, alias)["removed"] == 0
+    lin = spark.read.parquet(L.lineage_path(out))
+    assert lin.count() == 60  # nothing deleted, store intact
