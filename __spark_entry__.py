@@ -446,7 +446,7 @@ def _doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # v3: iban/card rows (valid + checksum-failing near-misses); v2 added the
 # phone near-misses — new filename so a cached older parquet can never
 # serve the extended contract
-_PII_FIXTURE = os.path.join(FIXTURES, "pii_samples_v3.parquet")
+_PII_FIXTURE = os.path.join(FIXTURES, "pii_samples_v4.parquet")
 
 # deterministic PII-bearing corpus: the sf documents carry no real PII, so
 # a zero-vs-zero count match would prove nothing — these rows give every
@@ -475,6 +475,9 @@ _PII_ROWS = [
     (1_000_000_017, "not iban GB82 WEST 1234 5698 7654 33 not card 4111-1111-1111-1112"),
     (1_000_000_018, "compact iban DE89370400440532013000 card 4012888888881881 ok"),
     (1_000_000_019, "order 1234 5678 9012 3456 fails luhn; ref AB12 CDEF 3456 too"),
+    # embedded occurrence: the valid card also appears INSIDE a longer
+    # digit run — the \b-guarded redaction must touch only the standalone
+    (1_000_000_020, "card 4111 1111 1111 1111 once; ref 94111 1111 1111 11117 intact"),
 ]
 
 

@@ -132,9 +132,19 @@ def pii_count_exprs(text_col: str = "text") -> dict[str, "F.Column"]:
                 _VALIDATORS[validator],
             )
             n = F.size(valids)
+            # \b\Q<candidate>\E\b, NOT a literal replace: the global
+            # literal form also rewrites the candidate where it appears
+            # EMBEDDED in a longer digit run ('ref 9<card>7') that the
+            # \b-guarded scan never matched — placeholder count and text
+            # would then disagree.  \Q..\E + \b are in the RE2/Java common
+            # subset, so the DuckDB twin applies the identical guard.
             nxt = F.aggregate(
                 valids, cur,
-                lambda acc, c: F.replace(acc, c, F.lit(placeholder)),
+                lambda acc, c: F.regexp_replace(
+                    acc,
+                    F.concat(F.lit("\\b\\Q"), c, F.lit("\\E\\b")),
+                    F.lit(placeholder),
+                ),
             )
         out[f"n_{kind}"] = n
         flags = n > 0 if flags is None else flags | (n > 0)
@@ -190,8 +200,10 @@ def duckdb_pii_exprs(text_expr: str = "text") -> tuple[list[tuple[str, str]], st
             # list_reduce uses the first element as the accumulator, so
             # prepending the text makes it the init and handles the
             # empty-candidate case for free
+            # same \b\Q..\E\b guard as the Spark side (see pii_count_exprs)
             cur = (f"list_reduce(list_prepend({cur}, {valids}), "
-                   f"(acc, c) -> replace(acc, c, '{ph}'))")
+                   f"(acc, c) -> regexp_replace(acc, "
+                   f"'\\b\\Q' || c || '\\E\\b', '{ph}', 'g'))")
     return counts, cur
 
 

@@ -451,6 +451,10 @@ def test_pii_scan_and_redact(spark):
         # shape-matching checksum failures stay (16-digit order ids live)
         (13, "pay iban GB82 WEST 1234 5698 7654 32 card 4111 1111 1111 1111"),
         (14, "shape-only GB82 WEST 1234 5698 7654 33 and 4111-1111-1111-1112"),
+        # the valid candidate ALSO appears embedded in a longer digit run:
+        # redaction must hit only the standalone (\b-guarded replace) so
+        # count==placeholders and the embedding text survives verbatim
+        (15, "card 4111 1111 1111 1111 once; ref 94111 1111 1111 11117 intact"),
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     scan = {r.doc_id: r for r in pii_scan(docs).collect()}
@@ -477,6 +481,8 @@ def test_pii_scan_and_redact(spark):
     assert red[12] == "fwd [EMAIL] only"
     assert red[13] == "pay iban [IBAN] card [CARD]"
     assert red[14] == rows[14][1]
+    assert scan[15].n_card == 1
+    assert red[15] == "card [CARD] once; ref 94111 1111 1111 11117 intact"
 
 
 def test_hash_split_deterministic_and_incremental(spark):
