@@ -232,9 +232,17 @@ def cross_dup_pairs(probe_rows: DataFrame, store_rows: DataFrame,
     colliding buckets; both sides are hot-bucket-capped so one viral page
     in the store can't go quadratic.  Same-id rows never pair (the guard
     that makes an at-least-once replay see its own earlier write as
-    itself, not as a duplicate)."""
+    itself, not as a duplicate).
+
+    The store may legally hold exact-duplicate rows (at-least-once
+    appends): they are row-deduped BEFORE the bucket cap, because
+    duplicate rows inflate the cap's window counts — an inflated count
+    can push a legitimately-sized bucket over ``max_bucket`` and silently
+    drop its true dups (pair-level dropDuplicates can't undo a dropped
+    bucket)."""
     probe = cap_lsh_buckets(probe_rows, ["band", "band_hash"], max_bucket)
-    store = cap_lsh_buckets(store_rows, ["band", "band_hash"], max_bucket)
+    store = cap_lsh_buckets(store_rows.dropDuplicates(), ["band", "band_hash"],
+                            max_bucket)
     l, r = probe.alias("l"), store.alias("r")
     return (
         l.join(
@@ -563,15 +571,34 @@ def embedding_dup_pairs_lsh(embeddings: DataFrame, threshold: float = 0.9,
     if first is None:
         raise ValueError(f"'{vec_col}' has no non-null rows")
     dim = len(first[0])
-    if bits is None or bands is None:
+    if (bits is None) != (bands is None):
+        # half a banding is silently NOT the legacy default for the other
+        # half — refuse rather than drop the caller's explicit choice
+        raise ValueError(
+            "embedding_dup_pairs_lsh: pass BOTH bits and bands (explicit "
+            "banding) or NEITHER (self-tuning)"
+        )
+    if bits is None:
         n = max(embeddings.count(), 2)
-        chunk_bits = max(2, math.ceil(math.log2(max(n / max(max_bucket / 4, 1), 4))))
         p = max(1e-9, 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi)
-        p_band = min(p ** chunk_bits, 1.0 - 1e-12)
-        bands = max(2, min(max_bands, math.ceil(
-            math.log(max(1e-12, 1.0 - target_recall)) / math.log(1.0 - p_band))))
+        chunk_bits = max(2, math.ceil(math.log2(max(n / max(max_bucket / 4, 1), 4))))
+        # recall-sound tuning: if max_bands caps the band count below what
+        # target_recall needs at this chunk width, WIDEN the buckets
+        # (smaller chunk_bits -> higher p_band -> fewer bands needed)
+        # instead of silently shipping truncated recall
+        while True:
+            p_band = min(p ** chunk_bits, 1.0 - 1e-12)
+            bands = max(2, min(max_bands, math.ceil(
+                math.log(max(1e-12, 1.0 - target_recall))
+                / math.log(1.0 - p_band))))
+            achieved = 1.0 - (1.0 - p_band) ** bands
+            if achieved >= target_recall or chunk_bits <= 2:
+                break
+            chunk_bits -= 1
         est_candidates = bands * n * n / float(2 ** chunk_bits)
-        if est_candidates >= 0.5 * n * n:
+        if est_candidates >= 0.5 * n * n or achieved < target_recall:
+            # no banding meets the recall target below quadratic candidate
+            # volume -> exact tiled matmul: recall 1.0 at comparable cost
             return embedding_dup_pairs(embeddings, threshold, id_col, vec_col)
     else:
         chunk_bits = bits // bands

@@ -25,8 +25,11 @@ Replay safety (foreachBatch is at-least-once): report/corpus writes
 dynamically overwrite their own ``batch_id`` partition; the store probe
 filters ``batch_id < current`` AND same-id pairs never match, so a
 replayed batch neither sees its own failed write as a duplicate of itself
-nor double-drops; replay-duplicated store rows are harmless because pair
-generation dropDuplicates on the id pair.  The store holds SURVIVORS only
+nor double-drops; replay-duplicated store rows are neutralized at probe
+time by an exact row dedupe on the pfx-pruned slice (pair-level
+dropDuplicates alone is NOT enough — duplicate rows also inflate the
+hot-bucket cap's counts, which could push a real bucket over max_bucket
+and drop its dups silently).  The store holds SURVIVORS only
 — it is the shipped corpus's signature index, which is exactly the "have
 I already shipped something like this?" question.
 """
@@ -99,6 +102,9 @@ def curate_stream(spark: SparkSession, src_dir: str, out_dir: str,
             store = store.where(
                 (F.col("batch_id") < F.lit(batch_id)) & F.col("pfx").isin(pfxs)
             )
+            # replay-duplicated store rows (kill after the store append,
+            # before the checkpoint commit) are row-deduped inside
+            # cross_dup_pairs before its bucket cap — see its docstring
             cross = cross_dup_pairs(
                 band_rows, store, id_col, threshold=dup_threshold
             )

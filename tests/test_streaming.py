@@ -332,3 +332,28 @@ def test_cross_dup_pairs_same_id_replay_guard(spark):
     )
     rows = minhash_band_rows(docs)
     assert cross_dup_pairs(rows, rows, threshold=0.1).count() == 0
+
+
+def test_cross_dup_pairs_store_duplicates_dont_overflow_cap(spark):
+    """At-least-once replay doubles the store's rows; the duplicates must
+    not inflate the hot-bucket cap's counts (a real bucket just under
+    max_bucket would otherwise be dropped whole, silently missing its
+    cross-batch dups)."""
+    from entity_extraction_svc_spark.operators.dedup import (
+        cross_dup_pairs,
+        minhash_band_rows,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    probe = minhash_band_rows(spark.createDataFrame(
+        [(100, shared)], "doc_id long, text string"))
+    # 3 stored near-identical docs -> a 3-member bucket per band
+    store = minhash_band_rows(spark.createDataFrame(
+        [(1, shared), (2, shared), (3, shared)], "doc_id long, text string"))
+    doubled = store.union(store)  # replayed append
+
+    # cap of 4: the REAL bucket (3 members) fits, the doubled count (6)
+    # would overflow it — dedupe inside cross_dup_pairs must keep the
+    # bucket alive and find all three pairs
+    hits = cross_dup_pairs(probe, doubled, threshold=0.9, max_bucket=4)
+    assert {r.id_store for r in hits.collect()} == {1, 2, 3}

@@ -105,6 +105,20 @@ def test_embedding_dup_pairs(spark):
             embedding_dup_pairs_lsh(emb, threshold=0.4).collect()}
     assert auto == brute
 
+    # recall-sound tuning under a band cap: when max_bands is too small
+    # for target_recall at ANY chunk width, the tuner must fall back to
+    # exact (identical pair set) — not silently ship truncated recall
+    capped = {(r.id_a, r.id_b): r.cos_sim for r in
+              embedding_dup_pairs_lsh(emb, threshold=0.4,
+                                      max_bands=4).collect()}
+    assert capped == brute
+
+    # half-specified banding is refused, not silently auto-tuned
+    import pytest
+
+    with pytest.raises(ValueError, match="BOTH bits and bands"):
+        embedding_dup_pairs_lsh(emb, threshold=0.4, bits=32)
+
 
 def test_ivf_ann_recall(spark):
     from entity_extraction_svc_spark.operators.simsearch import (
