@@ -146,6 +146,34 @@ def cpu_calibration() -> float:
     return round(best, 3)
 
 
+def _burn_proc(_):
+    import numpy as np
+
+    A = np.random.RandomState(1).rand(600, 600)
+    B = A
+    for _ in range(24):
+        B = (B @ A) / np.linalg.norm(B)
+    return float(B[0, 0])
+
+
+def cpu_calibration_parallel(procs: int | None = None) -> float:
+    """The PARALLEL twin (min-of-3, `procs` worker processes): multi-tenant
+    steal degrades aggregate capacity while leaving a single thread fast —
+    measured on this box: serial calib 0.91s next to Spark rows 2-5x slow.
+    Spark's 32-way stages track THIS number, not the serial one."""
+    import multiprocessing as mp
+
+    procs = procs or int(CPUS)
+    best = None
+    with mp.Pool(procs) as pool:
+        for _ in range(3):
+            t0 = time.time()
+            pool.map(_burn_proc, range(procs))
+            sec = time.time() - t0
+            best = sec if best is None else min(best, sec)
+    return round(best, 3)
+
+
 def main() -> None:
     from entity_extraction_svc_spark.session import get_spark
 
@@ -164,6 +192,7 @@ def main() -> None:
         "sf": sf,
         "docs_per_sec_kg": round(BENCH_DOCS / results["kg_pipeline_10k"]["sec"], 1),
         "cpu_calib_sec": cpu_calibration(),
+        "cpu_calib_par_sec": cpu_calibration_parallel(),
     }
     print(json.dumps(out))
 
