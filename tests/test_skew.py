@@ -137,3 +137,34 @@ def test_lm_scoring_under_zipf_token_skew(spark):
             for a, b in zip(ts, ts[1:])]
     want = sum(bits) / len(bits)
     assert abs(got[0][1] - want) < 1e-5
+
+
+def test_top_objects_matches_pandas_oracle_random(spark):
+    """Randomized (seeded) cross-check of both top-k paths against an
+    independent pandas implementation, including tie ordering."""
+    import numpy as np
+    import pandas as pd
+
+    from entity_extraction_svc_spark.operators.kgquery import (
+        top_objects_per_subject,
+    )
+
+    rng = np.random.RandomState(7)
+    pdf = pd.DataFrame({
+        "subj": [f"Q{x}" for x in rng.zipf(1.6, 5000) % 37],
+        "pred": "P31",
+        "obj": [f"O{x}" for x in rng.randint(0, 50, 5000)],
+    })
+    t = spark.createDataFrame(pdf)
+
+    counts = (pdf.groupby(["subj", "obj"]).size().reset_index(name="n")
+              .sort_values(["subj", "n", "obj"],
+                           ascending=[True, False, True]))
+    counts["rank"] = counts.groupby("subj").cumcount() + 1
+    want = {(r.subj, r.obj, r.n, r.rank)
+            for r in counts[counts["rank"] <= 4].itertuples(index=False)}
+
+    for salt in (None, 8):
+        got = {(r.subj, r.obj, r.n_triples, r.rank)
+               for r in top_objects_per_subject(t, k=4, salt=salt).collect()}
+        assert got == want, f"salt={salt}"
