@@ -304,7 +304,13 @@ def compact_triples(spark: SparkSession, out_dir: str,
 
     Time travel after compaction: ``as_of`` any run at-or-after the
     compaction (and the run immediately before it, whose state the base
-    equals) keeps working; earlier history is expired and raises."""
+    equals) keeps working; earlier history is expired and raises.
+
+    Like the rest of this module's manifest machinery, the file moves are
+    local-FS os-level operations — the deliberate stand-in scope (module
+    docstring): under a real table format this whole function IS
+    ``rewrite_data_files`` + ``expire_snapshots`` and the os calls become
+    table commits."""
     import shutil
     import uuid
 
