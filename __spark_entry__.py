@@ -443,10 +443,12 @@ def _doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.join(lang, "doc_id").join(fp, "doc_id")
 
 
-# v3: iban/card rows (valid + checksum-failing near-misses); v2 added the
-# phone near-misses — new filename so a cached older parquet can never
-# serve the extended contract
-_PII_FIXTURE = os.path.join(FIXTURES, "pii_samples_v4.parquet")
+# v5: overlapping valid-inside-failing candidate row (positional
+# reconstruction contract); v4 added the embedded-in-digit-run row; v3
+# iban/card rows (valid + checksum-failing near-misses); v2 the phone
+# near-misses — new filename per change so a cached older parquet can
+# never serve the extended contract
+_PII_FIXTURE = os.path.join(FIXTURES, "pii_samples_v5.parquet")
 
 # deterministic PII-bearing corpus: the sf documents carry no real PII, so
 # a zero-vs-zero count match would prove nothing — these rows give every
@@ -478,6 +480,11 @@ _PII_ROWS = [
     # embedded occurrence: the valid card also appears INSIDE a longer
     # digit run — the \b-guarded redaction must touch only the standalone
     (1_000_000_020, "card 4111 1111 1111 1111 once; ref 94111 1111 1111 11117 intact"),
+    # a VALID candidate overlapping a checksum-FAILING candidate's span:
+    # the scan (non-overlapping, left-to-right) consumes the failing
+    # '9998 4111 1111 1111' first and never matches the valid run inside
+    # it — redaction must mirror that positionally and keep it verbatim
+    (1_000_000_021, "ref 9998 4111 1111 1111 1111 end; card 4111 1111 1111 1111 pay"),
 ]
 
 

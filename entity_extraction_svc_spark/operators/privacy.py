@@ -127,24 +127,33 @@ def pii_count_exprs(text_col: str = "text") -> dict[str, "F.Column"]:
             n = F.size(F.regexp_extract_all(cur, F.lit(pat), 0))
             nxt = F.regexp_replace(cur, pat, placeholder)
         else:
-            valids = F.filter(
-                F.regexp_extract_all(cur, F.lit(pat), 0),
-                _VALIDATORS[validator],
-            )
+            ms = F.regexp_extract_all(cur, F.lit(pat), 0)
+            valids = F.filter(ms, _VALIDATORS[validator])
             n = F.size(valids)
-            # \b\Q<candidate>\E\b, NOT a literal replace: the global
-            # literal form also rewrites the candidate where it appears
-            # EMBEDDED in a longer digit run ('ref 9<card>7') that the
-            # \b-guarded scan never matched — placeholder count and text
-            # would then disagree.  \Q..\E + \b are in the RE2/Java common
-            # subset, so the DuckDB twin applies the identical guard.
-            nxt = F.aggregate(
-                valids, cur,
-                lambda acc, c: F.regexp_replace(
-                    acc,
-                    F.concat(F.lit("\\b\\Q"), c, F.lit("\\E\\b")),
-                    F.lit(placeholder),
+            # POSITIONAL reconstruction, not replace-by-value: rebuild the
+            # text as seg0 + (valid(m1) ? placeholder : m1) + seg1 + ...
+            # from split() segments and the scan's own match list, so
+            # redaction touches EXACTLY the scan's matches by position.
+            # Any replace-by-candidate-string form (literal or
+            # boundary-guarded) also rewrites a valid candidate where it
+            # occurs inside or overlapping a checksum-FAILING candidate's
+            # span — the scan, being non-overlapping left-to-right, never
+            # matched there, so count and placeholders would disagree and
+            # the failing shape the design promises to keep would be
+            # mangled ('ref 9998 4111 1111 1111 1111' kept intact here).
+            segs = F.split(cur, pat, -1)
+            pieces = F.transform(
+                ms,
+                lambda c, i: F.concat(
+                    F.when(_VALIDATORS[validator](c),
+                           F.lit(placeholder)).otherwise(c),
+                    F.element_at(segs, i + F.lit(2)),
                 ),
+            )
+            nxt = F.concat(
+                F.element_at(segs, F.lit(1)),
+                F.aggregate(pieces, F.lit(""),
+                            lambda a, b: F.concat(a, b)),
             )
         out[f"n_{kind}"] = n
         flags = n > 0 if flags is None else flags | (n > 0)
@@ -194,16 +203,19 @@ def duckdb_pii_exprs(text_expr: str = "text") -> tuple[list[tuple[str, str]], st
             cur = f"regexp_replace({cur}, '{pat}', '{ph}', 'g')"
         else:
             valid = _SQL_VALIDATORS[validator]("c")
-            valids = (f"list_filter(regexp_extract_all({cur}, '{pat}'), "
-                      f"c -> {valid})")
+            ms = f"regexp_extract_all({cur}, '{pat}')"
+            valids = f"list_filter({ms}, c -> {valid})"
             counts.append((kind, f"len({valids})"))
-            # list_reduce uses the first element as the accumulator, so
-            # prepending the text makes it the init and handles the
-            # empty-candidate case for free
-            # same \b\Q..\E\b guard as the Spark side (see pii_count_exprs)
-            cur = (f"list_reduce(list_prepend({cur}, {valids}), "
-                   f"(acc, c) -> regexp_replace(acc, "
-                   f"'\\b\\Q' || c || '\\E\\b', '{ph}', 'g'))")
+            # positional reconstruction, the exact twin of the Spark side
+            # (see pii_count_exprs): seg0 + (valid ? ph : match_i) +
+            # seg_i, via DuckDB's (value, 1-based index) lambdas;
+            # list_prepend('') makes the reduce total on zero matches
+            segs = f"regexp_split_to_array({cur}, '{pat}')"
+            pieces = (f"list_transform({ms}, (c, i) -> "
+                      f"(CASE WHEN {valid} THEN '{ph}' ELSE c END) "
+                      f"|| ({segs})[i+1])")
+            cur = (f"(({segs})[1] || list_reduce("
+                   f"list_prepend('', {pieces}), (a, b) -> a || b))")
     return counts, cur
 
 

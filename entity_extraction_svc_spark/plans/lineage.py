@@ -189,14 +189,15 @@ def repair_metrics(spark: SparkSession, out_dir: str) -> int:
     # streaming/curate._read_store); anything else — a TRANSIENT read
     # failure — must propagate: swallowing it would treat every committed
     # run as missing and append duplicate metrics forever (append-mode
-    # writes have no undo)
-    from pyspark.errors.exceptions.captured import AnalysisException
+    # writes have no undo).  Probed via spark.read, NOT os.path: the out
+    # dir may be s3/hdfs (runner's documented deployment), where a local
+    # isdir is always False and would silently disable metrics.  Public
+    # pyspark.errors.AnalysisException is the base both classic and
+    # connect sessions raise; the captured-module class is one subclass.
+    from pyspark.errors import AnalysisException
 
-    if not os.path.isdir(lineage_path(out_dir)):
-        return 0
     try:
         lin = spark.read.parquet(lineage_path(out_dir))
-        lin.schema
     except AnalysisException:
         return 0
     try:
@@ -315,10 +316,14 @@ def compact_triples(spark: SparkSession, out_dir: str,
     import uuid
 
     p = triples_path(out_dir)
+    if not os.path.isdir(p):  # fresh/drained out dir: nothing to compact
+        return {"run_id": None, "files_before": 0, "files_after": 0}
     old = {
         os.path.join(p, f) for f in os.listdir(p)
         if f.endswith(".parquet") and not f.startswith("_")
     }
+    if not old:
+        return {"run_id": None, "files_before": 0, "files_after": 0}
     snaps = _read_snapshots(out_dir)
     seq = len(snaps)
     run_id = f"compact{seq}-{uuid.uuid4().hex[:8]}"

@@ -40,6 +40,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--max-docs", type=int, default=None)
     ap.add_argument("--master", default=None, help="override spark master (local dev)")
     args = ap.parse_args(argv)
+    if (args.vacuum or args.compact) and not args.resume:
+        # validate BEFORE any work: failing after an hours-long run (with
+        # triples already written) would report rc=2 on a completed job
+        print("--compact/--vacuum maintain the checkpointed (append) "
+              "store; use them with --resume", file=sys.stderr)
+        return 2
 
     from entity_extraction_svc_spark.session import get_spark
 
@@ -73,10 +79,6 @@ def main(argv: list[str] | None = None) -> int:
         stats = {"n_linked": n_linked,
                  "n_triples": spark.read.parquet(f"{args.out}/triples").count()}
     if args.vacuum or args.compact:
-        if not args.resume:
-            print("--compact/--vacuum maintain the checkpointed (append) "
-                  "store; use them with --resume", file=sys.stderr)
-            return 2
         from entity_extraction_svc_spark.plans import lineage as L
 
         if args.vacuum:

@@ -469,6 +469,11 @@ def test_pii_scan_and_redact(spark):
         # redaction must hit only the standalone (\b-guarded replace) so
         # count==placeholders and the embedding text survives verbatim
         (15, "card 4111 1111 1111 1111 once; ref 94111 1111 1111 11117 intact"),
+        # valid candidate OVERLAPPING a checksum-failing candidate's span:
+        # the left-to-right scan consumes '9998 4111 1111 1111' (fails
+        # Luhn, kept) and never matches the valid run inside it — the
+        # positional redaction must keep that whole span verbatim
+        (16, "ref 9998 4111 1111 1111 1111 end; card 4111 1111 1111 1111 pay"),
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     scan = {r.doc_id: r for r in pii_scan(docs).collect()}
@@ -497,6 +502,8 @@ def test_pii_scan_and_redact(spark):
     assert red[14] == rows[14][1]
     assert scan[15].n_card == 1
     assert red[15] == "card [CARD] once; ref 94111 1111 1111 11117 intact"
+    assert scan[16].n_card == 1
+    assert red[16] == "ref 9998 4111 1111 1111 1111 end; card [CARD] pay"
 
 
 def test_hash_split_deterministic_and_incremental(spark):
