@@ -229,17 +229,66 @@ def _kg_date_format(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _kg_pattern_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from entity_extraction_svc_spark.operators.kgquery import pattern_search
+    """W1 single-pattern probe (part=w1) + the general basic-graph-pattern
+    matcher over the same store (part=bgp): the person→occupation,
+    person→birthplace, birthplace→region 3-leg chain, compiled by
+    ``match_bgp`` into selectivity-ordered self-joins."""
+    from entity_extraction_svc_spark.operators.kgquery import (
+        match_bgp,
+        pattern_search,
+    )
 
     kb = spark.read.parquet(f"{FIXTURES}/kb_triples.parquet")
-    return pattern_search(kb, pred="P131")
+    pad = F.lit("").alias("d")
+    w1 = pattern_search(kb, pred="P131").select(
+        F.lit("w1").alias("part"), F.col("subj").alias("a"),
+        F.col("pred").alias("b"), F.col("obj").alias("c"), pad,
+    )
+    bgp = match_bgp(
+        kb,
+        [("?person", "P106", "?occ"), ("?person", "P19", "?city"),
+         ("?city", "P131", "?region")],
+        select=["person", "occ", "city", "region"],
+    ).select(
+        F.lit("bgp").alias("part"), F.col("person").alias("a"),
+        F.col("occ").alias("b"), F.col("city").alias("c"),
+        F.col("region").alias("d"),
+    )
+    return w1.unionByName(bgp)
+
+
+# ontology domain/range constraints for the fixture KB (validate_triples):
+# birthplace/citizenship take humans to cities/countries; located-in (P131)
+# is declared country-valued so the city-valued fixture rows violate range.
+_ONTOLOGY_CONSTRAINTS = [
+    ("P19", "Q5", "Q515"),
+    ("P27", "Q5", "Q6256"),
+    ("P131", None, "Q6256"),
+    ("P17", None, "Q6256"),
+]
 
 
 def _kg_find_rels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from entity_extraction_svc_spark.operators.kgquery import find_rels
+    """W4 relation probe for Q30 (part=rels) + ontology domain/range
+    validation over the whole store (part=violation)."""
+    from entity_extraction_svc_spark.operators.kgquery import (
+        find_rels,
+        validate_triples,
+    )
 
     kb = spark.read.parquet(f"{FIXTURES}/kb_triples.parquet")
-    return find_rels(kb, "Q30")
+    blank = F.lit("")
+    rels = find_rels(kb, "Q30").select(
+        F.lit("rels").alias("part"), blank.alias("kind"), blank.alias("subj"),
+        "pred", blank.alias("obj"), blank.alias("expected"),
+    )
+    cons = spark.createDataFrame(
+        _ONTOLOGY_CONSTRAINTS, "pred string, domain string, range string"
+    )
+    viol = validate_triples(kb, cons).select(
+        F.lit("violation").alias("part"), "kind", "subj", "pred", "obj", "expected"
+    )
+    return rels.unionByName(viol)
 
 
 def _kg_find_objects(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -892,15 +941,39 @@ def _sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _kg_canonical_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalized pipeline triples (part=canon) + multi-document triple
+    evidence aggregation (part=evidence).  The evidence part feeds the
+    golden links with a deterministic md5-derived per-(url, qid) confidence
+    so both engines hand the noisy-OR identical inputs; in pipeline use the
+    linker's final_conf flows in instead (tests/test_triples.py pins that
+    path against a pandas recomputation)."""
     from entity_extraction_svc_spark.operators.canonicalize import (
         canonical_qids,
         canonicalize_triples,
     )
+    from entity_extraction_svc_spark.operators.triples import triple_evidence
 
     arts = _fixtures_pipeline(spark)
     ents = spark.read.parquet(f"{FIXTURES}/kb_entities.parquet")
     aliases = spark.read.parquet(f"{FIXTURES}/kb_aliases.parquet")
-    return canonicalize_triples(arts.triples, canonical_qids(ents, aliases))
+    zero = F.lit(0).cast("long")
+    canon = canonicalize_triples(arts.triples, canonical_qids(ents, aliases)).select(
+        F.lit("canon").alias("part"), "subj", "pred", "obj",
+        zero.alias("n_docs"), zero.alias("n_support"),
+        F.lit(0.0).alias("evidence"),
+    )
+    g = spark.read.parquet(f"{FIXTURES}/golden_links.parquet")
+    conf = F.round(
+        (F.conv(F.substring(F.md5(F.concat_ws(":", "url", "qid")), 1, 4), 16, 10)
+         .cast("long") % 90 + 5) / 100.0, 2,
+    )
+    linked = g.select("url", "qid", F.lit(0).alias("rank"), conf.alias("conf"))
+    kb = spark.read.parquet(f"{FIXTURES}/kb_triples.parquet")
+    ev = triple_evidence(linked, kb).select(
+        F.lit("evidence").alias("part"), "subj", "pred", "obj",
+        "n_docs", "n_support", "evidence",
+    )
+    return canon.unionByName(ev)
 
 
 def _kg_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1197,6 +1270,23 @@ _H64 = "('0x' || substr(md5({X}), 1, 15))::BIGINT"
 NT_RE_SQL = '^<([^>]+)>\\s+<([^>]+)>\\s+(?:<([^>]+)>|"([^"]*)")\\s*\\.\\s*$'
 
 
+def _whitelist_sql() -> str:
+    from entity_extraction_svc_spark.operators.triples import TRIPLE_WHITELIST
+
+    return ", ".join(f"'{p}'" for p in TRIPLE_WHITELIST)
+
+
+def _constraints_values_sql() -> str:
+    """_ONTOLOGY_CONSTRAINTS as a VALUES list — one source of truth for the
+    Spark row and the DuckDB oracle."""
+    def q(x: str | None) -> str:
+        return "NULL" if x is None else f"'{x}'"
+
+    return ", ".join(
+        f"({q(p)}, {q(d)}, {q(r)})" for p, d, r in _ONTOLOGY_CONSTRAINTS
+    )
+
+
 def _minhash_sql_mins() -> str:
     from entity_extraction_svc_spark.operators.dedup import MERSENNE_P, _coeffs
 
@@ -1274,14 +1364,34 @@ def oracle_sql() -> dict[str, str]:
             "  INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')"
         ),
         "kg_pattern_search": (
-            f"SELECT subj, pred, obj FROM read_parquet('{fx}/kb_triples.parquet') "
-            "WHERE pred = 'P131'"
+            f"WITH t AS (SELECT * FROM read_parquet('{fx}/kb_triples.parquet')) "
+            "SELECT 'w1' AS part, subj AS a, pred AS b, obj AS c, '' AS d "
+            "FROM t WHERE pred = 'P131' "
+            "UNION ALL "
+            "SELECT 'bgp', p.subj, p.obj, b.obj, c.obj "
+            "FROM t p JOIN t b ON p.subj = b.subj AND b.pred = 'P19' "
+            "         JOIN t c ON b.obj = c.subj AND c.pred = 'P131' "
+            "WHERE p.pred = 'P106'"
         ),
         "kg_find_rels": (
-            f"WITH t AS (SELECT * FROM read_parquet('{fx}/kb_triples.parquet')) "
-            "SELECT DISTINCT pred FROM ("
-            "SELECT pred FROM t WHERE subj = 'Q30' "
-            "UNION ALL SELECT pred FROM t WHERE obj = 'Q30')"
+            f"WITH t AS (SELECT * FROM read_parquet('{fx}/kb_triples.parquet')), "
+            f"c(pred, dom, rng) AS (VALUES {_constraints_values_sql()}), "
+            "ty AS (SELECT subj, list(obj) AS types FROM t WHERE pred = 'P31' "
+            "       GROUP BY subj), "
+            "tc AS (SELECT t.*, c.dom, c.rng FROM t JOIN c ON t.pred = c.pred) "
+            "SELECT 'rels' AS part, '' AS kind, '' AS subj, pred, '' AS obj, "
+            "       '' AS expected FROM ("
+            "  SELECT DISTINCT pred FROM ("
+            "    SELECT pred FROM t WHERE subj = 'Q30' "
+            "    UNION ALL SELECT pred FROM t WHERE obj = 'Q30')) "
+            "UNION ALL "
+            "SELECT 'violation', 'domain', tc.subj, tc.pred, tc.obj, dom "
+            "FROM tc JOIN ty ON tc.subj = ty.subj "
+            "WHERE dom IS NOT NULL AND NOT list_contains(types, dom) "
+            "UNION ALL "
+            "SELECT 'violation', 'range', tc.subj, tc.pred, tc.obj, rng "
+            "FROM tc JOIN ty ON tc.obj = ty.subj "
+            "WHERE rng IS NOT NULL AND NOT list_contains(types, rng)"
         ),
         "kg_find_objects": (
             f"SELECT subj AS value FROM read_parquet('{fx}/kb_triples.parquet') "
@@ -1785,11 +1895,29 @@ def oracle_sql() -> dict[str, str]:
             "  USING (comp)"
             "), g AS ("
             f"  SELECT * FROM read_parquet('{fx}/golden_triples.parquet')"
+            "), links AS ("
+            "  SELECT url, qid, round(((('0x' || substr(md5(url || ':' || qid), 1, 4))::BIGINT "
+            f"         % 90 + 5) / 100.0), 2)::DOUBLE AS conf "
+            f"  FROM read_parquet('{fx}/golden_links.parquet')"
+            "), de AS ("
+            "  SELECT url, qid AS subj, max(conf) AS conf FROM links GROUP BY url, qid"
+            "), tr AS ("
+            f"  SELECT t.* FROM read_parquet('{fx}/kb_triples.parquet') t "
+            f"  WHERE t.pred IN ({_whitelist_sql()}) "
+            "    AND t.subj IN (SELECT DISTINCT subj FROM de)"
             ") "
-            "SELECT DISTINCT coalesce(ms.canonical_qid, g.subj) AS subj, g.pred, "
-            "       coalesce(mo.canonical_qid, g.obj) AS obj "
-            "FROM g LEFT JOIN canon ms ON g.subj = ms.qid "
-            "LEFT JOIN canon mo ON g.obj = mo.qid"
+            "SELECT 'canon' AS part, subj, pred, obj, 0::BIGINT AS n_docs, "
+            "       0::BIGINT AS n_support, CAST(0.0 AS DOUBLE) AS evidence FROM ("
+            "  SELECT DISTINCT coalesce(ms.canonical_qid, g.subj) AS subj, g.pred, "
+            "         coalesce(mo.canonical_qid, g.obj) AS obj "
+            "  FROM g LEFT JOIN canon ms ON g.subj = ms.qid "
+            "  LEFT JOIN canon mo ON g.obj = mo.qid) "
+            "UNION ALL "
+            "SELECT 'evidence', tr.subj, tr.pred, tr.obj, "
+            "       count(DISTINCT de.url)::BIGINT, count(*)::BIGINT, "
+            "       round(1 - exp(sum(ln(1 - least(de.conf, 0.999999)))), 6) "
+            "FROM de JOIN tr ON de.subj = tr.subj "
+            "GROUP BY tr.subj, tr.pred, tr.obj"
         ),
         "kg_annotations": (
             f"""

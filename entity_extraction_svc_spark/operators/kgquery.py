@@ -250,3 +250,108 @@ def top_triplets_for(linked_qids: DataFrame, triples: DataFrame,
         lab = labels.select(F.col("qid").alias("obj"), F.col("label").alias("obj_label"))
         out = out.join(F.broadcast(lab), "obj", "left")
     return out
+
+
+def match_bgp(triples: DataFrame, patterns: list[tuple[str, str, str]],
+              select: list[str] | None = None) -> DataFrame:
+    """Basic-graph-pattern matcher: a conjunction of (s, p, o) patterns with
+    ``?var`` terms compiled into selectivity-ordered hash self-joins over the
+    triples table — the general form of the reference wiki-parser's
+    fixed-shape probes (wiki_parser.py:179-191 pattern match, :319-337
+    2-hop, :349-368 intersection are all 1-/2-leg special cases).
+
+    Compilation, Spark-first:
+      * each pattern becomes a *leg*: a constant-filtered projection of the
+        triples scan (filters push down to parquet; a constant-``subj`` leg
+        partition-prunes the subject-hash-partitioned store);
+      * legs join greedily, most-constants-first, always preferring a leg
+        that shares a variable with what's already bound — intermediates
+        stay small and no accidental cartesian product appears unless the
+        pattern graph itself is disconnected (then an explicit crossJoin);
+      * join columns are the shared variables, so Catalyst sees plain
+        equi-joins and AQE broadcasts any leg that turns out tiny at
+        runtime.
+
+    Bag semantics (no implicit distinct), like SPARQL BGPs.  ``select``
+    projects the named variables (with or without the ``?``)."""
+    legs = []
+    for i, (s, p, o) in enumerate(patterns):
+        leg = triples
+        out_cols, seen = [], {}
+        for col, term in (("subj", s), ("pred", p), ("obj", o)):
+            if term.startswith("?"):
+                v = term[1:]
+                if not v:
+                    raise ValueError(f"empty variable name in pattern {i}")
+                if v in seen:  # same var twice in one pattern -> equality
+                    leg = leg.filter(F.col(col) == F.col(seen[v]))
+                else:
+                    seen[v] = col
+                    out_cols.append(F.col(col).alias(v))
+            else:
+                leg = leg.filter(F.col(col) == term)
+        legs.append(
+            {"df": leg.select(*out_cols), "vars": set(seen),
+             "nconst": 3 - len(seen), "idx": i}
+        )
+    if not legs:
+        raise ValueError("match_bgp needs at least one pattern")
+    remaining = sorted(legs, key=lambda l: (-l["nconst"], len(l["vars"]), l["idx"]))
+    first = remaining.pop(0)
+    out, bound = first["df"], set(first["vars"])
+    while remaining:
+        pick = next(
+            (j for j, leg in enumerate(remaining) if leg["vars"] & bound), 0
+        )
+        leg = remaining.pop(pick)
+        shared = sorted(leg["vars"] & bound)
+        out = out.join(leg["df"], on=shared) if shared else out.crossJoin(leg["df"])
+        bound |= leg["vars"]
+    if select is not None:
+        want = [v.lstrip("?") for v in select]
+        missing = [v for v in want if v not in bound]
+        if missing:
+            raise ValueError(f"select variables not bound by any pattern: {missing}")
+        out = out.select(*want)
+    return out
+
+
+def validate_triples(triples: DataFrame, constraints: DataFrame) -> DataFrame:
+    """Ontology QA over a freshly-constructed KG: flag triples whose typed
+    subject (domain) or typed object (range) carries no P31 type matching
+    the predicate's declared constraint — the batch generalization of the
+    reference's per-type gating (entity_linking.py P641-type seeding and
+    the wiki-parser's Q5/P106 special case are point uses of the same
+    domain/range knowledge).
+
+    ``constraints``: (pred, domain, range) — either side nullable; a triple
+    whose subject/object has NO P31 type at all passes (unknown ≠ wrong,
+    the open-world reading).  Violations come back as
+    (subj, pred, obj, kind∈{domain,range}, expected).
+
+    Scale: constraints are a per-ontology dimension (10^3 preds) →
+    broadcast; the P31 type-set aggregation and the domain check both key
+    on ``subj``, so on the subject-hash-partitioned triples store they
+    co-locate with the scan, and only the range check's join on ``obj``
+    pays a real exchange."""
+    p31 = (
+        triples.filter(F.col("pred") == "P31")
+        .groupBy("subj")
+        .agg(F.collect_set("obj").alias("_types"))
+    )
+    t = triples.join(F.broadcast(constraints), "pred")
+    dom = (
+        t.filter(F.col("domain").isNotNull())
+        .join(p31, "subj")
+        .filter(~F.array_contains("_types", F.col("domain")))
+        .select("subj", "pred", "obj", F.lit("domain").alias("kind"),
+                F.col("domain").alias("expected"))
+    )
+    rng = (
+        t.filter(F.col("range").isNotNull())
+        .join(p31.withColumnRenamed("subj", "obj"), "obj")
+        .filter(~F.array_contains("_types", F.col("range")))
+        .select("subj", "pred", "obj", F.lit("range").alias("kind"),
+                F.col("range").alias("expected"))
+    )
+    return dom.unionByName(rng)

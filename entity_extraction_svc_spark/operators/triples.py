@@ -86,3 +86,40 @@ def write_triples(triples: DataFrame, out_dir: str, num_partitions: int = 32) ->
         .partitionBy("subj_hash")
         .parquet(out_dir)
     )
+
+
+def triple_evidence(linked: DataFrame, kb_triples: DataFrame,
+                    whitelist: list[str] | None = None) -> DataFrame:
+    """Multi-document evidence aggregation for emitted triples: per
+    (subj, pred, obj), how many distinct documents link its subject and the
+    noisy-OR combination of their link confidences — the corpus-level
+    counterpart of the reference's per-request confidence calc
+    (entity_linking.py:637-665 final_conf), which scores one document at a
+    time and forgets it.
+
+    A document supports an entity at its strongest mention
+    (max conf per (url, qid)); support propagates to the entity's emitted
+    triples through the same broadcast semi-join shape as
+    ``materialize_triples``.  evidence = 1 - ∏(1 - conf_d) over supporting
+    documents (independent-evidence noisy-OR), computed as
+    1 - exp(Σ log1p(-conf)) so it is one partial-aggregable SUM, not a
+    product — at 10^12 docs the groupBy combines map-side and the triples
+    table itself never shuffles (QID set is KB-bounded → broadcast)."""
+    doc_ent = (
+        linked.filter((F.col("rank") == 0) & F.col("qid").isNotNull())
+        .groupBy("url", F.col("qid").alias("subj"))
+        .agg(F.max("conf").alias("conf"))
+    )
+    tr = kb_triples.filter(
+        F.col("pred").isin(whitelist or TRIPLE_WHITELIST)
+    ).join(F.broadcast(doc_ent.select("subj").distinct()), "subj", "left_semi")
+    clamped = F.least(F.col("conf"), F.lit(0.999999))
+    return (
+        doc_ent.join(tr, "subj")
+        .groupBy("subj", "pred", "obj")
+        .agg(
+            F.countDistinct("url").alias("n_docs"),
+            F.count("*").alias("n_support"),
+            F.round(1 - F.exp(F.sum(F.log1p(-clamped))), 6).alias("evidence"),
+        )
+    )

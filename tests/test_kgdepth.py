@@ -1,0 +1,149 @@
+"""Round-4 KG depth operators: BGP matching, ontology validation,
+multi-document triple evidence."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from entity_extraction_svc_spark.operators.kgquery import (
+    match_bgp,
+    validate_triples,
+)
+from entity_extraction_svc_spark.operators.triples import triple_evidence
+
+
+@pytest.fixture(scope="module")
+def kb(spark, fixture_dir):
+    return spark.read.parquet(f"{fixture_dir}/kb_triples.parquet")
+
+
+def test_bgp_chain_matches_manual_joins(spark, kb):
+    got = match_bgp(
+        kb,
+        [("?p", "P106", "?occ"), ("?p", "P19", "?city"),
+         ("?city", "P131", "?region")],
+        select=["?p", "?occ", "?city", "?region"],
+    )
+    a = kb.filter(F.col("pred") == "P106").select(
+        F.col("subj").alias("p"), F.col("obj").alias("occ"))
+    b = kb.filter(F.col("pred") == "P19").select(
+        F.col("subj").alias("p"), F.col("obj").alias("city"))
+    c = kb.filter(F.col("pred") == "P131").select(
+        F.col("subj").alias("city"), F.col("obj").alias("region"))
+    want = a.join(b, "p").join(c, "city").select("p", "occ", "city", "region")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert got.count() > 0
+
+
+def test_bgp_constant_leg_and_bag_semantics(spark, kb):
+    # constant obj leg + a join; duplicates are NOT collapsed (bag semantics)
+    got = match_bgp(
+        kb, [("?x", "P31", "Q5"), ("?x", "P27", "?c")], select=["x", "c"]
+    )
+    humans = kb.filter((F.col("pred") == "P31") & (F.col("obj") == "Q5")).select(
+        F.col("subj").alias("x"))
+    cit = kb.filter(F.col("pred") == "P27").select(
+        F.col("subj").alias("x"), F.col("obj").alias("c"))
+    want = humans.join(cit, "x")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_bgp_repeated_var_within_pattern(spark):
+    tr = spark.createDataFrame(
+        [("a", "self", "a"), ("a", "self", "b"), ("b", "self", "b")],
+        "subj string, pred string, obj string",
+    )
+    got = match_bgp(tr, [("?x", "self", "?x")], select=["x"])
+    assert sorted(r.x for r in got.collect()) == ["a", "b"]
+
+
+def test_bgp_disconnected_patterns_cross_join(spark):
+    tr = spark.createDataFrame(
+        [("a", "p", "b"), ("c", "q", "d")], "subj string, pred string, obj string"
+    )
+    got = match_bgp(tr, [("?x", "p", "?y"), ("?u", "q", "?v")])
+    assert got.count() == 1  # 1 x 1 cross product
+    row = got.collect()[0]
+    assert (row.x, row.y, row.u, row.v) == ("a", "b", "c", "d")
+
+
+def test_bgp_select_unbound_raises(spark, kb):
+    with pytest.raises(ValueError, match="not bound"):
+        match_bgp(kb, [("?x", "P31", "?t")], select=["nope"])
+    with pytest.raises(ValueError, match="at least one"):
+        match_bgp(kb, [])
+
+
+def test_validate_triples_semantics(spark):
+    tr = spark.createDataFrame(
+        [
+            ("h1", "P31", "Q5"),
+            ("h1", "P19", "c1"),      # ok: typed city
+            ("c1", "P31", "Q515"),
+            ("h1", "P27", "c1"),      # range violation: city, expected country
+            ("x9", "P19", "c1"),      # untyped subject -> passes (open world)
+            ("h1", "P19", "z9"),      # untyped object -> passes
+            ("c1", "P19", "c1"),      # domain violation: city as birth subject
+        ],
+        "subj string, pred string, obj string",
+    )
+    cons = spark.createDataFrame(
+        [("P19", "Q5", "Q515"), ("P27", "Q5", "Q6256")],
+        "pred string, domain string, range string",
+    )
+    got = sorted(map(tuple, validate_triples(tr, cons).collect()))
+    assert got == sorted([
+        ("h1", "P27", "c1", "range", "Q6256"),
+        ("c1", "P19", "c1", "domain", "Q5"),
+    ])
+
+
+def test_triple_evidence_noisy_or(spark):
+    linked = spark.createDataFrame(
+        [
+            # doc1 mentions E twice (conf .5 strongest), doc2 once (.8)
+            ("u1", "E", 0, 0.5),
+            ("u1", "E", 0, 0.2),
+            ("u2", "E", 0, 0.8),
+            # non-top-rank and null-qid rows are ignored
+            ("u3", "E", 1, 0.99),
+            ("u3", None, 0, 0.99),
+            # doc3 mentions F, but F has no KB triples
+            ("u3", "F", 0, 0.9),
+        ],
+        "url string, qid string, rank int, conf double",
+    )
+    kb = spark.createDataFrame(
+        [("E", "P31", "Q5"), ("E", "P27", "c1"), ("G", "P31", "Q5")],
+        "subj string, pred string, obj string",
+    )
+    rows = {(r.subj, r.pred, r.obj): r for r in triple_evidence(linked, kb).collect()}
+    assert set(rows) == {("E", "P31", "Q5"), ("E", "P27", "c1")}
+    r = rows[("E", "P31", "Q5")]
+    assert r.n_docs == 2 and r.n_support == 2
+    want = 1 - (1 - 0.5) * (1 - 0.8)
+    assert math.isclose(r.evidence, round(want, 6), abs_tol=1e-9)
+
+
+def test_triple_evidence_on_pipeline_links(spark, fixture_dir, pipeline):
+    """Real linker confs through the operator vs a pandas recomputation."""
+    import pandas as pd
+
+    linked = pipeline.linked
+    kb = spark.read.parquet(f"{fixture_dir}/kb_triples.parquet")
+    got = triple_evidence(linked, kb).toPandas()
+    pdf = linked.filter(
+        (F.col("rank") == 0) & F.col("qid").isNotNull()
+    ).select("url", "qid", "conf").toPandas()
+    de = pdf.groupby(["url", "qid"], as_index=False)["conf"].max()
+    kbp = kb.toPandas()
+    merged = de.merge(kbp, left_on="qid", right_on="subj")
+    for (s, p, o), grp in merged.groupby(["subj", "pred", "obj"]):
+        row = got[(got.subj == s) & (got.pred == p) & (got.obj == o)]
+        assert len(row) == 1, (s, p, o)
+        row = row.iloc[0]
+        assert row.n_docs == grp.url.nunique()
+        ev = 1 - float((1 - grp.conf.clip(upper=0.999999)).prod())
+        assert math.isclose(row.evidence, round(ev, 6), abs_tol=1e-6)
+    assert len(got) == merged.groupby(["subj", "pred", "obj"]).ngroups
