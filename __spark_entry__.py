@@ -205,11 +205,27 @@ def _kg_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _kg_connection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W10 pairwise connection probe (part=conn) + its k-hop
+    generalization, the bounded BFS ball with minimal hop distances
+    (part=bfs), merged into one driver row over the same fixture KB."""
+    from entity_extraction_svc_spark.operators.graphwalk import bfs_distances
     from entity_extraction_svc_spark.operators.kgquery import find_connection
 
     kb = spark.read.parquet(f"{FIXTURES}/kb_triples.parquet")
     # the two Mona Lisas: direct edges absent, shared creator via P170
-    return find_connection(kb, "Q12418", "Q2126369", rels=["P170", "P276", "P131"])
+    conn = find_connection(
+        kb, "Q12418", "Q2126369", rels=["P170", "P276", "P131"]
+    ).select(
+        F.lit("conn").alias("part"),
+        F.col("pred").alias("a"),
+        F.col("via").alias("b"),
+    )
+    bfs = bfs_distances(kb, "Q12418", max_hops=3, direction="both").select(
+        F.lit("bfs").alias("part"),
+        F.col("entity").alias("a"),
+        F.col("dist").cast("string").alias("b"),
+    )
+    return conn.unionByName(bfs)
 
 
 def _kg_date_format(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1298,6 +1314,17 @@ def _minhash_sql_mins() -> str:
     return f"[{mins}]"
 
 
+def _bfs_oracle(fx: str) -> str:
+    """The BFS half of the kg_connection row: same source/hops/direction
+    constants as the Spark side in _kg_connection."""
+    from entity_extraction_svc_spark.operators.graphwalk import bfs_oracle_sql
+
+    return bfs_oracle_sql(
+        f"SELECT * FROM read_parquet('{fx}/kb_triples.parquet')",
+        "Q12418", 3, direction="both",
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     fx = FIXTURES
     toks_lower = "list_filter(string_split_regex(lower(coalesce(text,'')), '\\s+'), t -> t != '')"
@@ -1860,8 +1887,14 @@ def oracle_sql() -> dict[str, str]:
             shared AS (
               SELECT e1.pred, e1.obj AS via FROM e1
               JOIN e2 ON e1.obj = e2.obj AND e1.pred = e2.pred
+            ),
+            conn AS (
+              SELECT DISTINCT * FROM (SELECT * FROM direct UNION ALL SELECT * FROM shared)
             )
-            SELECT DISTINCT * FROM (SELECT * FROM direct UNION ALL SELECT * FROM shared)
+            SELECT 'conn' AS part, pred AS a, via AS b FROM conn
+            UNION ALL
+            SELECT 'bfs' AS part, entity AS a, dist::VARCHAR AS b
+            FROM ({_bfs_oracle(fx)})
             """
         ),
         "kg_date_format": (
