@@ -434,13 +434,22 @@ def _rel_cube_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cube.unionByName(roll)
 
 
+_PPR_SEEDS = ["Q30", "Q762"]  # USA + Leonardo: two well-connected fixture hubs
+
+
 def _kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Damped PageRank (10 iterations, d=0.85) over the entity->entity
-    edges of the fixture KB triple store: the corpus-level generalization
+    edges of the fixture KB triple store — the corpus-level generalization
     of the reference's per-request connection ranking (entity_linking.py
-    rel-ranking + wiki_parser top-people caches)."""
+    rel-ranking + wiki_parser top-people caches) — as part=global, plus
+    personalized PageRank from two seed hubs (part=ppr): relatedness-to-
+    seed-set, the closure of the reference's candidate-scoring-by-
+    connections-to-other-document-entities heuristic."""
     from entity_extraction_svc_spark.fixtures import ensure_fixtures
-    from entity_extraction_svc_spark.operators.pagerank import pagerank
+    from entity_extraction_svc_spark.operators.pagerank import (
+        pagerank,
+        personalized_pagerank,
+    )
 
     ensure_fixtures(FIXTURES)
     _prep(spark)
@@ -448,7 +457,13 @@ def _kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = tr.filter(F.col("obj").rlike("^Q[0-9]+$")).select(
         F.col("subj").alias("src"), F.col("obj").alias("dst")
     )
-    return pagerank(edges, iterations=10)
+    glob = pagerank(edges, iterations=10).select(
+        F.lit("global").alias("part"), "node", "rank"
+    )
+    ppr = personalized_pagerank(edges, _PPR_SEEDS, iterations=10).select(
+        F.lit("ppr").alias("part"), "node", "rank"
+    )
+    return glob.unionByName(ppr)
 
 
 def _doc_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2173,11 +2188,19 @@ def oracle_sql() -> dict[str, str]:
 
     # kg_pagerank: the unrolled-iteration SQL is generated by the operator
     # module itself, so Spark and oracle share ONE recurrence definition
-    from entity_extraction_svc_spark.operators.pagerank import pagerank_oracle_sql
+    from entity_extraction_svc_spark.operators.pagerank import (
+        pagerank_oracle_sql,
+        ppr_oracle_sql,
+    )
 
-    sql["kg_pagerank"] = pagerank_oracle_sql(
+    _pr_edges = (
         f"SELECT subj AS src, obj AS dst FROM read_parquet('{fx}/kb_triples.parquet') "
         "WHERE regexp_matches(obj, '^Q[0-9]+$')"
+    )
+    sql["kg_pagerank"] = (
+        f"SELECT 'global' AS part, * FROM ({pagerank_oracle_sql(_pr_edges)})"
+        " UNION ALL "
+        f"SELECT 'ppr' AS part, * FROM ({ppr_oracle_sql(_pr_edges, _PPR_SEEDS)})"
     )
 
     # doc_decontam: word 8-grams (with_shingles semantics incl. the

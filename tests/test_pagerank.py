@@ -124,3 +124,67 @@ def test_entity_salience_composition(spark, pipeline):
     top_rank = max(ranks, key=ranks.get)
     top3_deg = sorted(deg, key=deg.get, reverse=True)[:3]
     assert top_rank in top3_deg
+
+
+# --- personalized PageRank -------------------------------------------------
+
+def _ppr(spark, edges, seeds, iterations):
+    from entity_extraction_svc_spark.operators.pagerank import (
+        personalized_pagerank,
+    )
+
+    df = personalized_pagerank(
+        spark.createDataFrame(edges, "src string, dst string"),
+        seeds, iterations=iterations,
+    )
+    return {r["node"]: r["rank"] for r in df.collect()}
+
+
+def test_ppr_one_iteration_hand_computed(spark):
+    # a -> b, seed a, d=0.85: r1(a) = 0.15, r1(b) = 0.85
+    got = _ppr(spark, [("a", "b")], ["a"], iterations=1)
+    assert got == {"a": 0.15, "b": 0.85}
+
+
+def test_ppr_mass_conserved_and_locality(spark):
+    # triangle a->b->c->a plus the disconnected d->e: mass stays on the
+    # seed's component, unreachable nodes sit at exactly 0
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("d", "e")]
+    got = _ppr(spark, edges, ["a"], iterations=10)
+    assert got["d"] == 0.0 and got["e"] == 0.0
+    assert abs(sum(got.values()) - 1.0) < 1e-4
+    # everyone on the seed's cycle holds positive mass
+    assert got["a"] > 0 and got["b"] > 0 and got["c"] > 0
+
+
+def test_ppr_seed_outside_graph(spark):
+    # a seed with no edges keeps the full teleport share of its own mass
+    got = _ppr(spark, [("a", "b")], ["z"], iterations=3)
+    assert got["z"] > 0.0 and got["a"] == 0.0 and got["b"] == 0.0
+
+
+def test_ppr_empty_seeds_raise(spark):
+    from entity_extraction_svc_spark.operators.pagerank import (
+        personalized_pagerank,
+    )
+
+    with pytest.raises(ValueError):
+        personalized_pagerank(
+            spark.createDataFrame([("a", "b")], "src string, dst string"), []
+        )
+
+
+def test_ppr_oracle_sql_parity(spark):
+    import duckdb
+
+    from entity_extraction_svc_spark.operators.pagerank import ppr_oracle_sql
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("x", "a")]
+    got = _ppr(spark, edges, ["a", "x"], iterations=6)
+    sql = ppr_oracle_sql(
+        "SELECT * FROM (VALUES " +
+        ", ".join(f"('{s}', '{t}')" for s, t in edges) + ") v(src, dst)",
+        ["a", "x"], iterations=6,
+    )
+    want = dict(duckdb.connect().execute(sql).fetchall())
+    assert got == pytest.approx(want)
