@@ -284,9 +284,29 @@ _ONTOLOGY_CONSTRAINTS = [
 ]
 
 
+# a second ingest source for the QA parts of the kg_find_rels row: one
+# birthplace contradiction, one capital contradiction (a classic
+# extraction error), one exact duplicate (must NOT count as a conflict);
+# the two new object QIDs are also dangling references, so the audits'
+# composition is exercised by the same three rows
+_SECOND_SOURCE = [
+    ("Q762", "P19", "Q220"),
+    ("Q30", "P36", "Q60"),
+    ("Q66", "P159", "Q5083"),
+]
+
+
 def _kg_find_rels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W4 relation probe for Q30 (part=rels) + ontology domain/range
-    validation over the whole store (part=violation)."""
+    validation over the whole store (part=violation) + the multi-source
+    QA audits over KB ∪ second-source (part=func: functional-predicate
+    contradictions; part=dangling: unresolvable entity references;
+    part=predstats: per-predicate ingest profile)."""
+    from entity_extraction_svc_spark.operators.kgqa import (
+        dangling_objects,
+        functional_conflicts,
+        predicate_stats,
+    )
     from entity_extraction_svc_spark.operators.kgquery import (
         find_rels,
         validate_triples,
@@ -304,7 +324,27 @@ def _kg_find_rels(spark: SparkSession, sf_dir: str) -> DataFrame:
     viol = validate_triples(kb, cons).select(
         F.lit("violation").alias("part"), "kind", "subj", "pred", "obj", "expected"
     )
-    return rels.unionByName(viol)
+    merged = kb.unionByName(
+        spark.createDataFrame(_SECOND_SOURCE, "subj string, pred string, obj string")
+    )
+    ents = spark.read.parquet(f"{FIXTURES}/kb_entities.parquet")
+    func = functional_conflicts(merged).select(
+        F.lit("func").alias("part"), F.lit("conflict").alias("kind"),
+        "subj", "pred", F.array_join("objects", ",").alias("obj"),
+        F.col("n_obj").cast("string").alias("expected"),
+    )
+    dang = dangling_objects(merged, ents).select(
+        F.lit("dangling").alias("part"), F.lit("ref").alias("kind"),
+        blank.alias("subj"), blank.alias("pred"), "obj",
+        blank.alias("expected"),
+    )
+    stats = predicate_stats(merged).select(
+        F.lit("predstats").alias("part"), F.lit("profile").alias("kind"),
+        blank.alias("subj"), "pred",
+        F.col("n_triples").cast("string").alias("obj"),
+        F.col("n_subj").cast("string").alias("expected"),
+    )
+    return rels.unionByName(viol).unionByName(func).unionByName(dang).unionByName(stats)
 
 
 def _kg_find_objects(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1318,6 +1358,18 @@ def _constraints_values_sql() -> str:
     )
 
 
+def _second_source_values_sql() -> str:
+    """_SECOND_SOURCE as a VALUES list — one source of truth for the Spark
+    kg_find_rels QA parts and the DuckDB oracle."""
+    return ", ".join(f"('{s}', '{p}', '{o}')" for s, p, o in _SECOND_SOURCE)
+
+
+def _functional_preds_sql() -> str:
+    from entity_extraction_svc_spark.operators.kgqa import FUNCTIONAL_PREDS
+
+    return ", ".join(f"'{p}'" for p in FUNCTIONAL_PREDS)
+
+
 def _minhash_sql_mins() -> str:
     from entity_extraction_svc_spark.operators.dedup import MERSENNE_P, _coeffs
 
@@ -1418,6 +1470,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_find_rels": (
             f"WITH t AS (SELECT * FROM read_parquet('{fx}/kb_triples.parquet')), "
             f"c(pred, dom, rng) AS (VALUES {_constraints_values_sql()}), "
+            "m AS (SELECT subj, pred, obj FROM t UNION ALL "
+            f"      SELECT * FROM (VALUES {_second_source_values_sql()}) s(subj, pred, obj)), "
             "ty AS (SELECT subj, list(obj) AS types FROM t WHERE pred = 'P31' "
             "       GROUP BY subj), "
             "tc AS (SELECT t.*, c.dom, c.rng FROM t JOIN c ON t.pred = c.pred) "
@@ -1433,7 +1487,21 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL "
             "SELECT 'violation', 'range', tc.subj, tc.pred, tc.obj, rng "
             "FROM tc JOIN ty ON tc.obj = ty.subj "
-            "WHERE rng IS NOT NULL AND NOT list_contains(types, rng)"
+            "WHERE rng IS NOT NULL AND NOT list_contains(types, rng) "
+            "UNION ALL "
+            "SELECT 'func', 'conflict', subj, pred, "
+            "       array_to_string(list_sort(list(DISTINCT obj)), ','), "
+            "       count(DISTINCT obj)::VARCHAR "
+            f"FROM m WHERE pred IN ({_functional_preds_sql()}) "
+            "GROUP BY subj, pred HAVING count(DISTINCT obj) > 1 "
+            "UNION ALL "
+            "SELECT 'dangling', 'ref', '', '', obj, '' FROM ("
+            "  SELECT DISTINCT obj FROM m WHERE regexp_matches(obj, '^Q[0-9]+$')) "
+            "WHERE obj NOT IN (SELECT DISTINCT subj FROM m) "
+            f"  AND obj NOT IN (SELECT qid FROM read_parquet('{fx}/kb_entities.parquet')) "
+            "UNION ALL "
+            "SELECT 'predstats', 'profile', '', pred, count(*)::VARCHAR, "
+            "       count(DISTINCT subj)::VARCHAR FROM m GROUP BY pred"
         ),
         "kg_find_objects": (
             f"SELECT subj AS value FROM read_parquet('{fx}/kb_triples.parquet') "

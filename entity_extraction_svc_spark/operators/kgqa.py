@@ -1,0 +1,92 @@
+"""Knowledge-graph quality audits: contradiction and referential checks.
+
+The reference emits triples per request and trusts the KB side implicitly
+(wiki_parser serves whatever the HDT store holds); a corpus-level
+construction pipeline that MERGES sources (KB + per-document extractions,
+S7/S8 custom-KB ingest) needs the standard QA passes before a graph is
+shipped:
+
+- :func:`functional_conflicts` — a *functional* predicate (birthplace,
+  date of birth, capital) admits one value per subject; after a
+  multi-source union, subjects carrying >1 distinct object on such a
+  predicate are contradictions to surface, not rows to silently keep.
+- :func:`dangling_objects` — entity-valued objects that never occur as a
+  subject and are absent from the entity dimension: broken references
+  introduced by partial ingests or by linker output naming QIDs the KB
+  slice doesn't carry.
+- :func:`predicate_stats` — per-predicate row/subject counts, the profile
+  a schema owner reads before accepting an ingest.
+
+Scale shape: each audit is one partial-agg-safe shuffle on its natural
+key — ``groupBy(subj, pred)`` for conflicts, ``distinct`` + two
+``left_anti`` joins on the entity id for dangling (the entity dim side is
+broadcast when it fits, and both anti-join inputs are already
+id-projected single columns), a ``groupBy(pred)`` for stats (predicate
+cardinality is tiny, but counts are partial-aggregated before the
+exchange so skewed predicates like P31 never concentrate rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Wikidata-style single-valued predicates relevant to the fixture domain:
+# birthplace, capital, inception, date fields are one-per-subject.
+FUNCTIONAL_PREDS = ["P19", "P36", "P571", "P159", "P1376"]
+
+
+def functional_conflicts(triples: DataFrame,
+                         functional_preds: list[str] | None = None,
+                         ) -> DataFrame:
+    """(subj, pred, objects, n_obj) for every subject carrying more than
+    one distinct object on a functional predicate.
+
+    ``objects`` is the sorted distinct object array — deterministic, so
+    downstream resolution (pick-first, source-priority, human review) and
+    the engine-parity contract both see one canonical spelling of the
+    conflict.
+    """
+    preds = functional_preds or FUNCTIONAL_PREDS
+    return (
+        triples.filter(F.col("pred").isin(preds))
+        .groupBy("subj", "pred")
+        .agg(F.sort_array(F.collect_set("obj")).alias("objects"))
+        .filter(F.size("objects") > 1)
+        .select("subj", "pred", "objects", F.size("objects").alias("n_obj"))
+    )
+
+
+def dangling_objects(triples: DataFrame, entities: DataFrame | None = None,
+                     qid_col: str = "qid") -> DataFrame:
+    """Distinct entity-shaped objects (``Q<digits>``) that never appear as
+    a subject — and, when the ``entities`` dimension is given, are absent
+    from it too.  One column: ``obj``.
+
+    Literal-valued objects (dates, names, quantities) are not references
+    and are excluded up front, which also keeps the distinct small.
+    """
+    objs = (
+        triples.filter(F.col("obj").rlike("^Q[0-9]+$"))
+        .select("obj").distinct()
+    )
+    out = objs.join(
+        triples.select(F.col("subj").alias("obj")).distinct(), "obj", "left_anti"
+    )
+    if entities is not None:
+        out = out.join(
+            entities.select(F.col(qid_col).alias("obj")).distinct(),
+            "obj", "left_anti",
+        )
+    return out
+
+
+def predicate_stats(triples: DataFrame) -> DataFrame:
+    """(pred, n_triples, n_subj) — the ingest profile.  Exact distinct
+    subject counts (the oracle certifies values); swap in
+    ``approx_count_distinct`` when profiling at the full 10^12 scale and
+    exactness stops mattering."""
+    return triples.groupBy("pred").agg(
+        F.count("*").alias("n_triples"),
+        F.countDistinct("subj").alias("n_subj"),
+    )
