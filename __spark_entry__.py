@@ -207,7 +207,11 @@ def _kg_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _kg_connection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W10 pairwise connection probe (part=conn) + its k-hop
     generalization, the bounded BFS ball with minimal hop distances
-    (part=bfs), merged into one driver row over the same fixture KB."""
+    (part=bfs), + the global graph-shape pass, per-node triangle counts
+    and clustering coefficients over the entity->entity edges (part=tri;
+    b packs degree:n_tri:coeff-in-micros so the row stays integer-hashed),
+    merged into one driver row over the same fixture KB."""
+    from entity_extraction_svc_spark.operators.graphstats import triangle_counts
     from entity_extraction_svc_spark.operators.graphwalk import bfs_distances
     from entity_extraction_svc_spark.operators.kgquery import find_connection
 
@@ -225,7 +229,20 @@ def _kg_connection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("entity").alias("a"),
         F.col("dist").cast("string").alias("b"),
     )
-    return conn.unionByName(bfs)
+    ee = kb.filter(F.col("obj").rlike("^Q[0-9]+$")).select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    tri = triangle_counts(ee).select(
+        F.lit("tri").alias("part"),
+        F.col("node").alias("a"),
+        F.concat_ws(
+            ":",
+            F.col("degree"),
+            F.col("n_tri"),
+            F.round(F.col("coeff") * 1e6).cast("long"),
+        ).alias("b"),
+    )
+    return conn.unionByName(bfs).unionByName(tri)
 
 
 def _kg_date_format(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -484,8 +501,13 @@ def _kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     rel-ranking + wiki_parser top-people caches) — as part=global, plus
     personalized PageRank from two seed hubs (part=ppr): relatedness-to-
     seed-set, the closure of the reference's candidate-scoring-by-
-    connections-to-other-document-entities heuristic."""
+    connections-to-other-document-entities heuristic, plus Kleinberg HITS
+    over the same edges (parts hits_hub / hits_auth) — the directed
+    hub-vs-authority split PageRank's single importance score can't
+    express (a page linking many good entities vs an entity many pages
+    assert claims about)."""
     from entity_extraction_svc_spark.fixtures import ensure_fixtures
+    from entity_extraction_svc_spark.operators.graphstats import hits
     from entity_extraction_svc_spark.operators.pagerank import (
         pagerank,
         personalized_pagerank,
@@ -503,7 +525,14 @@ def _kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ppr = personalized_pagerank(edges, _PPR_SEEDS, iterations=10).select(
         F.lit("ppr").alias("part"), "node", "rank"
     )
-    return glob.unionByName(ppr)
+    ha = hits(edges, iterations=10)
+    hub = ha.select(
+        F.lit("hits_hub").alias("part"), "node", F.col("hub").alias("rank")
+    )
+    auth = ha.select(
+        F.lit("hits_auth").alias("part"), "node", F.col("auth").alias("rank")
+    )
+    return glob.unionByName(ppr).unionByName(hub).unionByName(auth)
 
 
 def _doc_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1256,7 +1285,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     redaction), doc_split (deterministic md5-bucket train/val/test),
     kg_pagerank (iterative entity importance, unrolled-SQL oracle),
     doc_decontam (eval-set n-gram overlap), doc_perplexity (corpus-trained
-    bigram-LM cross-entropy, CCNet-style)."""
+    bigram-LM cross-entropy, CCNet-style).
+    Round-4 part merges (same both-run + unioned-oracle rule): kg_connection
+    += tri (triangles/clustering), kg_pagerank += hits_hub/hits_auth,
+    kg_find_rels += QA audits, kg_pattern_search += bgp."""
     return {
         # KG pipeline (SURVEY §2.2-2.9) on the deterministic fixture corpus
         "kg_extract_text": _kg_extract_text,
@@ -2256,6 +2288,7 @@ def oracle_sql() -> dict[str, str]:
 
     # kg_pagerank: the unrolled-iteration SQL is generated by the operator
     # module itself, so Spark and oracle share ONE recurrence definition
+    from entity_extraction_svc_spark.operators.graphstats import hits_oracle_sql
     from entity_extraction_svc_spark.operators.pagerank import (
         pagerank_oracle_sql,
         ppr_oracle_sql,
@@ -2269,6 +2302,28 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT 'global' AS part, * FROM ({pagerank_oracle_sql(_pr_edges)})"
         " UNION ALL "
         f"SELECT 'ppr' AS part, * FROM ({ppr_oracle_sql(_pr_edges, _PPR_SEEDS)})"
+        " UNION ALL "
+        f"SELECT 'hits_hub' AS part, node, hub AS rank"
+        f" FROM ({hits_oracle_sql(_pr_edges)})"
+        " UNION ALL "
+        f"SELECT 'hits_auth' AS part, node, auth AS rank"
+        f" FROM ({hits_oracle_sql(_pr_edges)})"
+    )
+
+    # kg_connection part=tri: the naive three-way-join triangle count from
+    # the operator module (shared DEFINITION, independent plan); b packs
+    # degree:n_tri:coeff-in-micros exactly as the Spark side does
+    from entity_extraction_svc_spark.operators.graphstats import (
+        triangles_oracle_sql,
+    )
+
+    sql["kg_connection"] = (
+        f"SELECT * FROM ({sql['kg_connection']})"
+        " UNION ALL "
+        "SELECT 'tri' AS part, node AS a, "
+        "degree::VARCHAR || ':' || n_tri::VARCHAR || ':' || "
+        "round(coeff * 1000000)::BIGINT::VARCHAR AS b"
+        f" FROM ({triangles_oracle_sql(_pr_edges)})"
     )
 
     # doc_decontam: word 8-grams (with_shingles semantics incl. the
