@@ -179,10 +179,33 @@ def _kg_find_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _kg_types_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from entity_extraction_svc_spark.operators.kgquery import find_types_2hop
+    """W8 2-hop type expansion (part=2hop) + its fixpoint generalization,
+    types ∪ ALL transitive superclasses via log-round path-doubled P279
+    closure (part=closure), + the raw taxonomy closure itself with minimal
+    hop distances packed as type:dist (part=tax) so the driver row pins the
+    doubling recurrence's distances against the linear recursive-CTE
+    oracle."""
+    from entity_extraction_svc_spark.operators.graphwalk import (
+        transitive_closure,
+    )
+    from entity_extraction_svc_spark.operators.kgquery import (
+        find_types_2hop,
+        find_types_closure,
+    )
 
     kb = spark.read.parquet(f"{FIXTURES}/kb_triples.parquet")
-    return find_types_2hop(kb)
+    two = find_types_2hop(kb).select(
+        F.lit("2hop").alias("part"), "subj", "type"
+    )
+    clo = find_types_closure(kb).select(
+        F.lit("closure").alias("part"), "subj", "type"
+    )
+    tax = transitive_closure(kb, pred="P279").select(
+        F.lit("tax").alias("part"),
+        F.col("src").alias("subj"),
+        F.concat_ws(":", "dst", "dist").alias("type"),
+    )
+    return two.unionByName(clo).unionByName(tax)
 
 
 def _kg_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1288,7 +1311,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     bigram-LM cross-entropy, CCNet-style).
     Round-4 part merges (same both-run + unioned-oracle rule): kg_connection
     += tri (triangles/clustering), kg_pagerank += hits_hub/hits_auth,
-    kg_find_rels += QA audits, kg_pattern_search += bgp."""
+    kg_find_rels += QA audits, kg_pattern_search += bgp, kg_types_2hop
+    += closure/tax (path-doubled taxonomy closure)."""
     return {
         # KG pipeline (SURVEY §2.2-2.9) on the deterministic fixture corpus
         "kg_extract_text": _kg_extract_text,
@@ -1475,8 +1499,17 @@ def oracle_sql() -> dict[str, str]:
             f"WITH t AS (SELECT * FROM read_parquet('{fx}/kb_triples.parquet')), "
             "t1 AS (SELECT subj, obj AS type FROM t WHERE pred = 'P31'), "
             "sup AS (SELECT t1.subj, b.obj AS type FROM t1 "
-            "        JOIN t b ON t1.type = b.subj AND b.pred = 'P279') "
-            "SELECT DISTINCT subj, type FROM (SELECT * FROM t1 UNION ALL SELECT * FROM sup)"
+            "        JOIN t b ON t1.type = b.subj AND b.pred = 'P279'), "
+            "clo AS (SELECT * FROM ({CLOSURE_SQL}) c), "
+            "supall AS (SELECT t1.subj, clo.dst AS type FROM t1 "
+            "           JOIN clo ON t1.type = clo.src) "
+            "SELECT '2hop' AS part, subj, type FROM (SELECT DISTINCT * FROM "
+            "  (SELECT * FROM t1 UNION ALL SELECT * FROM sup)) "
+            "UNION ALL "
+            "SELECT 'closure', subj, type FROM (SELECT DISTINCT * FROM "
+            "  (SELECT * FROM t1 UNION ALL SELECT * FROM supall)) "
+            "UNION ALL "
+            "SELECT 'tax', src, dst || ':' || dist::VARCHAR FROM clo"
         ),
         "kg_intersection": (
             f"WITH t AS (SELECT * FROM read_parquet('{fx}/kb_triples.parquet')) "
@@ -2308,6 +2341,21 @@ def oracle_sql() -> dict[str, str]:
         " UNION ALL "
         f"SELECT 'hits_auth' AS part, node, auth AS rank"
         f" FROM ({hits_oracle_sql(_pr_edges)})"
+    )
+
+    # kg_types_2hop parts closure/tax: the linear recursive-CTE closure
+    # from the operator module (shared reachability definition; the Spark
+    # side path-doubles, the oracle grows one edge per recursion step)
+    from entity_extraction_svc_spark.operators.graphwalk import (
+        closure_oracle_sql,
+    )
+
+    sql["kg_types_2hop"] = sql["kg_types_2hop"].replace(
+        "{CLOSURE_SQL}",
+        closure_oracle_sql(
+            f"SELECT * FROM read_parquet('{fx}/kb_triples.parquet')",
+            pred="P279",
+        ),
     )
 
     # kg_connection part=tri: the naive three-way-join triangle count from

@@ -89,6 +89,28 @@ def find_types_2hop(triples: DataFrame) -> DataFrame:
     return t1.union(sup).distinct()
 
 
+def find_types_closure(triples: DataFrame) -> DataFrame:
+    """W8 generalized: types ∪ ALL transitive superclasses of the types —
+    the fixpoint the reference's 2-hop expansion (wiki_parser.py:319-337)
+    truncates at depth 1.  The P279 taxonomy closes via log-round path
+    doubling (graphwalk.transitive_closure), then one join carries every
+    typed subject to its full ancestor set."""
+    from entity_extraction_svc_spark.operators.graphwalk import (
+        transitive_closure,
+    )
+
+    t1 = triples.filter(F.col("pred") == "P31").select(
+        "subj", F.col("obj").alias("type")
+    )
+    clo = transitive_closure(triples, pred="P279")
+    sup = (
+        t1.alias("a")
+        .join(clo.alias("c"), F.col("a.type") == F.col("c.src"))
+        .select(F.col("a.subj").alias("subj"), F.col("c.dst").alias("type"))
+    )
+    return t1.union(sup).distinct()
+
+
 def find_intersection(triples: DataFrame, entity1: str, entity2: str,
                       rel: str) -> DataFrame:
     """W9 (wiki_parser.py:349-368): shared objects of two entities over a
@@ -272,11 +294,33 @@ def match_bgp(triples: DataFrame, patterns: list[tuple[str, str, str]],
         equi-joins and AQE broadcasts any leg that turns out tiny at
         runtime.
 
+    Property paths: a constant predicate ending in ``+`` (SPARQL's
+    one-or-more path, e.g. ``P279+``) makes the leg scan the
+    :func:`~entity_extraction_svc_spark.operators.graphwalk.transitive_closure`
+    of that predicate instead of the raw table — closed once per distinct
+    path predicate, shared across legs.  Sound for the hierarchy-shaped
+    predicates closure is sized for (see the closure docstring's honest
+    budget note).
+
     Bag semantics (no implicit distinct), like SPARQL BGPs.  ``select``
     projects the named variables (with or without the ``?``)."""
+    from entity_extraction_svc_spark.operators.graphwalk import (
+        transitive_closure,
+    )
+
+    closures: dict[str, DataFrame] = {}
     legs = []
     for i, (s, p, o) in enumerate(patterns):
         leg = triples
+        if not p.startswith("?") and p.endswith("+") and len(p) > 1:
+            base = p[:-1]
+            if base not in closures:
+                closures[base] = transitive_closure(triples, base).select(
+                    F.col("src").alias("subj"),
+                    F.lit(p).alias("pred"),
+                    F.col("dst").alias("obj"),
+                )
+            leg = closures[base]
         out_cols, seen = [], {}
         for col, term in (("subj", s), ("pred", p), ("obj", o)):
             if term.startswith("?"):

@@ -90,3 +90,87 @@ def test_bfs_oracle_parity_on_fixture_kb(spark, fixture_dir, direction):
     want = sorted(map(tuple, duckdb.connect().execute(sql).fetchall()))
     assert got == want
     assert len(got) > 1  # the fixture ball is non-trivial
+
+
+# --- transitive closure (path doubling) --------------------------------------
+
+from entity_extraction_svc_spark.operators.graphwalk import (  # noqa: E402
+    closure_oracle_sql,
+    transitive_closure,
+)
+from entity_extraction_svc_spark.operators.kgquery import match_bgp  # noqa: E402
+
+
+def _pairs(df) -> dict[tuple[str, str], int]:
+    return {(r["src"], r["dst"]): r["dist"] for r in df.collect()}
+
+
+def test_closure_chain_with_shortcut(spark):
+    got = _pairs(transitive_closure(_graph(spark)))
+    # all-preds closure of the 5-edge graph; shortcut a->c wins over a->b->c
+    assert got == {
+        ("a", "b"): 1, ("b", "c"): 1, ("c", "d"): 1, ("a", "c"): 1,
+        ("x", "y"): 1, ("a", "d"): 2, ("b", "d"): 2,
+    }
+
+
+def test_closure_pred_restricted(spark):
+    got = _pairs(transitive_closure(_graph(spark), pred="p1"))
+    assert got == {("a", "b"): 1, ("b", "c"): 1, ("x", "y"): 1, ("a", "c"): 2}
+
+
+def test_closure_deep_chain_log_rounds(spark):
+    # a 40-deep chain must close completely within the 16-round doubling
+    # budget (ceil(log2 40) = 6 rounds) — the whole point of doubling
+    edges = [(f"n{i}", "p", f"n{i+1}") for i in range(40)]
+    df = spark.createDataFrame(edges, "subj string, pred string, obj string")
+    got = _pairs(transitive_closure(df))
+    assert len(got) == 40 * 41 // 2
+    assert got[("n0", "n40")] == 40
+    assert got[("n3", "n7")] == 4
+
+
+def test_closure_cycle_terminates(spark):
+    edges = [("a", "p", "b"), ("b", "p", "c"), ("c", "p", "a")]
+    df = spark.createDataFrame(edges, "subj string, pred string, obj string")
+    got = _pairs(transitive_closure(df))
+    # every ordered pair reachable, self-pairs at the cycle length
+    assert got[("a", "a")] == 3 and got[("b", "b")] == 3
+    assert got[("a", "b")] == 1 and got[("b", "a")] == 2
+    assert len(got) == 9
+
+
+def test_closure_oracle_parity(spark):
+    rows = ", ".join(f"('{s}', '{p}', '{o}')" for s, p, o in _EDGES)
+    base = f"SELECT * FROM (VALUES {rows}) t(subj, pred, obj)"
+    for pred in (None, "p1"):
+        want = {(r[0], r[1]): r[2] for r in duckdb.sql(
+            closure_oracle_sql(base, pred=pred)).fetchall()}
+        got = _pairs(transitive_closure(_graph(spark), pred=pred))
+        assert got == want
+
+
+def test_closure_empty_pred(spark):
+    assert transitive_closure(_graph(spark), pred="nope").count() == 0
+
+
+def test_bgp_property_path_leg(spark):
+    # taxonomy: cat -P279-> mammal -P279-> animal; typed instances via P31
+    edges = [
+        ("cat", "P279", "mammal"), ("mammal", "P279", "animal"),
+        ("tom", "P31", "cat"), ("rex", "P31", "dog"),
+        ("dog", "P279", "mammal"),
+    ]
+    df = spark.createDataFrame(edges, "subj string, pred string, obj string")
+    got = sorted(
+        (r["x"], r["cls"])
+        for r in match_bgp(
+            df,
+            [("?x", "P31", "?t"), ("?t", "P279+", "?cls")],
+            select=["x", "cls"],
+        ).collect()
+    )
+    assert got == [
+        ("rex", "animal"), ("rex", "mammal"),
+        ("tom", "animal"), ("tom", "mammal"),
+    ]
