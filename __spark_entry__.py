@@ -210,7 +210,11 @@ def _kg_types_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _kg_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W9 find_intersection on the KB (part=kb) + the relational INTERSECT
-    skeleton on orders (part=orders), merged into one driver row."""
+    skeleton on orders (part=orders) + corpus-level co-occurrence PMI
+    relatedness over the golden links (part=pmi; value packs
+    a:b:n_ab:pmi-in-micros so the row stays integer-hashed), merged into
+    one driver row."""
+    from entity_extraction_svc_spark.operators.cooccur import pmi_relatedness
     from entity_extraction_svc_spark.operators.kgquery import find_intersection
 
     kb = spark.read.parquet(f"{FIXTURES}/kb_triples.parquet")
@@ -224,7 +228,16 @@ def _kg_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     ord_part = a.intersect(b).select(
         F.lit("orders").alias("part"), F.col("o_custkey").cast("string").alias("value")
     )
-    return kb_part.unionByName(ord_part)
+    links = spark.read.parquet(f"{FIXTURES}/golden_links.parquet")
+    pmi_part = pmi_relatedness(links, min_count=2).select(
+        F.lit("pmi").alias("part"),
+        F.concat_ws(
+            ":",
+            "ent_a", "ent_b", "n_ab",
+            F.round(F.col("pmi") * 1e6).cast("long"),
+        ).alias("value"),
+    )
+    return kb_part.unionByName(ord_part).unionByName(pmi_part)
 
 
 def _kg_connection(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2348,6 +2361,21 @@ def oracle_sql() -> dict[str, str]:
     # side path-doubles, the oracle grows one edge per recursion step)
     from entity_extraction_svc_spark.operators.graphwalk import (
         closure_oracle_sql,
+    )
+
+    # kg_intersection part=pmi: the module's own DuckDB rendition of the
+    # distinct/cap/pair/marginal/ln recurrence over the same golden links
+    from entity_extraction_svc_spark.operators.cooccur import pmi_oracle_sql
+
+    f_pmi_src = (
+        f"SELECT url, qid FROM read_parquet('{fx}/golden_links.parquet')"
+    )
+    sql["kg_intersection"] = (
+        f"SELECT * FROM ({sql['kg_intersection']})"
+        " UNION ALL "
+        "SELECT 'pmi' AS part, ent_a || ':' || ent_b || ':' || "
+        "n_ab::VARCHAR || ':' || round(pmi * 1000000)::BIGINT::VARCHAR AS value"
+        f" FROM ({pmi_oracle_sql(f_pmi_src, min_count=2)})"
     )
 
     sql["kg_types_2hop"] = sql["kg_types_2hop"].replace(
