@@ -764,10 +764,22 @@ def _rel_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ASOF_PROBE_TS = "2024-01-15 00:00:00"
+
+
 def _rel_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Range join: purchases landing inside [signup, signup + 2h) windows
-    of the same user (bucketed equi-join, not a per-key theta join)."""
-    from entity_extraction_svc_spark.operators.temporal import range_join
+    """Range join, purchases landing inside [signup, signup + 2h) windows
+    of the same user — bucketed equi-join, not a per-key theta join
+    (part=range) — merged with fact VERSIONING over the same event log:
+    each user's event_type stream collapsed to validity intervals
+    (part=facts; b packs the epoch-second interval, -1 = open) and the
+    snapshot believed at the probe instant (part=asof), the KG twin of
+    Iceberg time travel."""
+    from entity_extraction_svc_spark.operators.temporal import (
+        fact_intervals,
+        kb_as_of,
+        range_join,
+    )
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     pts = ev.filter(F.col("event_type") == "purchase").select(
@@ -779,9 +791,32 @@ def _rel_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end"),
         F.col("event_id").alias("signup_id"),
     )
-    return range_join(pts, iv, on=["user_id"]).select(
-        "purchase_id", "signup_id"
+    rng = range_join(pts, iv, on=["user_id"]).select(
+        F.lit("range").alias("part"),
+        F.col("purchase_id").cast("string").alias("a"),
+        F.col("signup_id").cast("string").alias("b"),
     )
+    obs = ev.select(
+        F.col("user_id").alias("subj"), F.lit("status").alias("pred"),
+        F.col("event_type").alias("obj"), F.col("ts").alias("observed_ts"),
+    )
+    fi = fact_intervals(obs, ["subj", "pred"], "obj")
+    pack = F.concat_ws(
+        ":",
+        F.unix_timestamp("valid_from"),
+        F.coalesce(F.unix_timestamp("valid_to"), F.lit(-1)),
+    )
+    facts = fi.select(
+        F.lit("facts").alias("part"),
+        F.concat_ws(":", "subj", "value").alias("a"),
+        pack.alias("b"),
+    )
+    asof = kb_as_of(fi, _ASOF_PROBE_TS).select(
+        F.lit("asof").alias("part"),
+        F.col("subj").cast("string").alias("a"),
+        F.col("value").alias("b"),
+    )
+    return rng.unionByName(facts).unionByName(asof)
 
 
 def _web_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1796,14 +1831,27 @@ def oracle_sql() -> dict[str, str]:
             """
         ),
         "rel_range_join": (
-            # the naive theta join IS the oracle; the Spark side must reach
-            # the same pairs through the bucketed plan
+            # part=range: the naive theta join IS the oracle; the Spark
+            # side must reach the same pairs through the bucketed plan.
+            # parts facts/asof: {FACTS_SQL} is generated by the temporal
+            # module (shared run-collapse definition, independent plan)
             """
-            SELECT p.event_id AS purchase_id, s.event_id AS signup_id
+            WITH fi AS ({FACTS_SQL})
+            SELECT 'range' AS part, p.event_id::VARCHAR AS a,
+                   s.event_id::VARCHAR AS b
             FROM (SELECT * FROM events WHERE event_type = 'purchase') p
             JOIN (SELECT * FROM events WHERE event_type = 'signup') s
               ON p.user_id = s.user_id
              AND p.ts >= s.ts AND p.ts < s.ts + INTERVAL 2 HOUR
+            UNION ALL
+            SELECT 'facts', subj::VARCHAR || ':' || value,
+                   floor(epoch(valid_from))::BIGINT::VARCHAR || ':' ||
+                   coalesce(floor(epoch(valid_to))::BIGINT, -1)::VARCHAR
+            FROM fi
+            UNION ALL
+            SELECT 'asof', subj::VARCHAR, value FROM fi
+            WHERE valid_from <= TIMESTAMP '{ASOF_TS}'
+              AND (valid_to IS NULL OR valid_to > TIMESTAMP '{ASOF_TS}')
             """
         ),
         "doc_embed": (
@@ -2365,6 +2413,21 @@ def oracle_sql() -> dict[str, str]:
 
     # kg_intersection part=pmi: the module's own DuckDB rendition of the
     # distinct/cap/pair/marginal/ln recurrence over the same golden links
+    # rel_range_join parts facts/asof: the run-collapse SQL comes from the
+    # temporal module so both engines share one interval definition
+    from entity_extraction_svc_spark.operators.temporal import (
+        fact_intervals_oracle_sql,
+    )
+
+    sql["rel_range_join"] = sql["rel_range_join"].replace(
+        "{FACTS_SQL}",
+        fact_intervals_oracle_sql(
+            "SELECT user_id AS subj, 'status' AS pred, "
+            "event_type AS obj, ts AS observed_ts FROM events",
+            ["subj", "pred"], "obj",
+        ),
+    ).replace("{ASOF_TS}", _ASOF_PROBE_TS)
+
     from entity_extraction_svc_spark.operators.cooccur import pmi_oracle_sql
 
     f_pmi_src = (

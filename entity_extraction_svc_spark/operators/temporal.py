@@ -101,3 +101,98 @@ def range_join(points: DataFrame, intervals: DataFrame, on: list[str],
         (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
     )
     return joined.drop("_bucket")
+
+
+def fact_intervals(observations: DataFrame, key_cols: list[str],
+                   val_col: str, ts_col: str = "observed_ts") -> DataFrame:
+    """Collapse a timestamped observation stream of FUNCTIONAL facts (one
+    true value per key at a time — the (subj, pred)→obj shape of repeated
+    crawls re-extracting the same claim) into validity intervals:
+    (key…, value, valid_from, valid_to), half-open [valid_from, valid_to),
+    valid_to NULL for the currently-believed value.
+
+    Consecutive same-value observations merge into one run (re-seeing a
+    fact extends nothing, changes nothing); a value CHANGE closes the
+    previous interval at the change's timestamp.  This is the KG-side twin
+    of Iceberg's snapshot time travel: :func:`kb_as_of` reconstructs the
+    KB any crawl believed, from the full observation log.
+
+    Execution shape: one hash shuffle on the key for the run-detection
+    window (lag + conditional running count); the run collapse groups on
+    (key…, run) — a superset of the window's partition key, so it reuses
+    the same exchange — and the interval chaining (lead) rides the same
+    partitioning again.  Ties at equal ts break by value (deterministic,
+    oracle-identical).
+    """
+    keys = [F.col(k) for k in key_cols]
+    w = Window.partitionBy(*keys).orderBy(F.col(ts_col), F.col(val_col))
+    chg = F.when(
+        F.lag(val_col).over(w).isNull()
+        | (F.col(val_col) != F.lag(val_col).over(w)),
+        1,
+    ).otherwise(0)
+    runs = observations.withColumn(
+        "_run",
+        F.sum(chg).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    ).select(
+        *keys, F.col(val_col).alias("value"), F.col(ts_col).alias("_ts"),
+        "_run",
+    )
+    iv = runs.groupBy(*key_cols, "_run").agg(
+        F.first("value").alias("value"),
+        F.min("_ts").alias("valid_from"),
+    )
+    w2 = Window.partitionBy(*[F.col(k) for k in key_cols]).orderBy("_run")
+    return iv.select(
+        *key_cols,
+        "value",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+    )
+
+
+def kb_as_of(intervals: DataFrame, ts, ts_col_from: str = "valid_from",
+             ts_col_to: str = "valid_to") -> DataFrame:
+    """The fact set believed at time ``ts``: rows whose half-open validity
+    interval contains it (open current intervals match any later ts).
+    Partition/predicate pruning applies if the interval table is stored
+    partitioned on a time bucket of ``valid_from``."""
+    t = F.lit(ts).cast("timestamp")
+    return intervals.filter(
+        (F.col(ts_col_from) <= t)
+        & (F.col(ts_col_to).isNull() | (F.col(ts_col_to) > t))
+    )
+
+
+def fact_intervals_oracle_sql(observations_sql: str, key_cols: list[str],
+                              val_col: str,
+                              ts_col: str = "observed_ts") -> str:
+    """DuckDB rendition of the SAME run-collapse recurrence (lag → change
+    flag → running sum → group → lead), independent plan."""
+    ks = ", ".join(key_cols)
+    return f"""
+        WITH obs AS ({observations_sql}),
+        flagged AS (
+          SELECT {ks}, {val_col} AS value, {ts_col} AS _ts,
+                 CASE WHEN lag({val_col}) OVER w IS NULL
+                        OR {val_col} <> lag({val_col}) OVER w
+                      THEN 1 ELSE 0 END AS chg
+          FROM obs
+          WINDOW w AS (PARTITION BY {ks} ORDER BY {ts_col}, {val_col})
+        ),
+        runs AS (
+          SELECT *, sum(chg) OVER (PARTITION BY {ks} ORDER BY _ts, value
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _run
+          FROM flagged
+        ),
+        iv AS (
+          SELECT {ks}, _run, first(value ORDER BY _ts, value) AS value,
+                 min(_ts) AS valid_from
+          FROM runs GROUP BY {ks}, _run
+        )
+        SELECT {ks}, value, valid_from,
+               lead(valid_from) OVER (PARTITION BY {ks} ORDER BY _run) AS valid_to
+        FROM iv
+    """

@@ -118,3 +118,85 @@ def test_asof_plan_single_shuffle(spark):
     out = asof_join(p, c, on=["user_id"], ts_col="ts", tie_col="event_id")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
+
+
+# --- fact versioning (validity intervals + as-of snapshots) -------------------
+
+import duckdb  # noqa: E402
+
+from entity_extraction_svc_spark.operators.temporal import (  # noqa: E402
+    fact_intervals,
+    fact_intervals_oracle_sql,
+    kb_as_of,
+)
+
+# Q1's capital: A (seen twice — runs merge), then B, then back to A;
+# Q2's capital: constant C
+_OBS = [
+    ("Q1", "P36", "A", 0), ("Q1", "P36", "A", 10), ("Q1", "P36", "B", 20),
+    ("Q1", "P36", "A", 30), ("Q2", "P36", "C", 5),
+]
+
+
+def _obs_df(spark):
+    rows = [(s, p, v, _ts(m)) for s, p, v, m in _OBS]
+    return spark.createDataFrame(
+        rows, "subj string, pred string, obj string, observed_ts timestamp"
+    )
+
+
+def test_fact_intervals_run_collapse(spark):
+    got = sorted(
+        (r["subj"], r["value"], r["valid_from"], r["valid_to"])
+        for r in fact_intervals(
+            _obs_df(spark), ["subj", "pred"], "obj"
+        ).collect()
+    )
+    assert got == [
+        ("Q1", "A", _ts(0), _ts(20)),   # the duplicate at t10 merged
+        ("Q1", "A", _ts(30), None),     # reverted value opens a NEW interval
+        ("Q1", "B", _ts(20), _ts(30)),
+        ("Q2", "C", _ts(5), None),
+    ]
+
+
+def test_kb_as_of_reconstructs_snapshots(spark):
+    iv = fact_intervals(_obs_df(spark), ["subj", "pred"], "obj")
+    snap = lambda m: {  # noqa: E731
+        (r["subj"], r["value"]) for r in kb_as_of(iv, _ts(m)).collect()
+    }
+    assert snap(15) == {("Q1", "A"), ("Q2", "C")}
+    assert snap(25) == {("Q1", "B"), ("Q2", "C")}
+    assert snap(99) == {("Q1", "A"), ("Q2", "C")}
+    assert snap(2) == {("Q1", "A")}  # Q2 not yet observed
+
+
+def test_fact_intervals_oracle_parity(spark):
+    rows = ", ".join(
+        f"('{s}', '{p}', '{v}', TIMESTAMP '2024-01-01 00:{m:02d}:00')"
+        for s, p, v, m in _OBS
+    )
+    sql = fact_intervals_oracle_sql(
+        f"SELECT * FROM (VALUES {rows}) t(subj, pred, obj, observed_ts)",
+        ["subj", "pred"], "obj",
+    )
+    want = sorted(map(tuple, duckdb.sql(sql).fetchall()))
+    got = sorted(
+        (r["subj"], r["pred"], r["value"], r["valid_from"], r["valid_to"])
+        for r in fact_intervals(
+            _obs_df(spark), ["subj", "pred"], "obj"
+        ).collect()
+    )
+    assert got == want
+
+
+def test_fact_intervals_single_shuffle(spark):
+    """Window + run collapse + lead all ride ONE exchange on the key."""
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    obs = ev.select(
+        F.col("user_id").alias("subj"), F.lit("status").alias("pred"),
+        F.col("event_type").alias("obj"), F.col("ts").alias("observed_ts"),
+    )
+    out = fact_intervals(obs, ["subj", "pred"], "obj")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
