@@ -354,11 +354,15 @@ def _kg_find_rels(spark: SparkSession, sf_dir: str) -> DataFrame:
     validation over the whole store (part=violation) + the multi-source
     QA audits over KB ∪ second-source (part=func: functional-predicate
     contradictions; part=dangling: unresolvable entity references;
-    part=predstats: per-predicate ingest profile)."""
+    part=predstats: per-predicate ingest profile) + crawl-over-crawl
+    snapshot comparison (part=diff: set-semantics added/removed; part=
+    change: functional edits paired as old→new)."""
     from entity_extraction_svc_spark.operators.kgqa import (
         dangling_objects,
+        functional_changes,
         functional_conflicts,
         predicate_stats,
+        snapshot_diff,
     )
     from entity_extraction_svc_spark.operators.kgquery import (
         find_rels,
@@ -397,7 +401,24 @@ def _kg_find_rels(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_triples").cast("string").alias("obj"),
         F.col("n_subj").cast("string").alias("expected"),
     )
-    return rels.unionByName(viol).unionByName(func).unionByName(dang).unionByName(stats)
+    # crawl-over-crawl diff: new snapshot = KB minus the Louvre's rows plus
+    # the second source (whose exact-duplicate row must NOT appear as churn)
+    new_snap = kb.filter(F.col("subj") != "Q19675").unionByName(
+        spark.createDataFrame(_SECOND_SOURCE, "subj string, pred string, obj string")
+    )
+    diff = snapshot_diff(kb, new_snap).select(
+        F.lit("diff").alias("part"), F.col("status").alias("kind"),
+        "subj", "pred", "obj", blank.alias("expected"),
+    )
+    chg = functional_changes(kb, new_snap).select(
+        F.lit("change").alias("part"), F.lit("edit").alias("kind"),
+        "subj", "pred", F.col("new_obj").alias("obj"),
+        F.col("old_obj").alias("expected"),
+    )
+    return (
+        rels.unionByName(viol).unionByName(func).unionByName(dang)
+        .unionByName(stats).unionByName(diff).unionByName(chg)
+    )
 
 
 def _kg_find_objects(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1176,17 +1197,27 @@ def _kg_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _kb_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom-KB ingest ETL (S7/S8) in one row: the parsed N-triples table
-    (part=triples: a/b/c = subj/pred/obj) and the derived entity registry
-    (part=entities: a/b/c = qid/label/tag, num_rels populated)."""
+    (part=triples: a/b/c = subj/pred/obj), the derived entity registry
+    (part=entities: a/b/c = qid/label/tag, num_rels populated), and the
+    export direction (part=nt: canonical N-Triples lines from
+    format_ntriples — the ingest's inverse, byte-pinned by the oracle's
+    independent string rendition)."""
     from entity_extraction_svc_spark.fixtures import ensure_fixtures
     from entity_extraction_svc_spark.sources.ntriples import (
         build_kb_entities,
+        format_ntriples,
         parse_ntriples,
     )
 
     ensure_fixtures(FIXTURES)
     lines = spark.read.text(f"{FIXTURES}/custom_kb.nt")
     triples = parse_ntriples(lines)
+    blank = F.lit("")
+    nt_part = format_ntriples(triples).select(
+        F.lit("nt").alias("part"),
+        F.col("line").alias("a"), blank.alias("b"), blank.alias("c"),
+        F.lit(0).cast("long").alias("num_rels"),
+    )
     t_part = triples.select(
         F.lit("triples").alias("part"),
         F.col("subj").alias("a"), F.col("pred").alias("b"), F.col("obj").alias("c"),
@@ -1202,7 +1233,7 @@ def _kb_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("qid").alias("a"), F.col("label").alias("b"), F.col("tag").alias("c"),
         F.col("num_rels").cast("long").alias("num_rels"),
     )
-    return t_part.unionByName(e_part)
+    return t_part.unionByName(e_part).unionByName(nt_part)
 
 
 def _sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1614,7 +1645,37 @@ def oracle_sql() -> dict[str, str]:
             f"  AND obj NOT IN (SELECT qid FROM read_parquet('{fx}/kb_entities.parquet')) "
             "UNION ALL "
             "SELECT 'predstats', 'profile', '', pred, count(*)::VARCHAR, "
-            "       count(DISTINCT subj)::VARCHAR FROM m GROUP BY pred"
+            "       count(DISTINCT subj)::VARCHAR FROM m GROUP BY pred "
+            "UNION ALL "
+            "SELECT 'diff', status, subj, pred, obj, '' FROM ("
+            "  SELECT 'added' AS status, subj, pred, obj FROM ("
+            "    SELECT DISTINCT subj, pred, obj FROM ("
+            "      SELECT subj, pred, obj FROM t WHERE subj <> 'Q19675' "
+            f"     UNION ALL SELECT * FROM (VALUES {_second_source_values_sql()}) n2(subj, pred, obj)) "
+            "    EXCEPT SELECT DISTINCT subj, pred, obj FROM t) "
+            "  UNION ALL "
+            "  SELECT 'removed', subj, pred, obj FROM ("
+            "    SELECT DISTINCT subj, pred, obj FROM t "
+            "    EXCEPT SELECT DISTINCT subj, pred, obj FROM ("
+            "      SELECT subj, pred, obj FROM t WHERE subj <> 'Q19675' "
+            f"     UNION ALL SELECT * FROM (VALUES {_second_source_values_sql()}) n3(subj, pred, obj)))"
+            ") d "
+            "UNION ALL "
+            "SELECT 'change', 'edit', a.subj, a.pred, a.obj, r.obj FROM ("
+            "  SELECT subj, pred, obj FROM ("
+            "    SELECT DISTINCT subj, pred, obj FROM ("
+            "      SELECT subj, pred, obj FROM t WHERE subj <> 'Q19675' "
+            f"     UNION ALL SELECT * FROM (VALUES {_second_source_values_sql()}) n4(subj, pred, obj)) "
+            "    EXCEPT SELECT DISTINCT subj, pred, obj FROM t) "
+            f"  WHERE pred IN ({_functional_preds_sql()})) a "
+            "JOIN ("
+            "  SELECT subj, pred, obj FROM ("
+            "    SELECT DISTINCT subj, pred, obj FROM t "
+            "    EXCEPT SELECT DISTINCT subj, pred, obj FROM ("
+            "      SELECT subj, pred, obj FROM t WHERE subj <> 'Q19675' "
+            f"     UNION ALL SELECT * FROM (VALUES {_second_source_values_sql()}) n5(subj, pred, obj))) "
+            f"  WHERE pred IN ({_functional_preds_sql()})) r "
+            "ON a.subj = r.subj AND a.pred = r.pred"
         ),
         "kg_find_objects": (
             f"SELECT subj AS value FROM read_parquet('{fx}/kb_triples.parquet') "
@@ -2214,6 +2275,20 @@ def oracle_sql() -> dict[str, str]:
                             'MISC'),
                    num_rels
             FROM agg WHERE label IS NOT NULL
+            UNION ALL
+            SELECT 'nt',
+                   '<http://www.wikidata.org/entity/' || subj ||
+                   '> <http://www.wikidata.org/prop/direct/' || pred || '> ' ||
+                   CASE WHEN regexp_matches(obj, '^Q[0-9]+$')
+                        THEN '<http://www.wikidata.org/entity/' || obj || '>'
+                        ELSE '"' ||
+                             replace(replace(replace(replace(replace(obj,
+                               '\', '\\'), '"', '\"'),
+                               chr(10), '\n'), chr(13), '\r'), chr(9), '\t')
+                             || '"'
+                   END || ' .',
+                   '', '', 0::BIGINT
+            FROM t WHERE obj != ''
             """
         ),
         "mm_pipeline": (

@@ -90,3 +90,49 @@ def predicate_stats(triples: DataFrame) -> DataFrame:
         F.count("*").alias("n_triples"),
         F.countDistinct("subj").alias("n_subj"),
     )
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Triple-set diff between two KB snapshots (crawl N vs crawl N+1, or
+    pre- vs post-ingest): (status ∈ {added, removed}, subj, pred, obj)
+    under SET semantics — exact re-extractions of an existing triple are
+    not churn.  The batch twin of
+    :func:`~entity_extraction_svc_spark.operators.temporal.fact_intervals`
+    (which tracks one fact's value over many observations; this compares
+    two whole graphs at two instants).
+
+    Two distinct + two anti-joins, all hash-partitioned on the full
+    (subj, pred, obj) key; on subject-hash-partitioned stores both sides
+    arrive pre-clustered on the join key's prefix, and AQE broadcasts a
+    small delta side (the common case: a daily crawl touches a sliver of
+    10^12 triples)."""
+    k = ["subj", "pred", "obj"]
+    o, n = old.select(k).distinct(), new.select(k).distinct()
+    added = n.join(o, k, "left_anti").select(F.lit("added").alias("status"), *k)
+    removed = o.join(n, k, "left_anti").select(
+        F.lit("removed").alias("status"), *k
+    )
+    return added.unionByName(removed)
+
+
+def functional_changes(old: DataFrame, new: DataFrame,
+                       functional_preds: list[str] | None = None,
+                       ) -> DataFrame:
+    """Value CHANGES of functional facts between two snapshots:
+    (subj, pred, old_obj, new_obj) where a single-valued predicate's
+    object differs — the diff rows a review queue actually wants paired
+    (an added+removed pair on the same (subj, pred) is one edit, not two
+    independent events).  Computed from :func:`snapshot_diff` by joining
+    its added and removed sides on (subj, pred); subjects clean on one
+    side (true additions / retractions) stay in the plain diff."""
+    preds = functional_preds or FUNCTIONAL_PREDS
+    d = snapshot_diff(old, new).filter(F.col("pred").isin(preds))
+    a = d.filter(F.col("status") == "added").select(
+        "subj", "pred", F.col("obj").alias("new_obj")
+    )
+    r = d.filter(F.col("status") == "removed").select(
+        "subj", "pred", F.col("obj").alias("old_obj")
+    )
+    return a.join(r, ["subj", "pred"]).select(
+        "subj", "pred", "old_obj", "new_obj"
+    )

@@ -89,3 +89,49 @@ def upsert_entities(existing: DataFrame, new_rows: DataFrame,
     return new_rows.select(cols).unionByName(
         existing.join(new_rows.select(key), key, "left_anti")
     )
+
+
+# export bases — wikidata-style entity/predicate IRS namespaces; the
+# parser's local-name strip is their inverse, so format -> parse is the
+# identity on (subj, pred, obj)
+ENTITY_BASE = "http://www.wikidata.org/entity/"
+PRED_BASE = "http://www.wikidata.org/prop/direct/"
+
+
+def _escape_literal(c: "F.Column") -> "F.Column":
+    """N-Triples literal escapes (\\ " \\n \\r \\t), backslash first so the
+    later escapes aren't double-escaped — a regexp_replace chain, pure
+    codegen."""
+    c = F.regexp_replace(c, r"\\", r"\\\\")
+    c = F.regexp_replace(c, '"', r'\\"')
+    c = F.regexp_replace(c, "\n", r"\\n")
+    c = F.regexp_replace(c, "\r", r"\\r")
+    return F.regexp_replace(c, "\t", r"\\t")
+
+
+def format_ntriples(triples: DataFrame, entity_base: str = ENTITY_BASE,
+                    pred_base: str = PRED_BASE) -> DataFrame:
+    """(subj, pred, obj) -> one canonical N-Triples ``line`` per row — the
+    export sink inverse of :func:`parse_ntriples` (reference S7's ingest
+    direction), for interchange with standard RDF tooling.  QID-shaped
+    objects serialize as IRIs, everything else as escaped literals.
+    Row-local string concat, zero exchanges: a 10^12-triple export runs at
+    scan throughput and ``write.text`` shards it per partition."""
+    obj = F.when(
+        F.col("obj").rlike("^Q[0-9]+$"),
+        F.concat(F.lit("<" + entity_base), F.col("obj"), F.lit(">")),
+    ).otherwise(
+        F.concat(F.lit('"'), _escape_literal(F.col("obj")), F.lit('"'))
+    )
+    return triples.select(
+        F.concat(
+            F.lit("<" + entity_base), F.col("subj"), F.lit("> <" + pred_base),
+            F.col("pred"), F.lit("> "), obj, F.lit(" ."),
+        ).alias("line")
+    )
+
+
+def write_ntriples(triples: DataFrame, path: str, **format_kwargs) -> None:
+    """Materialize the export: one text file per partition (repartition
+    upstream to choose shard count)."""
+    format_ntriples(triples, **format_kwargs).write.mode("overwrite").text(path)

@@ -66,3 +66,40 @@ def test_predicate_stats(spark):
         "P31": (1, 1),
         "P571": (1, 1),
     }
+
+
+# --- snapshot diff -----------------------------------------------------------
+
+from entity_extraction_svc_spark.operators.kgqa import (  # noqa: E402
+    functional_changes,
+    snapshot_diff,
+)
+
+
+def _new(spark):
+    rows = [r for r in _TRIPLES if r != ("q1", "P19", "city_b")] + [
+        ("q1", "P19", "city_c"),      # functional value change (b -> gone, c new)
+        ("q4", "P31", "Q5"),          # pure addition
+        ("q2", "P19", "city_a"),      # yet another exact duplicate: no churn
+    ]
+    return spark.createDataFrame(rows, "subj string, pred string, obj string")
+
+
+def test_snapshot_diff_set_semantics(spark):
+    got = {(r["status"], r["subj"], r["pred"], r["obj"])
+           for r in snapshot_diff(_t(spark), _new(spark)).collect()}
+    assert got == {
+        ("added", "q1", "P19", "city_c"),
+        ("added", "q4", "P31", "Q5"),
+        ("removed", "q1", "P19", "city_b"),
+    }
+
+
+def test_functional_changes_pairs_edits(spark):
+    got = [(r["subj"], r["pred"], r["old_obj"], r["new_obj"])
+           for r in functional_changes(_t(spark), _new(spark)).collect()]
+    assert got == [("q1", "P19", "city_b", "city_c")]
+
+
+def test_snapshot_diff_identical_is_empty(spark):
+    assert snapshot_diff(_t(spark), _t(spark)).count() == 0

@@ -129,3 +129,50 @@ def test_warc_corrupt_gzip_member_not_fatal(tmp_path):
     # trailing non-gzip garbage after the last member
     recs = parse_warc_bytes(good + b"\x00\x01binary junk")
     assert len(recs) == 1 and recs[0]["url"] == "https://a.example/ok"
+
+
+# --- N-Triples export (inverse of the S7 ingest) ------------------------------
+
+from entity_extraction_svc_spark.sources.ntriples import (  # noqa: E402
+    format_ntriples,
+    parse_ntriples,
+    write_ntriples,
+)
+
+
+def test_ntriples_roundtrip_identity(spark):
+    triples = [
+        ("Q1", "P31", "Q5"),
+        ("Q1", "label", "Ada Lovelace"),
+        ("Q2", "P36", "Q90"),
+    ]
+    df = spark.createDataFrame(triples, "subj string, pred string, obj string")
+    back = parse_ntriples(format_ntriples(df), col="line")
+    got = sorted(map(tuple, back.collect()))
+    assert got == sorted(triples)
+
+
+def test_ntriples_literal_escaping(spark):
+    df = spark.createDataFrame(
+        [("Q1", "label", 'say "hi"\nback\\slash\ttab')],
+        "subj string, pred string, obj string",
+    )
+    line = format_ntriples(df).first()["line"]
+    assert line == (
+        '<http://www.wikidata.org/entity/Q1> '
+        '<http://www.wikidata.org/prop/direct/label> '
+        '"say \\"hi\\"\\nback\\\\slash\\ttab" .'
+    )
+
+
+def test_write_ntriples_files_reparse(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("Q1", "P31", "Q5"), ("Q2", "P31", "Q5")],
+        "subj string, pred string, obj string",
+    )
+    out = str(tmp_path / "export_nt")
+    write_ntriples(df.repartition(2), out)
+    back = parse_ntriples(spark.read.text(out))
+    assert sorted(map(tuple, back.collect())) == [
+        ("Q1", "P31", "Q5"), ("Q2", "P31", "Q5")
+    ]
