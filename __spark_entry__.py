@@ -243,12 +243,17 @@ def _kg_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _kg_connection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W10 pairwise connection probe (part=conn) + its k-hop
     generalization, the bounded BFS ball with minimal hop distances
-    (part=bfs), + the global graph-shape pass, per-node triangle counts
-    and clustering coefficients over the entity->entity edges (part=tri;
-    b packs degree:n_tri:coeff-in-micros so the row stays integer-hashed),
+    (part=bfs), + ONE deterministic shortest path between the two probe
+    entities, min-parent walk-back (part=path: a=entity, b=step), + the
+    global graph-shape pass, per-node triangle counts and clustering
+    coefficients over the entity->entity edges (part=tri; b packs
+    degree:n_tri:coeff-in-micros so the row stays integer-hashed),
     merged into one driver row over the same fixture KB."""
     from entity_extraction_svc_spark.operators.graphstats import triangle_counts
-    from entity_extraction_svc_spark.operators.graphwalk import bfs_distances
+    from entity_extraction_svc_spark.operators.graphwalk import (
+        bfs_distances,
+        shortest_path,
+    )
     from entity_extraction_svc_spark.operators.kgquery import find_connection
 
     kb = spark.read.parquet(f"{FIXTURES}/kb_triples.parquet")
@@ -278,7 +283,12 @@ def _kg_connection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("coeff") * 1e6).cast("long"),
         ).alias("b"),
     )
-    return conn.unionByName(bfs).unionByName(tri)
+    path = shortest_path(kb, "Q12418", "Q2126369", max_hops=4).select(
+        F.lit("path").alias("part"),
+        F.col("entity").alias("a"),
+        F.col("step").cast("string").alias("b"),
+    )
+    return conn.unionByName(bfs).unionByName(tri).unionByName(path)
 
 
 def _kg_date_format(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2531,6 +2541,10 @@ def oracle_sql() -> dict[str, str]:
         triangles_oracle_sql,
     )
 
+    from entity_extraction_svc_spark.operators.graphwalk import (
+        shortest_path_oracle_sql,
+    )
+
     sql["kg_connection"] = (
         f"SELECT * FROM ({sql['kg_connection']})"
         " UNION ALL "
@@ -2538,6 +2552,13 @@ def oracle_sql() -> dict[str, str]:
         "degree::VARCHAR || ':' || n_tri::VARCHAR || ':' || "
         "round(coeff * 1000000)::BIGINT::VARCHAR AS b"
         f" FROM ({triangles_oracle_sql(_pr_edges)})"
+        " UNION ALL "
+        "SELECT 'path' AS part, entity AS a, step::VARCHAR AS b FROM ("
+        + shortest_path_oracle_sql(
+            f"SELECT * FROM read_parquet('{fx}/kb_triples.parquet')",
+            "Q12418", "Q2126369", 4,
+        )
+        + ")"
     )
 
     # doc_decontam: word 8-grams (with_shingles semantics incl. the

@@ -181,3 +181,100 @@ def closure_oracle_sql(triples_sql: str, pred: str | None = None,
         )
         SELECT src, dst, MIN(d)::INT AS dist FROM r GROUP BY src, dst
     """
+
+
+def shortest_path(triples: DataFrame, source: str, target: str,
+                  max_hops: int = 6, direction: str = "both") -> DataFrame:
+    """ONE deterministic shortest path source → target as (step, entity)
+    rows (step 0 = source), empty if no path within ``max_hops`` — the
+    explanatory generalization of the reference's find_connection
+    (wiki_parser.py:371-405 answers "direct edge or one shared neighbor";
+    this answers "HOW are they connected" at any bounded distance).
+
+    Determinism rule, shared verbatim with the oracle: BFS layers give
+    minimal distances; each node's predecessor is the MINIMUM (by id)
+    in-neighbor from the previous layer; the path is the predecessor walk
+    back from the target.  A pure function of the edge set.
+
+    Scale shape: the layered BFS is :func:`bfs_distances` (edge table
+    shuffled once on src, frontier-bounded rounds) with a parent min-agg
+    per round; reconstruction then touches ``dist(target) <= max_hops``
+    single-row lookups against the small parents frame — bounded driver
+    round-trips of one row each, the same sanctioned pattern as
+    pagerank's per-iteration scalar, NOT a data-sized collect.
+    """
+    if direction not in ("out", "in", "both"):
+        raise ValueError(f"direction must be out|in|both, got {direction!r}")
+    fwd = triples.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    rev = triples.select(F.col("obj").alias("src"), F.col("subj").alias("dst"))
+    edges = {"out": fwd, "in": rev, "both": fwd.union(rev)}[direction]
+    edges = edges.distinct().repartition("src").persist()
+
+    spark = triples.sparkSession
+    visited = spark.createDataFrame(
+        [(source, 0, None)], "entity string, dist int, parent string"
+    ).localCheckpoint(eager=True)
+    frontier = visited.select("entity")
+    found = source == target
+    for d in range(1, max_hops + 1):
+        if found:
+            break
+        nxt = (
+            frontier.join(edges, frontier["entity"] == edges["src"])
+            .groupBy(F.col("dst").alias("entity"))
+            .agg(F.min("src").alias("parent"))
+            .join(visited.select("entity"), "entity", "left_anti")
+            .withColumn("dist", F.lit(d))
+            .select("entity", "dist", "parent")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        visited = visited.union(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("entity")
+        found = nxt.filter(F.col("entity") == target).limit(1).count() > 0
+    edges.unpersist()
+
+    hit = visited.filter(F.col("entity") == target).first()
+    if hit is None:
+        return spark.createDataFrame([], "step int, entity string")
+    chain, cur = [], target
+    for step in range(hit["dist"], -1, -1):
+        chain.append((step, cur))
+        if step > 0:
+            cur = visited.filter(F.col("entity") == cur).first()["parent"]
+    return spark.createDataFrame(chain, "step int, entity string")
+
+
+def shortest_path_oracle_sql(triples_sql: str, source: str, target: str,
+                             max_hops: int, direction: str = "both") -> str:
+    """DuckDB rendition of the SAME layer + min-parent + walk-back rule."""
+    fwd = "SELECT subj AS src, obj AS dst FROM t"
+    rev = "SELECT obj AS src, subj AS dst FROM t"
+    body = {"out": fwd, "in": rev, "both": f"{fwd} UNION {rev}"}[direction]
+    return f"""
+        WITH RECURSIVE t AS ({triples_sql}),
+        e AS (SELECT DISTINCT src, dst FROM ({body})),
+        r(entity, d) AS (
+            SELECT '{source}', 0
+            UNION
+            SELECT e.dst, r.d + 1 FROM r JOIN e ON e.src = r.entity
+            WHERE r.d < {max_hops}
+        ),
+        layer AS (SELECT entity, MIN(d) AS dist FROM r GROUP BY entity),
+        parents AS (
+            SELECT l.entity, l.dist, MIN(p.entity) AS parent
+            FROM layer l
+            JOIN e ON e.dst = l.entity
+            JOIN layer p ON p.entity = e.src AND p.dist = l.dist - 1
+            GROUP BY l.entity, l.dist
+        ),
+        walk(step, entity) AS (
+            SELECT dist::INT, entity FROM layer WHERE entity = '{target}'
+            UNION ALL
+            SELECT w.step - 1, p.parent
+            FROM walk w JOIN parents p ON p.entity = w.entity
+            WHERE w.step > 0
+        )
+        SELECT step, entity FROM walk
+    """

@@ -174,3 +174,54 @@ def test_bgp_property_path_leg(spark):
         ("rex", "animal"), ("rex", "mammal"),
         ("tom", "animal"), ("tom", "mammal"),
     ]
+
+
+# --- shortest path reconstruction ---------------------------------------------
+
+from entity_extraction_svc_spark.operators.graphwalk import (  # noqa: E402
+    shortest_path,
+    shortest_path_oracle_sql,
+)
+
+
+def _path(df) -> list[tuple[int, str]]:
+    return sorted((r["step"], r["entity"]) for r in df.collect())
+
+
+def test_shortest_path_prefers_shortcut(spark):
+    # a->c direct beats a->b->c; c->d finishes it
+    got = _path(shortest_path(_graph(spark), "a", "d", direction="out"))
+    assert got == [(0, "a"), (1, "c"), (2, "d")]
+
+
+def test_shortest_path_min_parent_tiebreak(spark):
+    # two 2-hop routes x->{m,n}->z: the min-id middle node wins
+    edges = [("x", "p", "n"), ("x", "p", "m"), ("n", "p", "z"), ("m", "p", "z")]
+    df = spark.createDataFrame(edges, "subj string, pred string, obj string")
+    got = _path(shortest_path(df, "x", "z", direction="out"))
+    assert got == [(0, "x"), (1, "m"), (2, "z")]
+
+
+def test_shortest_path_unreachable_and_self(spark):
+    assert shortest_path(_graph(spark), "a", "nope").count() == 0
+    assert _path(shortest_path(_graph(spark), "a", "a")) == [(0, "a")]
+
+
+def test_shortest_path_respects_max_hops(spark):
+    assert shortest_path(
+        _graph(spark), "a", "d", max_hops=1, direction="out"
+    ).count() == 0
+
+
+def test_shortest_path_oracle_parity_on_fixture_kb(spark, fixture_dir):
+    got = _path(shortest_path(
+        spark.read.parquet(f"{fixture_dir}/kb_triples.parquet"),
+        "Q12418", "Q2126369", max_hops=4,
+    ))
+    sql = shortest_path_oracle_sql(
+        f"SELECT * FROM read_parquet('{fixture_dir}/kb_triples.parquet')",
+        "Q12418", "Q2126369", 4,
+    )
+    want = sorted(map(tuple, duckdb.connect().execute(sql).fetchall()))
+    assert got == want
+    assert len(got) >= 3  # the two Mona Lisas touch via a shared hub, not an edge
