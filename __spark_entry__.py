@@ -184,8 +184,12 @@ def _kg_types_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     closure (part=closure), + the raw taxonomy closure itself with minimal
     hop distances packed as type:dist (part=tax) so the driver row pins the
     doubling recurrence's distances against the linear recursive-CTE
-    oracle."""
+    oracle, + the SAME closure reached incrementally (part=delta): the
+    Q5/Q515 subtree edges held back as a second ingest and merged by
+    semi-naive closure_delta — the oracle recomputes from scratch, so the
+    row pins incremental == recompute."""
     from entity_extraction_svc_spark.operators.graphwalk import (
+        closure_delta,
         transitive_closure,
     )
     from entity_extraction_svc_spark.operators.kgquery import (
@@ -200,12 +204,24 @@ def _kg_types_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     clo = find_types_closure(kb).select(
         F.lit("closure").alias("part"), "subj", "type"
     )
+    pack = F.concat_ws(":", "dst", "dist")
     tax = transitive_closure(kb, pred="P279").select(
         F.lit("tax").alias("part"),
         F.col("src").alias("subj"),
-        F.concat_ws(":", "dst", "dist").alias("type"),
+        pack.alias("type"),
     )
-    return two.unionByName(clo).unionByName(tax)
+    held = F.col("subj").isin("Q5", "Q515")
+    p279 = kb.filter(F.col("pred") == "P279")
+    base = transitive_closure(p279.filter(~held))
+    delta_edges = p279.filter(held).select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    delta = closure_delta(base, delta_edges).select(
+        F.lit("delta").alias("part"),
+        F.col("src").alias("subj"),
+        pack.alias("type"),
+    )
+    return two.unionByName(clo).unionByName(tax).unionByName(delta)
 
 
 def _kg_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -439,11 +455,33 @@ def _kg_find_objects(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _kg_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from entity_extraction_svc_spark.operators.canonicalize import canonical_qids
+    """Connected-components alias clustering (part=cc: a=qid,
+    b=canonical_qid) + dictionary-delta alias MINING from the corpus's own
+    linked mentions (part=alias: a=normalized surface, b packs
+    qid:support:purity-in-micros), merged into one driver row — the KB
+    side and the corpus side of the same alias loop."""
+    from entity_extraction_svc_spark.operators.canonicalize import (
+        canonical_qids,
+        mine_aliases,
+    )
 
     ents = spark.read.parquet(f"{FIXTURES}/kb_entities.parquet")
     aliases = spark.read.parquet(f"{FIXTURES}/kb_aliases.parquet")
-    return canonical_qids(ents, aliases)
+    cc = canonical_qids(ents, aliases).select(
+        F.lit("cc").alias("part"),
+        F.col("qid").alias("a"),
+        F.col("canonical_qid").alias("b"),
+    )
+    linked = spark.read.parquet(f"{FIXTURES}/golden_links.parquet")
+    mined = mine_aliases(linked, aliases, min_support=2).select(
+        F.lit("alias").alias("part"),
+        F.col("alias").alias("a"),
+        F.concat_ws(
+            ":", "qid", "support",
+            F.round(F.col("purity") * 1e6).cast("long"),
+        ).alias("b"),
+    )
+    return cc.unionByName(mined)
 
 
 # --- relational skeletons on the driver's TPC-H-ish tables ------------------
@@ -1598,7 +1636,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 'closure', subj, type FROM (SELECT DISTINCT * FROM "
             "  (SELECT * FROM t1 UNION ALL SELECT * FROM supall)) "
             "UNION ALL "
-            "SELECT 'tax', src, dst || ':' || dist::VARCHAR FROM clo"
+            "SELECT 'tax', src, dst || ':' || dist::VARCHAR FROM clo "
+            "UNION ALL "
+            "SELECT 'delta', src, dst || ':' || dist::VARCHAR FROM clo"
         ),
         "kg_intersection": (
             f"WITH t AS (SELECT * FROM read_parquet('{fx}/kb_triples.parquet')) "
@@ -2496,8 +2536,27 @@ def oracle_sql() -> dict[str, str]:
         closure_oracle_sql,
     )
 
-    # kg_intersection part=pmi: the module's own DuckDB rendition of the
-    # distinct/cap/pair/marginal/ln recurrence over the same golden links
+    # kg_canonical: part=cc wraps the recursive-CC SQL; part=alias is the
+    # mining module's own rendition over the same golden links + alias dim
+    from entity_extraction_svc_spark.operators.canonicalize import (
+        mine_aliases_oracle_sql,
+    )
+
+    sql["kg_canonical"] = (
+        f"SELECT 'cc' AS part, qid AS a, canonical_qid AS b"
+        f" FROM ({sql['kg_canonical']})"
+        " UNION ALL "
+        "SELECT 'alias', alias, qid || ':' || support::VARCHAR || ':' || "
+        "round(purity * 1000000)::BIGINT::VARCHAR"
+        " FROM ("
+        + mine_aliases_oracle_sql(
+            f"SELECT * FROM read_parquet('{fx}/golden_links.parquet')",
+            f"SELECT * FROM read_parquet('{fx}/kb_aliases.parquet')",
+            min_support=2,
+        )
+        + ")"
+    )
+
     # rel_range_join parts facts/asof: the run-collapse SQL comes from the
     # temporal module so both engines share one interval definition
     from entity_extraction_svc_spark.operators.temporal import (

@@ -595,6 +595,25 @@ TRIPLE_WHITELIST = (
 ).split()
 
 
+# subclass-of chains for every type QID used by the fixture's P31 rows:
+# human -> natural person -> person -> entity; city -> human settlement ->
+# geographic location -> entity; country -> state -> geographic location;
+# painting -> work of art -> creative work -> entity; business/museum/team
+# -> organization -> entity; river/mountain -> geographic feature ->
+# geographic location.  All real Wikidata-shaped local names.
+TYPE_TAXONOMY = [
+    ("Q5", "Q154954"), ("Q154954", "Q215627"), ("Q215627", "Q35120"),
+    ("Q515", "Q486972"), ("Q486972", "Q2221906"), ("Q2221906", "Q35120"),
+    ("Q6256", "Q7275"), ("Q7275", "Q2221906"),
+    ("Q3305213", "Q838948"), ("Q838948", "Q17537576"),
+    ("Q17537576", "Q35120"),
+    ("Q4830453", "Q43229"), ("Q33506", "Q43229"), ("Q26529", "Q43229"),
+    ("Q327333", "Q43229"), ("Q43229", "Q35120"),
+    ("Q134556", "Q17537576"),
+    ("Q25956", "Q618123"), ("Q618123", "Q2221906"),
+]
+
+
 def kb_rows(kb: list[Ent]):
     ent_rows, alias_rows, triple_rows, gaz_rows = [], [], [], []
     for e in kb:
@@ -622,6 +641,12 @@ def kb_rows(kb: list[Ent]):
         gaz_rows.append({"surface": s.lower(), "fine_tag": fine,
                          "coarse_tag": FINE_TO_COARSE.get(fine, "MISC"),
                          "num_rels": 1})
+    # P279 subclass taxonomy over the type QIDs the P31 rows actually use
+    # (Wikidata local names), 2-3 levels deep with a shared-ancestor join at
+    # Q35120 — gives W8's 2-hop expansion, find_types_closure's fixpoint,
+    # and the path-doubled closure contract real multi-hop structure
+    for s, o in TYPE_TAXONOMY:
+        triple_rows.append({"subj": s, "pred": "P279", "obj": o})
     # dedupe triples
     seen = set()
     uniq = []

@@ -189,3 +189,89 @@ def canonicalize_triples(triples: DataFrame, mapping: DataFrame) -> DataFrame:
         )
         .distinct()
     )
+
+
+def mine_aliases(linked: DataFrame, kb_aliases: DataFrame | None = None,
+                 surface_col: str = "substr", ent_col: str = "qid",
+                 min_support: int = 3, min_purity: float = 0.8,
+                 ) -> DataFrame:
+    """Mine NEW alias candidates from the pipeline's own linked mentions —
+    the corpus closing the loop on its dictionary: a surface form that
+    links overwhelmingly to one entity across many documents is an alias
+    the KB should carry (the anchor-text trick of Wikipedia-based linkers,
+    applied to our own link output).
+
+    Emits (alias, qid, support, purity): ``support`` = links of this
+    normalized surface to this qid, ``purity`` = that count over ALL links
+    of the surface (round-6).  Kept when support >= min_support AND
+    purity >= min_purity; pairs already present in ``kb_aliases`` (same
+    normalization) are anti-joined away so the output is precisely the
+    DICTIONARY DELTA an ingest reviews.
+
+    Scale: one groupBy on (surface, qid) with partial aggregation, a
+    window-free purity via a second groupBy on surface joined back (both
+    exchanges hash the surface — the second reuses the first's
+    clustering), and a broadcast-able anti-join against the alias dim.
+    Mention volume is corpus-sized but the group count is vocabulary-sized.
+    """
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.col(surface_col)), r"\s+", " ")
+    )
+    pairs = (
+        linked.filter(F.col(ent_col).isNotNull())
+        .select(norm.alias("alias"), F.col(ent_col).alias("qid"))
+        .groupBy("alias", "qid")
+        .agg(F.count("*").alias("support"))
+    )
+    totals = pairs.groupBy("alias").agg(F.sum("support").alias("total"))
+    cand = (
+        pairs.join(totals, "alias")
+        .withColumn("_p", F.col("support") / F.col("total"))
+        .filter(
+            (F.col("support") >= min_support) & (F.col("_p") >= min_purity)
+        )
+        .select(
+            "alias", "qid", "support", F.round("_p", 6).alias("purity")
+        )
+    )
+    if kb_aliases is not None:
+        known = kb_aliases.select(
+            F.trim(
+                F.regexp_replace(F.lower(F.col("alias")), r"\s+", " ")
+            ).alias("alias"),
+            "qid",
+        )
+        cand = cand.join(known, ["alias", "qid"], "left_anti")
+    return cand
+
+
+def mine_aliases_oracle_sql(linked_sql: str, aliases_sql: str | None = None,
+                            surface_col: str = "substr",
+                            ent_col: str = "qid", min_support: int = 3,
+                            min_purity: float = 0.8) -> str:
+    """DuckDB rendition of the same mine: group, purity ratio, thresholds,
+    known-pair anti-join."""
+    anti = (
+        f"""AND NOT EXISTS (
+              SELECT 1 FROM ({aliases_sql}) k
+              WHERE trim(regexp_replace(lower(k.alias), '\\s+', ' ', 'g')) = c.alias
+                AND k.qid = c.qid)"""
+        if aliases_sql is not None
+        else ""
+    )
+    return f"""
+        WITH src AS ({linked_sql}),
+        pairs AS (
+          SELECT trim(regexp_replace(lower({surface_col}), '\\s+', ' ', 'g')) AS alias,
+                 {ent_col} AS qid, count(*) AS support
+          FROM src WHERE {ent_col} IS NOT NULL GROUP BY 1, 2
+        ),
+        totals AS (SELECT alias, sum(support) AS total FROM pairs GROUP BY alias),
+        c AS (
+          SELECT pairs.alias, qid, support,
+                 round(support / total, 6) AS purity
+          FROM pairs JOIN totals USING (alias)
+          WHERE support >= {min_support} AND support / total >= {min_purity}
+        )
+        SELECT alias, qid, support, purity FROM c WHERE true {anti}
+    """

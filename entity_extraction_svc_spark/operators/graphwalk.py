@@ -278,3 +278,92 @@ def shortest_path_oracle_sql(triples_sql: str, source: str, target: str,
         )
         SELECT step, entity FROM walk
     """
+
+
+def closure_delta(closure: DataFrame, new_edges: DataFrame,
+                  max_iter: int = 32) -> DataFrame:
+    """Incrementally maintain a materialized :func:`transitive_closure`
+    when edges are ADDED (the daily-crawl case: a new ingest asserts a few
+    thousand subclass links against a billion-pair closure): returns the
+    updated closure (src, dst, dist) — identical, by the driver contract,
+    to recomputing from scratch on the unioned edge set.
+
+    Semi-naive evaluation: only pairs that are NEW or IMPROVED since the
+    last round (the delta) participate in the next round's compositions,
+    so per-round work is O(|delta| x avg-degree-in-closure), never a full
+    closure self-join.  Each round composes delta with the current best on
+    both sides (a new path's first or last improved segment is in the
+    delta), min-merges, and re-derives the delta by anti/improvement join
+    against the previous best.  The big closure is never re-shuffled as a
+    whole: the delta side is the small side of every join (AQE broadcasts
+    it), and the min-merge groupBy touches only keys the delta produced
+    plus their old rows.
+
+    Deletions are out of scope by design (standard for semi-naive;
+    deleting edges from a closure needs support counts — recompute via
+    :func:`transitive_closure` or diff snapshots with
+    ``kgqa.snapshot_diff`` instead).
+    """
+    base = closure.select("src", "dst", "dist")
+    seed = (
+        new_edges.select(
+            F.col("src").cast("string"), F.col("dst").cast("string")
+        )
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+        .withColumn("dist", F.lit(1))
+    )
+    best = (
+        base.unionByName(seed)
+        .groupBy("src", "dst")
+        .agg(F.min("dist").alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    delta = (
+        best.alias("b")
+        .join(
+            base.alias("o"),
+            (F.col("b.src") == F.col("o.src"))
+            & (F.col("b.dst") == F.col("o.dst"))
+            & (F.col("o.dist") <= F.col("b.dist")),
+            "left_anti",
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        if delta.limit(1).count() == 0:
+            break
+        d, b = delta.alias("d"), best.alias("b")
+        left = d.join(b, F.col("d.dst") == F.col("b.src")).select(
+            F.col("d.src").alias("src"), F.col("b.dst").alias("dst"),
+            (F.col("d.dist") + F.col("b.dist")).alias("dist"),
+        )
+        right = b.join(d, F.col("b.dst") == F.col("d.src")).select(
+            F.col("b.src").alias("src"), F.col("d.dst").alias("dst"),
+            (F.col("b.dist") + F.col("d.dist")).alias("dist"),
+        )
+        cand = (
+            left.unionByName(right)
+            .groupBy("src", "dst")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        prev = best
+        best = (
+            best.unionByName(cand)
+            .groupBy("src", "dst")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        delta = (
+            best.alias("b")
+            .join(
+                prev.alias("p"),
+                (F.col("b.src") == F.col("p.src"))
+                & (F.col("b.dst") == F.col("p.dst"))
+                & (F.col("p.dist") <= F.col("b.dist")),
+                "left_anti",
+            )
+            .localCheckpoint(eager=True)
+        )
+    return best

@@ -225,3 +225,64 @@ def test_shortest_path_oracle_parity_on_fixture_kb(spark, fixture_dir):
     want = sorted(map(tuple, duckdb.connect().execute(sql).fetchall()))
     assert got == want
     assert len(got) >= 3  # the two Mona Lisas touch via a shared hub, not an edge
+
+
+# --- incremental closure maintenance ------------------------------------------
+
+from entity_extraction_svc_spark.operators.graphwalk import closure_delta  # noqa: E402
+
+
+def _edges_df(spark, pairs):
+    return spark.createDataFrame(
+        [(s, "p", o) for s, o in pairs], "subj string, pred string, obj string"
+    )
+
+
+def _full(spark, pairs):
+    return _pairs(transitive_closure(_edges_df(spark, pairs)))
+
+
+def test_closure_delta_bridges_two_chains(spark):
+    old = [("a", "b"), ("b", "c"), ("x", "y"), ("y", "z")]
+    new = [("c", "x")]  # bridge: every old-left pair now reaches old-right
+    base = transitive_closure(_edges_df(spark, old))
+    got = _pairs(closure_delta(
+        base, spark.createDataFrame(new, "src string, dst string")))
+    assert got == _full(spark, old + new)
+    assert got[("a", "z")] == 5
+
+
+def test_closure_delta_improves_existing_distances(spark):
+    old = [("a", "b"), ("b", "c"), ("c", "d")]
+    new = [("a", "c")]  # a->c shortcut: a->c 2->1, a->d 3->2
+    base = transitive_closure(_edges_df(spark, old))
+    got = _pairs(closure_delta(
+        base, spark.createDataFrame(new, "src string, dst string")))
+    assert got == _full(spark, old + new)
+    assert got[("a", "d")] == 2
+
+
+def test_closure_delta_noop_and_cycle(spark):
+    old = [("a", "b"), ("b", "c")]
+    base = transitive_closure(_edges_df(spark, old))
+    # re-asserting an existing edge changes nothing
+    same = _pairs(closure_delta(
+        base, spark.createDataFrame([("a", "b")], "src string, dst string")))
+    assert same == _pairs(transitive_closure(_edges_df(spark, old)))
+    # closing the loop c->a creates self-pairs and all reverse reachability
+    got = _pairs(closure_delta(
+        base, spark.createDataFrame([("c", "a")], "src string, dst string")))
+    assert got == _full(spark, old + [("c", "a")])
+    assert got[("a", "a")] == 3
+
+
+def test_closure_delta_deep_extension(spark):
+    # append a 20-node tail to a 20-node chain: the delta path crosses the
+    # whole old closure; must converge inside max_iter
+    old = [(f"n{i}", f"n{i+1}") for i in range(20)]
+    new_rows = [(f"n{i}", f"n{i+1}") for i in range(20, 40)]
+    base = transitive_closure(_edges_df(spark, old))
+    got = _pairs(closure_delta(
+        base, spark.createDataFrame(new_rows, "src string, dst string")))
+    assert got == _full(spark, old + new_rows)
+    assert got[("n0", "n40")] == 40

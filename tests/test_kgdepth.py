@@ -147,3 +147,67 @@ def test_triple_evidence_on_pipeline_links(spark, fixture_dir, pipeline):
         ev = 1 - float((1 - grp.conf.clip(upper=0.999999)).prod())
         assert math.isclose(row.evidence, round(ev, 6), abs_tol=1e-6)
     assert len(got) == merged.groupby(["subj", "pred", "obj"]).ngroups
+
+
+# --- alias mining from linked mentions ----------------------------------------
+
+import duckdb as _duckdb
+
+from entity_extraction_svc_spark.operators.canonicalize import (
+    mine_aliases,
+    mine_aliases_oracle_sql,
+)
+
+_MENTIONS = [
+    # "big apple" -> Q60 dominantly (4/5), one stray link to Q100
+    *[("d%d" % i, "Big  Apple", "Q60") for i in range(4)],
+    ("d9", "big apple", "Q100"),
+    # "acme" -> Q7 always but support 2 < min_support 3
+    ("d1", "acme", "Q7"), ("d2", "acme", "Q7"),
+    # "paris" -> 50/50 split: fails purity
+    ("d1", "paris", "Q90"), ("d2", "paris", "Q90"),
+    ("d3", "paris", "Q167646"), ("d4", "paris", "Q167646"),
+    # null link must be ignored
+    ("d5", "ghost", None),
+]
+
+
+def _mentions_df(spark):
+    return spark.createDataFrame(
+        _MENTIONS, "url string, substr string, qid string"
+    )
+
+
+def test_mine_aliases_thresholds_and_normalization(spark):
+    got = [(r["alias"], r["qid"], r["support"], r["purity"])
+           for r in mine_aliases(_mentions_df(spark)).collect()]
+    # whitespace-normalized "big  apple" merges with "big apple"
+    assert got == [("big apple", "Q60", 4, 0.8)]
+
+
+def test_mine_aliases_excludes_known_pairs(spark):
+    known = spark.createDataFrame(
+        [("Big Apple", "Q60", "alias")], "alias string, qid string, name_or_alias string"
+    )
+    assert mine_aliases(_mentions_df(spark), known).count() == 0
+    other = spark.createDataFrame(
+        [("Big Apple", "Q999", "alias")], "alias string, qid string, name_or_alias string"
+    )  # same surface, different qid: NOT a known pair
+    assert mine_aliases(_mentions_df(spark), other).count() == 1
+
+
+def test_mine_aliases_oracle_parity_on_golden_links(spark, fixture_dir):
+    linked = spark.read.parquet(f"{fixture_dir}/golden_links.parquet")
+    kb_al = spark.read.parquet(f"{fixture_dir}/kb_aliases.parquet")
+    got = sorted(
+        (r["alias"], r["qid"], r["support"], r["purity"])
+        for r in mine_aliases(linked, kb_al, min_support=2).collect()
+    )
+    sql = mine_aliases_oracle_sql(
+        f"SELECT * FROM read_parquet('{fixture_dir}/golden_links.parquet')",
+        f"SELECT * FROM read_parquet('{fixture_dir}/kb_aliases.parquet')",
+        min_support=2,
+    )
+    want = sorted(map(tuple, _duckdb.sql(sql).fetchall()))
+    assert got == want
+    assert len(got) > 0  # the corpus does surface un-dictionaried aliases
