@@ -1,0 +1,132 @@
+"""Scale rehearsal for the graph-analytics operators (BENCH.md §graph).
+
+Synthetic shapes chosen to stress the documented risk of each operator:
+
+- transitive_closure: a deep-and-wide taxonomy (CHAINS chains of depth
+  DEPTH sharing a common root path) — the closure is O(n·depth) rows and
+  the doubling loop must finish in ceil(log2 depth) rounds, not depth.
+- closure_delta vs recompute: re-close after adding EXTRA edges that
+  bridge into the existing structure — the incremental path should win by
+  a wide margin because its joins are delta-sized.
+- triangle_counts: a power-law-ish graph WITH a celebrity node (degree
+  ~N/10) — the degree-orientation must keep the wedge explosion at
+  min(deg, sqrt(m)) instead of celebrity-degree².
+- hits: same edge count as the pagerank rehearsal for comparability.
+
+Usage: python tools/bench_graph.py [n_edges] (default 1_000_000)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+
+def main(n_edges: int = 1_000_000) -> None:
+    from entity_extraction_svc_spark.operators.graphstats import (
+        hits,
+        triangle_counts,
+    )
+    from entity_extraction_svc_spark.operators.graphwalk import (
+        closure_delta,
+        transitive_closure,
+    )
+    from entity_extraction_svc_spark.session import get_spark
+
+    spark = get_spark(master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', 32)}]")
+    out: dict = {"n_edges": n_edges}
+
+    # --- taxonomy closure: chains of depth 20 --------------------------------
+    depth = 20
+    chains = n_edges // depth
+    tax = spark.range(chains * depth).select(
+        F.concat(
+            F.lit("n"), (F.col("id") / depth).cast("long"),
+            F.lit("_"), (F.col("id") % depth),
+        ).alias("subj"),
+        F.lit("P279").alias("pred"),
+        F.concat(
+            F.lit("n"), (F.col("id") / depth).cast("long"),
+            F.lit("_"), (F.col("id") % depth) + 1,
+        ).alias("obj"),
+    ).persist()
+    tax.count()
+    t0 = time.time()
+    clo = transitive_closure(tax)
+    n_clo = clo.count()
+    out["closure_s"] = round(time.time() - t0, 2)
+    out["closure_pairs"] = n_clo
+
+    # --- incremental: bridge 500 new edges chain_{2i}_end -> chain_{2i+1}_start.
+    # Even->odd only, so bridges never compose: each merged component is
+    # exactly two chains (441 new pairs/bridge, ~220k total) and the delta
+    # stays delta-sized.  (Bridging i -> i+1 for all i transitively welds
+    # 1000 chains into one ~21k-node path whose closure is ~2.2e8 pairs —
+    # a different benchmark entirely, and one that OOMs an 8g heap.)
+    new = spark.range(500).select(
+        F.concat(F.lit("n"), F.col("id") * 2, F.lit(f"_{depth}")).alias("src"),
+        F.concat(F.lit("n"), F.col("id") * 2 + 1, F.lit("_0")).alias("dst"),
+    )
+    t0 = time.time()
+    inc = closure_delta(clo, new)
+    n_inc = inc.count()
+    out["delta_s"] = round(time.time() - t0, 2)
+    out["delta_pairs"] = n_inc
+    t0 = time.time()
+    full = transitive_closure(
+        tax.unionByName(new.select(
+            F.col("src").alias("subj"), F.lit("P279").alias("pred"),
+            F.col("dst").alias("obj")))
+    )
+    n_full = full.count()
+    out["recompute_s"] = round(time.time() - t0, 2)
+    assert n_inc == n_full, (n_inc, n_full)
+    out["delta_speedup"] = round(out["recompute_s"] / max(out["delta_s"], 1e-9), 2)
+
+    # --- triangles on a skewed graph -----------------------------------------
+    # ring + chords gives triangle density; celebrity = node 0 linked from
+    # every 10th node (degree n/10)
+    n_nodes = n_edges // 2
+    base = spark.range(n_nodes).select(
+        F.col("id").cast("string").alias("subj"), F.lit("p").alias("pred"),
+        ((F.col("id") + 1) % n_nodes).cast("string").alias("obj"),
+    )
+    chord = spark.range(n_nodes).select(
+        F.col("id").cast("string").alias("subj"), F.lit("p").alias("pred"),
+        ((F.col("id") + 2) % n_nodes).cast("string").alias("obj"),
+    )
+    celeb = spark.range(0, n_nodes, 10).select(
+        F.col("id").cast("string").alias("subj"), F.lit("p").alias("pred"),
+        F.lit("0").alias("obj"),
+    )
+    g = base.unionByName(chord).unionByName(celeb).persist()
+    g.count()
+    t0 = time.time()
+    tri = triangle_counts(
+        g.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    )
+    n_tri_nodes = tri.filter(F.col("n_tri") > 0).count()
+    out["triangles_s"] = round(time.time() - t0, 2)
+    out["tri_nodes"] = n_tri_nodes
+
+    # --- HITS (10 iterations) on the same graph ------------------------------
+    t0 = time.time()
+    h = hits(
+        g.select(F.col("subj").alias("src"), F.col("obj").alias("dst")),
+        iterations=10,
+    )
+    h.count()
+    out["hits_s"] = round(time.time() - t0, 2)
+    out["hits_s_per_iter"] = round(out["hits_s"] / 10, 2)
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000)
