@@ -187,8 +187,12 @@ def _kg_types_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle, + the SAME closure reached incrementally (part=delta): the
     Q5/Q515 subtree edges held back as a second ingest and merged by
     semi-naive closure_delta — the oracle recomputes from scratch, so the
-    row pins incremental == recompute."""
+    row pins incremental == recompute — + the reverse edit (part=del): the
+    SAME held-back edges DELETED from the full closure via DRed
+    closure_delete, against a from-scratch recompute-on-survivors oracle,
+    so insert and delete maintenance are both pinned on one fixture."""
     from entity_extraction_svc_spark.operators.graphwalk import (
+        closure_delete,
         closure_delta,
         transitive_closure,
     )
@@ -205,7 +209,8 @@ def _kg_types_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("closure").alias("part"), "subj", "type"
     )
     pack = F.concat_ws(":", "dst", "dist")
-    tax = transitive_closure(kb, pred="P279").select(
+    clo_full = transitive_closure(kb, pred="P279")
+    tax = clo_full.select(
         F.lit("tax").alias("part"),
         F.col("src").alias("subj"),
         pack.alias("type"),
@@ -221,7 +226,21 @@ def _kg_types_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("src").alias("subj"),
         pack.alias("type"),
     )
-    return two.unionByName(clo).unionByName(tax).unionByName(delta)
+    dele = closure_delete(
+        clo_full,
+        delta_edges,
+        p279.filter(~held).select(
+            F.col("subj").alias("src"), F.col("obj").alias("dst")
+        ),
+    ).select(
+        F.lit("del").alias("part"),
+        F.col("src").alias("subj"),
+        pack.alias("type"),
+    )
+    return (
+        two.unionByName(clo).unionByName(tax).unionByName(delta)
+        .unionByName(dele)
+    )
 
 
 def _kg_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1638,7 +1657,10 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL "
             "SELECT 'tax', src, dst || ':' || dist::VARCHAR FROM clo "
             "UNION ALL "
-            "SELECT 'delta', src, dst || ':' || dist::VARCHAR FROM clo"
+            "SELECT 'delta', src, dst || ':' || dist::VARCHAR FROM clo "
+            "UNION ALL "
+            "SELECT 'del', src, dst || ':' || dist::VARCHAR "
+            "FROM ({CLOSURE_BASE_SQL}) cb"
         ),
         "kg_intersection": (
             f"WITH t AS (SELECT * FROM read_parquet('{fx}/kb_triples.parquet')) "
@@ -2589,6 +2611,16 @@ def oracle_sql() -> dict[str, str]:
         "{CLOSURE_SQL}",
         closure_oracle_sql(
             f"SELECT * FROM read_parquet('{fx}/kb_triples.parquet')",
+            pred="P279",
+        ),
+    ).replace(
+        # part=del recompute-on-survivors oracle: the full P279 edge set
+        # minus the held-back Q5/Q515 subjects — the DRed result must
+        # equal closing the surviving edges from scratch
+        "{CLOSURE_BASE_SQL}",
+        closure_oracle_sql(
+            f"SELECT * FROM read_parquet('{fx}/kb_triples.parquet') "
+            "WHERE subj NOT IN ('Q5', 'Q515')",
             pred="P279",
         ),
     )

@@ -286,3 +286,74 @@ def test_closure_delta_deep_extension(spark):
         base, spark.createDataFrame(new_rows, "src string, dst string")))
     assert got == _full(spark, old + new_rows)
     assert got[("n0", "n40")] == 40
+
+
+# --- deletion maintenance (DRed) ----------------------------------------------
+
+from entity_extraction_svc_spark.operators.graphwalk import closure_delete  # noqa: E402
+
+
+def _del(spark, all_pairs, deleted):
+    remaining = [p for p in all_pairs if p not in deleted]
+    full = transitive_closure(_edges_df(spark, all_pairs))
+    got = _pairs(closure_delete(
+        full,
+        spark.createDataFrame(list(deleted), "src string, dst string"),
+        spark.createDataFrame(remaining, "src string, dst string"),
+    ))
+    return got, _full(spark, remaining)
+
+
+def test_closure_delete_breaks_chain(spark):
+    # cutting the middle of a chain drops every crossing pair
+    pairs = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]
+    got, want = _del(spark, pairs, [("c", "d")])
+    assert got == want
+    assert ("a", "e") not in got and ("a", "c") in got
+
+
+def test_closure_delete_alternative_longer_path_survives(spark):
+    # a->b->d dies with b->d, but a->c->c2->d re-derives at dist 3
+    pairs = [("a", "b"), ("b", "d"), ("a", "c"), ("c", "c2"), ("c2", "d"),
+             ("d", "e")]
+    got, want = _del(spark, pairs, [("b", "d")])
+    assert got == want
+    assert got[("a", "d")] == 3 and got[("a", "e")] == 4
+
+
+def test_closure_delete_cycle_opened(spark):
+    # deleting the back-edge of a cycle removes self-pairs + reverse pairs
+    pairs = [("a", "b"), ("b", "c"), ("c", "a")]
+    got, want = _del(spark, pairs, [("c", "a")])
+    assert got == want
+    assert ("a", "a") not in got and ("c", "a") not in got
+
+
+def test_closure_delete_reasserted_edge_is_kept(spark):
+    # the same pair both deleted and re-asserted in one batch: the pair
+    # survives at dist 1 via the s1 seed
+    pairs = [("a", "b"), ("b", "c")]
+    full = transitive_closure(_edges_df(spark, pairs))
+    got = _pairs(closure_delete(
+        full,
+        spark.createDataFrame([("a", "b")], "src string, dst string"),
+        spark.createDataFrame(pairs, "src string, dst string"),
+    ))
+    assert got == _full(spark, pairs)
+
+
+def test_closure_delete_noop_on_irrelevant_edge(spark):
+    # deleting an edge that exists nowhere in the closure changes nothing
+    pairs = [("a", "b"), ("b", "c")]
+    got, want = _del(spark, pairs + [("x", "y")], [("x", "y")])
+    assert got == want == _full(spark, pairs)
+
+
+def test_closure_delete_chained_rederivation(spark):
+    # two stacked detours: re-deriving a->d needs the re-derived a->c
+    # (affected composing with affected, the delta∘overlay loop case)
+    pairs = [("a", "b"), ("b", "c"), ("c", "d"),
+             ("a", "a2"), ("a2", "b"), ("b", "b2"), ("b2", "c")]
+    got, want = _del(spark, pairs, [("a", "b"), ("b", "c")])
+    assert got == want
+    assert got[("a", "c")] == 4 and got[("a", "d")] == 5
