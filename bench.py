@@ -174,6 +174,15 @@ def cpu_calibration_parallel(procs: int | None = None) -> float:
     return round(best, 3)
 
 
+# Quiet-box reference for the parallel calibration burn (measured
+# 2026-08-17, BENCH.md §calibration).  The normalization rule, as applied
+# to cross-round comparisons: normalized_sec = sec / max(noise_factor, 1)
+# where noise_factor = cpu_calib_par_sec / this constant — i.e. times are
+# deflated when the box is slower than the quiet reference and NEVER
+# inflated when it is faster, so normalized numbers are conservative.
+QUIET_CALIB_PAR_SEC = 1.02
+
+
 def main() -> None:
     from entity_extraction_svc_spark.session import get_spark
 
@@ -184,6 +193,8 @@ def main() -> None:
     results = run_benches(spark, SF_DIR)
     total = round(sum(r["sec"] for r in results.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
+    calib_par = cpu_calibration_parallel()
+    noise = max(calib_par / QUIET_CALIB_PAR_SEC, 1.0)
     out = {
         "metric": "kg_pipeline+training_ops_total",
         "value": total,
@@ -192,7 +203,12 @@ def main() -> None:
         "sf": sf,
         "docs_per_sec_kg": round(BENCH_DOCS / results["kg_pipeline_10k"]["sec"], 1),
         "cpu_calib_sec": cpu_calibration(),
-        "cpu_calib_par_sec": cpu_calibration_parallel(),
+        "cpu_calib_par_sec": calib_par,
+        "box_noise_factor": round(noise, 3),
+        "value_normalized": round(total / noise, 3),
+        "queries_normalized": {
+            k: round(v["sec"] / noise, 3) for k, v in results.items()
+        },
     }
     print(json.dumps(out))
 

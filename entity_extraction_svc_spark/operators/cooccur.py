@@ -73,7 +73,8 @@ def entity_cooccurrence(linked: DataFrame, doc_col: str = "url",
 def pmi_relatedness(linked: DataFrame, doc_col: str = "url",
                     ent_col: str = "qid", min_count: int = 1,
                     top_k: int | None = None,
-                    max_per_doc: int | None = 1000) -> DataFrame:
+                    max_per_doc: int | None = 1000,
+                    salt: int | None = None) -> DataFrame:
     """(ent_a, ent_b, n_ab, pmi): PMI = ln(n_ab * N / (n_a * n_b)) over
     document co-occurrence, N = total documents in ``linked``, n_x = docs
     containing x.  Pairs below ``min_count`` co-occurrences are dropped
@@ -81,7 +82,18 @@ def pmi_relatedness(linked: DataFrame, doc_col: str = "url",
     where the volume is).  ``top_k`` keeps each entity's k best neighbors
     (pmi desc, partner asc — deterministic), applied on the symmetric
     view so every entity gets a full neighborhood.  Rounded to 6 places
-    (libm-stable, see module docstring)."""
+    (libm-stable, see module docstring).
+
+    ``salt`` (with ``top_k``) switches the neighborhood cut to the exact
+    two-stage form (VERDICT r4 #3): the plain ``row_number() over
+    (partition by ent_a)`` sends a celebrity entity's ENTIRE neighbor
+    list (Q30-shaped, 10^7 partners at corpus scale) to one task; salting
+    pre-cuts top-k per (ent_a, hash(ent_b) % salt) — each pair is one row,
+    so no bucket can split a neighbor's score and the partial cut never
+    drops a global top-k member — then the final window ranks at most
+    salt*k rows per entity.  Identical output (pinned in
+    test_cooccur.py); the same when-to-salt economics as
+    ``kgquery.top_objects_per_subject`` (BENCH.md §skew) apply."""
     d = _distinct_doc_entities(linked, doc_col, ent_col, max_per_doc)
     n_docs = linked.select(F.countDistinct(doc_col).alias("n")).alias("nd")
     marg = d.groupBy("ent").agg(F.count("*").alias("n_e"))
@@ -110,9 +122,17 @@ def pmi_relatedness(linked: DataFrame, doc_col: str = "url",
             "n_ab", "pmi",
         )
     )
-    w = Window.partitionBy("ent_a").orderBy(
-        F.col("pmi").desc(), F.col("ent_b").asc()
-    )
+    order = [F.col("pmi").desc(), F.col("ent_b").asc()]
+    if salt:
+        pre = Window.partitionBy(
+            "ent_a", F.pmod(F.xxhash64("ent_b"), F.lit(salt))
+        ).orderBy(*order)
+        sym = (
+            sym.withColumn("_pr", F.row_number().over(pre))
+            .filter(F.col("_pr") <= top_k)
+            .drop("_pr")
+        )
+    w = Window.partitionBy("ent_a").orderBy(*order)
     return (
         sym.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= top_k)
@@ -150,4 +170,25 @@ def pmi_oracle_sql(linked_sql: str, doc_col: str = "url",
         JOIN marg ma ON pairs.ent_a = ma.ent
         JOIN marg mb ON pairs.ent_b = mb.ent
         CROSS JOIN nd
+    """
+
+
+def pmi_topk_oracle_sql(linked_sql: str, k: int, doc_col: str = "url",
+                        ent_col: str = "qid", min_count: int = 1,
+                        max_per_doc: int | None = 1000) -> str:
+    """Top-k PMI neighborhoods (the ``top_k`` path of
+    :func:`pmi_relatedness`, whose salted two-stage cut is pinned
+    identical to the plain window): symmetric view, then row_number per
+    entity ordered (pmi desc, partner asc)."""
+    inner = pmi_oracle_sql(linked_sql, doc_col, ent_col, min_count,
+                           max_per_doc)
+    return f"""
+        WITH p AS ({inner}),
+        sym AS (SELECT ent_a, ent_b, n_ab, pmi FROM p
+                UNION ALL
+                SELECT ent_b AS ent_a, ent_a AS ent_b, n_ab, pmi FROM p),
+        r AS (SELECT *, row_number() OVER
+              (PARTITION BY ent_a ORDER BY pmi DESC, ent_b ASC) AS rn
+              FROM sym)
+        SELECT ent_a, ent_b, n_ab, pmi FROM r WHERE rn <= {int(k)}
     """

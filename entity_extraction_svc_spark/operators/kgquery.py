@@ -275,7 +275,8 @@ def top_triplets_for(linked_qids: DataFrame, triples: DataFrame,
 
 
 def match_bgp(triples: DataFrame, patterns: list[tuple[str, str, str]],
-              select: list[str] | None = None) -> DataFrame:
+              select: list[str] | None = None,
+              pred_counts: dict[str, int] | None = None) -> DataFrame:
     """Basic-graph-pattern matcher: a conjunction of (s, p, o) patterns with
     ``?var`` terms compiled into selectivity-ordered hash self-joins over the
     triples table — the general form of the reference wiki-parser's
@@ -286,10 +287,19 @@ def match_bgp(triples: DataFrame, patterns: list[tuple[str, str, str]],
       * each pattern becomes a *leg*: a constant-filtered projection of the
         triples scan (filters push down to parquet; a constant-``subj`` leg
         partition-prunes the subject-hash-partitioned store);
-      * legs join greedily, most-constants-first, always preferring a leg
-        that shares a variable with what's already bound — intermediates
-        stay small and no accidental cartesian product appears unless the
-        pattern graph itself is disconnected (then an explicit crossJoin);
+      * legs join greedily, cheapest-estimate-first, always preferring a
+        leg that shares a variable with what's already bound —
+        intermediates stay small and no accidental cartesian product
+        appears unless the pattern graph itself is disconnected (then an
+        explicit crossJoin, smallest estimates first).  The estimate is
+        (bound-term count, per-predicate row count): at 10^12 triples a
+        pattern authored selective-leg-last would otherwise materialize a
+        huge intermediate before the selective leg prunes it.  Predicate
+        counts come from ``pred_counts`` (pass
+        ``kgqa.predicate_stats``'s profile when you have it materialized)
+        or, when omitted, from one index-key-sized aggregation over the
+        predicate dimension — the same sanctioned driver action as the
+        streaming store's pfx collect;
       * join columns are the shared variables, so Catalyst sees plain
         equi-joins and AQE broadcasts any leg that turns out tiny at
         runtime.
@@ -309,6 +319,17 @@ def match_bgp(triples: DataFrame, patterns: list[tuple[str, str, str]],
     )
 
     closures: dict[str, DataFrame] = {}
+    if pred_counts is None:
+        # the predicate dimension is ontology-sized (10^3), and constant
+        # predicates are the norm in BGPs — one tiny agg buys the
+        # cardinality-ordered join tree below
+        pred_counts = {
+            r["pred"]: r["n"]
+            for r in triples.groupBy("pred").agg(
+                F.count("*").alias("n")
+            ).collect()
+        }
+    total_rows = sum(pred_counts.values()) or 1
     legs = []
     for i, (s, p, o) in enumerate(patterns):
         leg = triples
@@ -334,13 +355,23 @@ def match_bgp(triples: DataFrame, patterns: list[tuple[str, str, str]],
                     out_cols.append(F.col(col).alias(v))
             else:
                 leg = leg.filter(F.col(col) == term)
+        # leg cardinality estimate: the predicate's row count (total for
+        # a variable predicate; path legs use the base predicate's count
+        # as a closure-size proxy)
+        if p.startswith("?"):
+            est = total_rows
+        else:
+            base_p = p[:-1] if p.endswith("+") and len(p) > 1 else p
+            est = pred_counts.get(base_p, 0)
         legs.append(
             {"df": leg.select(*out_cols), "vars": set(seen),
-             "nconst": 3 - len(seen), "idx": i}
+             "nconst": 3 - len(seen), "est": est, "idx": i}
         )
     if not legs:
         raise ValueError("match_bgp needs at least one pattern")
-    remaining = sorted(legs, key=lambda l: (-l["nconst"], len(l["vars"]), l["idx"]))
+    remaining = sorted(
+        legs, key=lambda l: (-l["nconst"], l["est"], l["idx"])
+    )
     first = remaining.pop(0)
     out, bound = first["df"], set(first["vars"])
     while remaining:

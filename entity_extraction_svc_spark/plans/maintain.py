@@ -1,0 +1,226 @@
+"""Lineage-wired KG maintenance (VERDICT r4 #5): the closure-maintenance
+and snapshot-diff operators, driven off the checkpointed triples store
+with the same crash-safe commit discipline as the run/compact/vacuum
+paths, exposed as runner flags (``--maintain-closure <pred>``,
+``--diff <old_run> <new_run>``).
+
+The materialized closure of a predicate lives in ``{out}/closure_{pred}``
+with its own manifest chain (one JSON per maintenance commit, listing the
+COMPLETE file set — replacement semantics, unlike the triples store's
+append manifests — plus the triples-store run_id the closure reflects).
+Maintenance is incremental by construction:
+
+  1. read the latest closure manifest; none -> full
+     :func:`~..operators.graphwalk.transitive_closure` bootstrap;
+  2. diff the store head's predicate edges against the closure's OWN
+     dist-1 rows — a pair has dist 1 iff it is an edge, so the
+     materialized closure carries its exact edge set and maintenance
+     needs no snapshot time travel (robust across compactions and
+     history expiry, and it sees retractions no matter how the store
+     expressed them);
+  3. apply :func:`~..operators.graphwalk.closure_delete` for retractions
+     then :func:`~..operators.graphwalk.closure_delta` for assertions —
+     closure(old - removed + added) == closure(current), the driver-
+     pinned identities composed;
+  4. commit: write the new files, THEN the manifest, THEN delete the old
+     files.  A kill before the manifest leaves the previous manifest
+     pointing at still-present files (the append is invisible); a kill
+     after it leaves orphans that :func:`vacuum_closure` removes — every
+     intermediate state serves a consistent closure, the exact
+     set-semantics argument of ``lineage.compact_triples``.
+
+No-edit fast path: an empty predicate diff commits nothing and touches
+no files (the manifest chain records idempotence, not wall-clock).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from entity_extraction_svc_spark.plans.lineage import (
+    _read_snapshots,
+    read_triples,
+)
+
+
+def closure_path(out_dir: str, pred: str) -> str:
+    return os.path.join(out_dir, f"closure_{pred}")
+
+
+def _closure_manifests(out_dir: str, pred: str) -> list[dict]:
+    p = os.path.join(closure_path(out_dir, pred), "_snapshots")
+    if not os.path.isdir(p):
+        return []
+    out = []
+    for name in sorted(os.listdir(p)):
+        if name.endswith(".json"):
+            with open(os.path.join(p, name)) as f:
+                out.append(json.load(f))
+    return out
+
+
+def _commit_closure(spark: SparkSession, out_dir: str, pred: str,
+                    closure: DataFrame, as_of_run: str,
+                    seq: int) -> dict:
+    """Write-new -> manifest -> delete-old, in that order (see module
+    docstring for why each intermediate state is consistent)."""
+    root = closure_path(out_dir, pred)
+    data_dir = os.path.join(root, f"data-{seq:06d}-{uuid.uuid4().hex[:8]}")
+    closure.write.mode("overwrite").parquet(data_dir)
+    files = sorted(
+        os.path.join(data_dir, f) for f in os.listdir(data_dir)
+        if f.endswith(".parquet")
+    )
+    manifests = _closure_manifests(out_dir, pred)
+    old_files = set(manifests[-1]["files"]) if manifests else set()
+    snap_dir = os.path.join(root, "_snapshots")
+    os.makedirs(snap_dir, exist_ok=True)
+    # atomic manifest publish (tmp + rename): a kill mid-write must not
+    # leave a half-written JSON the next maintenance would choke on
+    final = os.path.join(snap_dir, f"{seq:06d}.json")
+    tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump({"seq": seq, "as_of_run": as_of_run, "files": files}, f)
+    os.replace(tmp, final)
+    removed = 0
+    for old in sorted(old_files - set(files)):
+        if os.path.exists(old):
+            os.remove(old)
+            removed += 1
+    # prune emptied data dirs (cosmetic; readers go via the manifest)
+    for d in {os.path.dirname(p) for p in old_files}:
+        try:
+            os.rmdir(d)
+        except OSError:
+            pass
+    return {"files": len(files), "expired_files": removed, "seq": seq}
+
+
+def read_closure(spark: SparkSession, out_dir: str,
+                 pred: str) -> tuple[DataFrame | None, dict | None]:
+    """The materialized closure per its LATEST manifest (None when never
+    bootstrapped).  Orphan files from a killed commit are invisible —
+    reads go strictly through the manifest file list."""
+    manifests = _closure_manifests(out_dir, pred)
+    if not manifests:
+        return None, None
+    m = manifests[-1]
+    return spark.read.parquet(*m["files"]), m
+
+
+def vacuum_closure(spark: SparkSession, out_dir: str, pred: str) -> dict:
+    """Delete closure data files the LATEST manifest does not reference —
+    the post-kill orphans of a commit that died between write-new and
+    manifest, plus old data a commit that died between manifest and
+    delete-old left behind.  (Earlier manifests are expired history: a
+    completed commit deletes their files by design, so only the head
+    manifest defines liveness.)"""
+    root = closure_path(out_dir, pred)
+    if not os.path.isdir(root):
+        return {"orphans_removed": 0}
+    manifests = _closure_manifests(out_dir, pred)
+    live: set[str] = set(manifests[-1]["files"]) if manifests else set()
+    removed = 0
+    for d in sorted(os.listdir(root)):
+        full = os.path.join(root, d)
+        if not d.startswith("data-") or not os.path.isdir(full):
+            continue
+        for f in sorted(os.listdir(full)):
+            p = os.path.join(full, f)
+            if f.endswith(".parquet") and p not in live:
+                os.remove(p)
+                removed += 1
+        try:
+            os.rmdir(full)
+        except OSError:
+            pass
+    return {"orphans_removed": removed}
+
+
+def _pred_edges(triples: DataFrame, pred: str) -> DataFrame:
+    return (
+        triples.filter(F.col("pred") == pred)
+        .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+    )
+
+
+def maintain_closure(spark: SparkSession, out_dir: str, pred: str) -> dict:
+    """Bring ``closure_{pred}`` up to the triples store's current head
+    (bootstrap, or incremental delete+insert maintenance — see module
+    docstring)."""
+    from entity_extraction_svc_spark.operators.graphwalk import (
+        closure_delete,
+        closure_delta,
+        transitive_closure,
+    )
+
+    runs = _read_snapshots(out_dir)
+    if not runs:
+        return {"status": "no-triples-store"}
+    head_run = runs[-1]["run_id"]
+    current = read_triples(spark, out_dir)
+    existing, manifest = read_closure(spark, out_dir, pred)
+    if existing is None:
+        clo = transitive_closure(current, pred=pred).localCheckpoint(
+            eager=True
+        )
+        stats = _commit_closure(spark, out_dir, pred, clo, head_run, seq=0)
+        return {"status": "bootstrap", "pairs": clo.count(),
+                "as_of_run": head_run, **stats}
+    if manifest["as_of_run"] == head_run:
+        return {"status": "up-to-date", "as_of_run": head_run}
+    cur_edges = _pred_edges(current, pred).localCheckpoint(eager=True)
+    old_edges = existing.filter(F.col("dist") == 1).select("src", "dst")
+    added = cur_edges.join(old_edges, ["src", "dst"], "left_anti") \
+        .localCheckpoint(eager=True)
+    removed = old_edges.join(cur_edges, ["src", "dst"], "left_anti") \
+        .localCheckpoint(eager=True)
+    n_added, n_removed = added.count(), removed.count()
+    clo = existing
+    if n_removed:
+        clo = closure_delete(clo, removed, _pred_edges(current, pred))
+    if n_added:
+        clo = closure_delta(clo, added)
+    if n_added or n_removed:
+        clo = clo.localCheckpoint(eager=True)
+        stats = _commit_closure(
+            spark, out_dir, pred, clo, head_run,
+            seq=manifest["seq"] + 1,
+        )
+    else:
+        # predicate untouched by the interval's runs: advance the pointer
+        # only (a manifest re-referencing the existing files — no data
+        # write, no deletion) so the next maintenance diffs a shorter
+        # interval
+        seq = manifest["seq"] + 1
+        snap_dir = os.path.join(closure_path(out_dir, pred), "_snapshots")
+        final = os.path.join(snap_dir, f"{seq:06d}.json")
+        tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump({"seq": seq, "as_of_run": head_run,
+                       "files": manifest["files"]}, f)
+        os.replace(tmp, final)
+        stats = {"files": len(manifest["files"]), "expired_files": 0,
+                 "seq": seq}
+    return {"status": "maintained", "pairs": clo.count(),
+            "added_edges": n_added, "removed_edges": n_removed,
+            "as_of_run": head_run, **stats}
+
+
+def diff_runs(spark: SparkSession, out_dir: str, old_run: str,
+              new_run: str) -> DataFrame:
+    """snapshot_diff between two committed runs of the lineage-tracked
+    store (``--diff`` flag): (status, subj, pred, obj)."""
+    from entity_extraction_svc_spark.operators.kgqa import snapshot_diff
+
+    return snapshot_diff(
+        read_triples(spark, out_dir, as_of=old_run),
+        read_triples(spark, out_dir, as_of=new_run),
+    )

@@ -37,14 +37,28 @@ def main(argv: list[str] | None = None) -> int:
                     help="after the run: delete snapshot-unreferenced "
                          "triple files left by killed runs (run only "
                          "while no other writer is active)")
+    ap.add_argument("--maintain-closure", metavar="PRED", default=None,
+                    help="after the run: bring the materialized "
+                         "transitive closure of PRED (e.g. P279) up to "
+                         "the store head — bootstrap on first use, then "
+                         "incremental DRed-delete + semi-naive-insert "
+                         "maintenance, committed crash-safely under "
+                         "{out}/closure_PRED")
+    ap.add_argument("--diff", nargs=2, metavar=("OLD_RUN", "NEW_RUN"),
+                    default=None,
+                    help="snapshot-diff the store between two committed "
+                         "run_ids (writes {out}/diff_OLD_NEW, prints "
+                         "added/removed counts)")
     ap.add_argument("--max-docs", type=int, default=None)
     ap.add_argument("--master", default=None, help="override spark master (local dev)")
     args = ap.parse_args(argv)
-    if (args.vacuum or args.compact) and not args.resume:
+    if (args.vacuum or args.compact or args.maintain_closure or args.diff) \
+            and not args.resume:
         # validate BEFORE any work: failing after an hours-long run (with
         # triples already written) would report rc=2 on a completed job
-        print("--compact/--vacuum maintain the checkpointed (append) "
-              "store; use them with --resume", file=sys.stderr)
+        print("--compact/--vacuum/--maintain-closure/--diff maintain the "
+              "checkpointed (append) store; use them with --resume",
+              file=sys.stderr)
         return 2
 
     from entity_extraction_svc_spark.session import get_spark
@@ -85,6 +99,29 @@ def main(argv: list[str] | None = None) -> int:
             stats["vacuum"] = L.vacuum_triples(spark, args.out)
         if args.compact:
             stats["compact"] = L.compact_triples(spark, args.out)
+    if args.maintain_closure:
+        from entity_extraction_svc_spark.plans import maintain as M
+
+        stats["maintain_closure"] = M.maintain_closure(
+            spark, args.out, args.maintain_closure
+        )
+    if args.diff:
+        from pyspark.sql import functions as F
+
+        from entity_extraction_svc_spark.plans import maintain as M
+
+        old_run, new_run = args.diff
+        d = M.diff_runs(spark, args.out, old_run, new_run)
+        dest = f"{args.out}/diff_{old_run}_{new_run}"
+        d.write.mode("overwrite").parquet(dest)
+        counts = {
+            r["status"]: r["n"]
+            for r in spark.read.parquet(dest)
+            .groupBy("status").agg(F.count("*").alias("n")).collect()
+        }
+        stats["diff"] = {"out": dest,
+                         "added": counts.get("added", 0),
+                         "removed": counts.get("removed", 0)}
     stats["wall_sec"] = round(time.time() - t0, 2)
     print(json.dumps(stats))
     return 0

@@ -19,15 +19,37 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# "<subj> <rel> <obj> ." with <obj> either an IRI or a quoted literal
-NT_RE = r'^<([^>]+)>\s+<([^>]+)>\s+(?:<([^>]+)>|"([^"]*)")\s*\.\s*$'
+# "<subj> <rel> <obj> ." with <obj> either an IRI or a quoted literal;
+# the literal body admits backslash-escaped characters (incl. \") so a
+# formatted line with special characters re-parses instead of dropping
+NT_RE = r'^<([^>]+)>\s+<([^>]+)>\s+(?:<([^>]+)>|"((?:[^"\\]|\\.)*)")\s*\.\s*$'
+
+# sentinel for the single-pass unescape below: escaped backslashes park
+# here so later replacements never mistake "\\t" (backslash + t) for a
+# tab escape.  NUL cannot appear in an N-Triples line (the spec's literal
+# charset excludes raw control characters), so the slot is free.
+_SENTINEL = "\x00"
+
+
+def _unescape_literal(c: "F.Column") -> "F.Column":
+    """Inverse of :func:`_escape_literal` (\\\\ \\" \\n \\r \\t): escaped
+    backslashes move to a sentinel first, the remaining backslash pairs
+    are true escapes, then the sentinel restores the backslash."""
+    c = F.regexp_replace(c, r"\\\\", _SENTINEL)
+    c = F.regexp_replace(c, r'\\"', '"')
+    c = F.regexp_replace(c, r"\\n", "\n")
+    c = F.regexp_replace(c, r"\\r", "\r")
+    c = F.regexp_replace(c, r"\\t", "\t")
+    return F.regexp_replace(c, _SENTINEL, r"\\")
 
 
 def parse_ntriples(lines: DataFrame, col: str = "value") -> DataFrame:
     """Text lines -> (subj, pred, obj); malformed lines are dropped.
 
     The IRI prefix is stripped to the local name (the reference keys
-    everything by bare QID/PID, ``wiki_parser.py:30-37``)."""
+    everything by bare QID/PID, ``wiki_parser.py:30-37``); literal
+    objects are UNESCAPED, so parse is the true inverse of
+    :func:`format_ntriples` including special characters."""
     local = lambda c: F.element_at(F.split(c, "/"), -1)  # noqa: E731
     parsed = lines.select(
         F.regexp_extract(F.col(col), NT_RE, 1).alias("s_iri"),
@@ -41,7 +63,7 @@ def parse_ntriples(lines: DataFrame, col: str = "value") -> DataFrame:
             local(F.col("s_iri")).alias("subj"),
             local(F.col("p_iri")).alias("pred"),
             F.when(F.col("o_iri") != "", local(F.col("o_iri")))
-            .otherwise(F.col("o_lit"))
+            .otherwise(_unescape_literal(F.col("o_lit")))
             .alias("obj"),
         )
         .filter(F.col("obj") != "")
@@ -71,7 +93,13 @@ def build_kb_entities(triples: DataFrame, label_rel: str = "label",
     )
     tag = F.lit("MISC")
     if tag_map is not None:
-        tag = F.coalesce(tag_map[F.element_at(F.col("p31"), 1)], F.lit("MISC"))
+        # try_element_at: an entity with labels but no type rows has an
+        # EMPTY p31 array (the escape-fixture QESC entities exposed this
+        # — plain element_at throws INVALID_ARRAY_INDEX on it)
+        tag = F.coalesce(
+            tag_map[F.try_element_at(F.col("p31"), F.lit(1))],
+            F.lit("MISC"),
+        )
     return agg.select(
         F.col("subj").alias("qid"),
         "label",

@@ -357,3 +357,19 @@ def test_closure_delete_chained_rederivation(spark):
     got, want = _del(spark, pairs, [("a", "b"), ("b", "c")])
     assert got == want
     assert got[("a", "c")] == 4 and got[("a", "d")] == 5
+
+
+def test_closure_delta_small_equals_distributed(spark):
+    # the adaptive in-process fast path and the distributed loop
+    # (test-forced via small_region_limit=0) produce identical closures
+    cases = [
+        ([("a", "b"), ("b", "c"), ("x", "y"), ("y", "z")], [("c", "x")]),
+        ([("a", "b"), ("b", "c"), ("c", "d")], [("a", "c")]),   # improve
+        ([("a", "b"), ("b", "c")], [("c", "a")]),               # cycle
+    ]
+    for old, new in cases:
+        base = transitive_closure(_edges_df(spark, old))
+        new_df = spark.createDataFrame(new, "src string, dst string")
+        small = _pairs(closure_delta(base, new_df))
+        dist = _pairs(closure_delta(base, new_df, small_region_limit=0))
+        assert small == dist == _full(spark, old + new), (old, new)

@@ -211,3 +211,49 @@ def test_mine_aliases_oracle_parity_on_golden_links(spark, fixture_dir):
     want = sorted(map(tuple, _duckdb.sql(sql).fetchall()))
     assert got == want
     assert len(got) > 0  # the corpus does surface un-dictionaried aliases
+
+
+def test_bgp_selective_leg_planned_first(spark):
+    """VERDICT r4 #4: a 3-leg pattern authored selective-leg-LAST must
+    still join the selective (rare-predicate) leg first — the leg order
+    comes from (bound-term count, per-pred cardinality), not authoring
+    order.  Left-deep join trees print the first-joined leg's filter
+    earliest in the explain string."""
+    rows = (
+        [(f"s{i}", "common", f"o{i}") for i in range(200)]
+        + [(f"s{i}", "mid", f"m{i}") for i in range(50)]
+        + [("s1", "rare", "r1")]
+    )
+    tr = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    got = match_bgp(
+        tr,
+        [("?x", "common", "?a"), ("?x", "mid", "?b"), ("?x", "rare", "?c")],
+        select=["x", "a", "b", "c"],
+    )
+    plan = got._sc._jvm.PythonSQLUtils.explainString(
+        got._jdf.queryExecution(), "extended"
+    )
+    # equal constant counts -> rare pred joins first, common last
+    i_rare = plan.index("= rare")
+    i_mid = plan.index("= mid")
+    i_common = plan.index("= common")
+    assert i_rare < i_mid < i_common, (i_rare, i_mid, i_common)
+    # and the result is still correct
+    assert [tuple(r) for r in got.collect()] == [("s1", "o1", "m1", "r1")]
+
+
+def test_bgp_explicit_pred_counts_override(spark):
+    """pred_counts passed in (the materialized predicate_stats path) is
+    honored without running the internal aggregation."""
+    rows = [("a", "p", "b"), ("a", "q", "c")]
+    tr = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    # lie: claim q is huge so p plans first despite equal true counts
+    got = match_bgp(
+        tr, [("?x", "q", "?v"), ("?x", "p", "?y")],
+        select=["x", "y", "v"], pred_counts={"p": 1, "q": 10**9},
+    )
+    plan = got._sc._jvm.PythonSQLUtils.explainString(
+        got._jdf.queryExecution(), "extended"
+    )
+    assert plan.index("= p") < plan.index("= q")
+    assert [tuple(r) for r in got.collect()] == [("a", "b", "c")]

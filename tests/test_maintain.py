@@ -1,0 +1,113 @@
+"""Lineage-wired closure maintenance (VERDICT r4 #5): bootstrap,
+incremental insert, retraction via a rewrite commit, crash-orphan
+invisibility, and the --diff surface."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from entity_extraction_svc_spark.operators.graphwalk import (
+    transitive_closure,
+)
+from entity_extraction_svc_spark.plans import lineage as L
+from entity_extraction_svc_spark.plans import maintain as M
+
+PRED = "P131"
+
+
+def _closure_now(spark, out):
+    cur = L.read_triples(spark, out)
+    return {
+        (r.src, r.dst, r.dist)
+        for r in transitive_closure(cur, pred=PRED).collect()
+    }
+
+
+def _stored(spark, out):
+    df, m = M.read_closure(spark, out, PRED)
+    assert df is not None
+    return {(r.src, r.dst, r.dist) for r in df.collect()}, m
+
+
+def test_maintain_closure_lifecycle(spark, fixture_dir):
+    out = tempfile.mkdtemp(prefix="kg_maint_")
+    pages = f"{fixture_dir}/pages.parquet"
+
+    # no store yet
+    assert M.maintain_closure(spark, out, PRED)["status"] == "no-triples-store"
+
+    s1 = L.run_checkpointed(spark, pages, fixture_dir, out, max_docs=60)
+    r1 = M.maintain_closure(spark, out, PRED)
+    assert r1["status"] == "bootstrap"
+    got, m1 = _stored(spark, out)
+    assert got == _closure_now(spark, out) and len(got) > 0
+    assert m1["as_of_run"] == s1["run_id"]
+
+    # same head -> up-to-date fast path, no new manifest
+    assert M.maintain_closure(spark, out, PRED)["status"] == "up-to-date"
+    _, m1b = _stored(spark, out)
+    assert m1b["seq"] == m1["seq"]
+
+    # drain the corpus -> incremental insert maintenance
+    s2 = L.run_checkpointed(spark, pages, fixture_dir, out)
+    r2 = M.maintain_closure(spark, out, PRED)
+    assert r2["status"] == "maintained"
+    assert r2["added_edges"] > 0 and r2["removed_edges"] == 0
+    got2, m2 = _stored(spark, out)
+    assert got2 == _closure_now(spark, out)
+    assert m2["seq"] == m1["seq"] + 1 and m2["as_of_run"] == s2["run_id"]
+    assert got2 > got  # new docs asserted new P131 edges
+
+    # --diff surface between the two pipeline commits (checked BEFORE the
+    # retraction below, whose compaction expires s1's snapshot)
+    d = M.diff_runs(spark, out, s1["run_id"], s2["run_id"])
+    by = {r["status"]: r["count"]
+          for r in d.groupBy("status").count().collect()}
+    assert by.get("added", 0) > 0 and "removed" not in by
+
+    # retraction: rewrite the store without 3 P131 triples, committed as
+    # a compaction snapshot (the stand-in for an Iceberg DELETE commit)
+    cur = L.read_triples(spark, out).localCheckpoint(eager=True)
+    drop = cur.filter(F.col("pred") == PRED).orderBy("subj", "obj").limit(3)
+    remaining = cur.join(drop, ["subj", "pred", "obj"], "left_anti")
+    tp = L.triples_path(out)
+    staging = tempfile.mkdtemp(prefix="kg_rewrite_")
+    remaining.coalesce(1).write.mode("overwrite").parquet(staging)
+    for f in glob.glob(f"{tp}/*.parquet"):
+        os.remove(f)
+    new_files = []
+    for i, f in enumerate(sorted(glob.glob(f"{staging}/*.parquet"))):
+        dest = os.path.join(tp, f"retract-{i:05d}.parquet")
+        shutil.move(f, dest)
+        new_files.append(dest)
+    L._write_snapshot(out, "retract1", seq=len(L._read_snapshots(out)),
+                      files=new_files, compaction=True)
+    spark.catalog.refreshByPath(tp)
+
+    r3 = M.maintain_closure(spark, out, PRED)
+    assert r3["status"] == "maintained"
+    assert r3["removed_edges"] > 0
+    got3, m3 = _stored(spark, out)
+    assert got3 == _closure_now(spark, out)
+    assert got3 < got2
+
+    # crash-orphan invisibility: a stray data file next to the committed
+    # ones must not surface in the manifest read, and vacuum removes it
+    root = M.closure_path(out, PRED)
+    data_dir = os.path.dirname(m3["files"][0])
+    orphan_dir = os.path.join(root, "data-999999-orphan")
+    os.makedirs(orphan_dir)
+    shutil.copy(m3["files"][0], os.path.join(orphan_dir, "stray.parquet"))
+    got3b, _ = _stored(spark, out)
+    assert got3b == got3
+    stats = M.vacuum_closure(spark, out, PRED)
+    assert stats["orphans_removed"] == 1
+    assert not os.path.exists(orphan_dir)
+    assert os.path.exists(m3["files"][0])
+
+    shutil.rmtree(out, ignore_errors=True)

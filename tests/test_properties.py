@@ -59,10 +59,19 @@ def test_chunk_doc_reassembles(s):
         for sent, (a, b) in zip(sents, offs):
             assert 0 <= a <= b <= len(chunk_text) + 2
             # the chunk text is .strip().strip(",")-ed AFTER sentence offsets
-            # are computed (reference ner_chunker.py:160), so first/last
-            # sentences may differ from their slice by edge whitespace/commas
-            assert chunk_text[a:b].strip().strip(",").strip() == \
-                sent.strip().strip(",").strip()
+            # are computed (reference ner_chunker.py:160, byte-identical
+            # sanitize at :181-195), so offsets sit up to head-strip chars
+            # right of the true position when a sanitized piece begins with
+            # whitespace (e.g. a NEL -> space substitution at piece start;
+            # hypothesis found '\x85\x1b\n0!').  Downstream re-alignment
+            # (N7, linker.py:864) absorbs exactly this shift in production.
+            want = sent.strip().strip(",").strip()
+            cands = [
+                chunk_text[max(0, a - sh):max(0, b - sh)]
+                .strip().strip(",").strip()
+                for sh in (0, 1, 2)
+            ]
+            assert want in cands, (chunk_text, sent, a, b)
 
 
 @settings(max_examples=200, deadline=None)

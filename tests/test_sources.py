@@ -176,3 +176,30 @@ def test_write_ntriples_files_reparse(spark, tmp_path):
     assert sorted(map(tuple, back.collect())) == [
         ("Q1", "P31", "Q5"), ("Q2", "P31", "Q5")
     ]
+
+
+def test_ntriples_roundtrip_with_escapes(spark):
+    # format -> parse is the identity INCLUDING every escape class
+    # (VERDICT r4 ADVICE #2: the old parser dropped lines with \" and
+    # reparsed \\ / \t / \n to the escaped bytes)
+    triples = [
+        ("Q1", "label", 'say "hi"\nback\\slash\ttab'),
+        ("Q2", "label", "trailing backslash \\"),
+        ("Q3", "label", '\\"escaped-backslash-then-quote'),
+        ("Q4", "label", "\r\ncrlf"),
+        ("Q5", "label", "\\n is two chars here"),
+    ]
+    df = spark.createDataFrame(triples, "subj string, pred string, obj string")
+    back = parse_ntriples(format_ntriples(df), col="line")
+    assert sorted(map(tuple, back.collect())) == sorted(triples)
+
+
+def test_ntriples_parse_escaped_quote_line(spark):
+    # a hand-authored spec line with \" inside the literal must parse,
+    # not silently drop
+    lines = spark.createDataFrame(
+        [('<http://we/Q9> <http://wl/label> "quo\\"te\\tand\\\\bs" .',)],
+        "value string",
+    )
+    got = parse_ntriples(lines).collect()
+    assert [tuple(r) for r in got] == [("Q9", "label", 'quo"te\tand\\bs')]

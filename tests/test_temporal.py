@@ -200,3 +200,84 @@ def test_fact_intervals_single_shuffle(spark):
     out = fact_intervals(obs, ["subj", "pred"], "obj")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
+
+
+# --- set-valued fact versioning (VERDICT r4 #7) -------------------------------
+
+from entity_extraction_svc_spark.operators.temporal import (  # noqa: E402
+    set_fact_intervals,
+    set_fact_intervals_oracle_sql,
+)
+import datetime as _dt  # noqa: E402
+
+
+def _snap(day):
+    return _dt.datetime(2024, 1, day)
+
+
+def test_set_fact_intervals_presence_runs(spark):
+    # u1 snapshots: d1={a,b} d2={a} d3={a,b} d4={b}
+    rows = [
+        ("u1", "act", v, _snap(d))
+        for d, vals in [(1, "ab"), (2, "a"), (3, "ab"), (4, "b")]
+        for v in vals
+    ]
+    obs = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, observed_ts timestamp")
+    got = {
+        (r.subj, r.value, r.valid_from, r.valid_to)
+        for r in set_fact_intervals(obs, ["subj", "pred"], "obj").collect()
+    }
+    assert got == {
+        ("u1", "a", _snap(1), _snap(4)),   # present d1-d3, absent d4
+        ("u1", "b", _snap(1), _snap(2)),   # first run closes at d2
+        ("u1", "b", _snap(3), None),       # re-appears, open at latest
+    }
+
+
+def test_set_fact_intervals_per_key_snapshots(spark):
+    # snapshot indexing is PER KEY: u2 only has snapshots d2/d4, so its
+    # value is continuously present even though u1 has snapshots between
+    rows = [
+        ("u1", "act", "x", _snap(1)), ("u1", "act", "x", _snap(2)),
+        ("u1", "act", "x", _snap(3)),
+        ("u2", "act", "y", _snap(2)), ("u2", "act", "y", _snap(4)),
+    ]
+    obs = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, observed_ts timestamp")
+    got = {
+        (r.subj, r.value, r.valid_from, r.valid_to)
+        for r in set_fact_intervals(obs, ["subj", "pred"], "obj").collect()
+    }
+    assert got == {
+        ("u1", "x", _snap(1), None),
+        ("u2", "y", _snap(2), None),
+    }
+
+
+def test_set_fact_intervals_oracle_parity(spark, fixture_dir):
+    import duckdb
+
+    ev = spark.createDataFrame(
+        [("u1", "a", _snap(1)), ("u1", "b", _snap(1)), ("u1", "a", _snap(2)),
+         ("u1", "b", _snap(3)), ("u2", "c", _snap(2))],
+        "user_id string, event_type string, ts timestamp",
+    )
+    obs = ev.select(
+        F.col("user_id").alias("subj"), F.lit("act").alias("pred"),
+        F.col("event_type").alias("obj"), F.col("ts").alias("observed_ts"),
+    )
+    got = {
+        (r.subj, r.value, r.valid_from, r.valid_to)
+        for r in set_fact_intervals(obs, ["subj", "pred"], "obj").collect()
+    }
+    con = duckdb.connect()
+    con.register("ev", ev.toPandas())
+    sql = set_fact_intervals_oracle_sql(
+        "SELECT user_id AS subj, 'act' AS pred, event_type AS obj, "
+        "ts AS observed_ts FROM ev", ["subj", "pred"], "obj")
+    want = {
+        (r[0], r[2], r[3], r[4])
+        for r in con.execute(sql).fetchall()
+    }
+    assert got == want
