@@ -49,11 +49,17 @@ def main(argv: list[str] | None = None) -> int:
                     help="snapshot-diff the store between two committed "
                          "run_ids (writes {out}/diff_OLD_NEW, prints "
                          "added/removed counts)")
+    ap.add_argument("--retract", metavar="PARQUET", default=None,
+                    help="retraction commit: remove the (subj, pred, obj) "
+                         "rows in this parquet from the store (rewrite + "
+                         "compaction snapshot — the Iceberg-DELETE "
+                         "stand-in); follow with --maintain-closure to "
+                         "reconcile materialized closures via DRed")
     ap.add_argument("--max-docs", type=int, default=None)
     ap.add_argument("--master", default=None, help="override spark master (local dev)")
     args = ap.parse_args(argv)
-    if (args.vacuum or args.compact or args.maintain_closure or args.diff) \
-            and not args.resume:
+    if (args.vacuum or args.compact or args.maintain_closure or args.diff
+            or args.retract) and not args.resume:
         # validate BEFORE any work: failing after an hours-long run (with
         # triples already written) would report rc=2 on a completed job
         print("--compact/--vacuum/--maintain-closure/--diff maintain the "
@@ -99,6 +105,12 @@ def main(argv: list[str] | None = None) -> int:
             stats["vacuum"] = L.vacuum_triples(spark, args.out)
         if args.compact:
             stats["compact"] = L.compact_triples(spark, args.out)
+    if args.retract:
+        from entity_extraction_svc_spark.plans import lineage as L
+
+        stats["retract"] = L.retract_triples(
+            spark, args.out, spark.read.parquet(args.retract)
+        )
     if args.maintain_closure:
         from entity_extraction_svc_spark.plans import maintain as M
 

@@ -111,3 +111,37 @@ def test_maintain_closure_lifecycle(spark, fixture_dir):
     assert os.path.exists(m3["files"][0])
 
     shutil.rmtree(out, ignore_errors=True)
+
+
+def test_retract_triples_end_to_end(spark, fixture_dir):
+    out = tempfile.mkdtemp(prefix="kg_retract_")
+    pages = f"{fixture_dir}/pages.parquet"
+    L.run_checkpointed(spark, pages, fixture_dir, out)
+    M.maintain_closure(spark, out, PRED)
+    before = L.read_triples(spark, out).localCheckpoint(eager=True)
+    n_before = before.count()
+    drop = before.filter(F.col("pred") == PRED) \
+        .orderBy("subj", "obj").limit(3).localCheckpoint(eager=True)
+
+    stats = L.retract_triples(spark, out, drop)
+    assert stats["removed"] == 3
+    cur = L.read_triples(spark, out)
+    assert cur.count() == n_before - 3
+    assert cur.join(drop, ["subj", "pred", "obj"], "left_semi").count() == 0
+
+    # the retraction is a committed snapshot: as-of it reads the new state
+    asof = L.read_triples(spark, out, as_of=stats["run_id"])
+    assert asof.count() == n_before - 3
+
+    # closure maintenance sees the retraction and reconciles via DRed
+    r = M.maintain_closure(spark, out, PRED)
+    assert r["status"] == "maintained" and r["removed_edges"] > 0
+    got, _ = _stored(spark, out)
+    assert got == _closure_now(spark, out)
+
+    # retracting the same rows again is a no-op commit
+    stats2 = L.retract_triples(spark, out, drop)
+    assert stats2["removed"] == 0
+    assert L.read_triples(spark, out).count() == n_before - 3
+
+    shutil.rmtree(out, ignore_errors=True)

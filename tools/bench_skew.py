@@ -89,6 +89,37 @@ def main(n=20_000_000):
     r["topk_salted"] = timeit("top-10 objs/subj, salt=64 two-stage",
                               lambda: top_objects_per_subject(t, k=10, salt=64).count())
 
+    # 4. PMI top-k neighborhoods with a celebrity entity (VERDICT r4 #3):
+    # every doc links Qceleb + two quasi-unique partners, so Qceleb's
+    # symmetric neighbor list is ~n/2 rows and the plain ranking window
+    # sends ALL of it to one task; the salted two-stage cut pre-cuts per
+    # (entity, hash(partner) % 64).
+    from entity_extraction_svc_spark.operators.cooccur import (
+        pmi_relatedness,
+    )
+
+    m = n // 4
+    linked = spark.range(m).select(
+        F.concat(F.lit("u"), F.col("id")).alias("url"),
+        F.explode(
+            F.array(
+                F.lit("Qceleb"),
+                F.concat(F.lit("P"), F.pmod(F.xxhash64("id"),
+                                            F.lit(2_000_000)).cast("string")),
+                F.concat(F.lit("R"), F.pmod(F.xxhash64("id", F.lit(1)),
+                                            F.lit(1_000_000)).cast("string")),
+            )
+        ).alias("qid"),
+    ).persist()
+    print(f"linked rows={linked.count():,}", flush=True)
+    r["pmi_topk_window"] = timeit(
+        "pmi top-10 neighborhoods, plain window",
+        lambda: pmi_relatedness(linked, top_k=10).count())
+    r["pmi_topk_salted"] = timeit(
+        "pmi top-10 neighborhoods, salt=64 two-stage",
+        lambda: pmi_relatedness(linked, top_k=10, salt=64).count())
+    linked.unpersist()
+
     dim = (
         t.groupBy("subj").agg(F.count("*").alias("deg"))
     ).persist()
