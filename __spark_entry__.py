@@ -377,7 +377,30 @@ def _kg_pattern_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("occ").alias("b"), F.col("city").alias("c"),
         F.col("region").alias("d"),
     )
-    return w1.unionByName(bgp)
+    pad2 = [F.lit("").alias("c"), F.lit("").alias("d")]
+    # r5 property-path operators: alternation (birthplace-or-headquarters
+    # edges), inverse (who is located in a place: ^P131), and the
+    # alternation closure ((P131|P279)+ — mixed located-in/subclass
+    # chains compose transitively)
+    alt = match_bgp(kb, [("?x", "P19|P159", "?place")],
+                    select=["x", "place"]).select(
+        F.lit("alt").alias("part"), F.col("x").alias("a"),
+        F.col("place").alias("b"), *pad2,
+    )
+    inv = match_bgp(kb, [("Q30", "^P17", "?thing")],
+                    select=["thing"]).select(
+        F.lit("inv").alias("part"), F.col("thing").alias("a"),
+        F.lit("Q30").alias("b"), *pad2,
+    )
+    altpath = match_bgp(kb, [("?x", "P131|P279+", "?anc")],
+                        select=["x", "anc"]).select(
+        F.lit("altpath").alias("part"), F.col("x").alias("a"),
+        F.col("anc").alias("b"), *pad2,
+    )
+    return (
+        w1.unionByName(bgp).unionByName(alt).unionByName(inv)
+        .unionByName(altpath)
+    )
 
 
 # ontology domain/range constraints for the fixture KB (validate_triples):
@@ -1735,7 +1758,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 'bgp', p.subj, p.obj, b.obj, c.obj "
             "FROM t p JOIN t b ON p.subj = b.subj AND b.pred = 'P19' "
             "         JOIN t c ON b.obj = c.subj AND c.pred = 'P131' "
-            "WHERE p.pred = 'P106'"
+            "WHERE p.pred = 'P106' "
+            "UNION ALL "
+            "SELECT 'alt', subj, obj, '', '' FROM t "
+            "WHERE pred IN ('P19', 'P159') "
+            "UNION ALL "
+            "SELECT 'inv', subj, 'Q30', '', '' FROM t "
+            "WHERE pred = 'P17' AND obj = 'Q30' "
+            "UNION ALL "
+            "SELECT 'altpath', src, dst, '', '' FROM ({ALTPATH_SQL}) ap"
         ),
         "kg_find_rels": (
             f"WITH t AS (SELECT * FROM read_parquet('{fx}/kb_triples.parquet')), "
@@ -2683,6 +2714,16 @@ def oracle_sql() -> dict[str, str]:
         "SELECT 'pmitop' AS part, ent_a || ':' || ent_b || ':' || "
         "n_ab::VARCHAR || ':' || round(pmi * 1000000)::BIGINT::VARCHAR AS value"
         f" FROM ({pmi_topk_oracle_sql(f_pmi_src, k=2, min_count=2)})"
+    )
+
+    # kg_pattern_search part=altpath: (P131|P279)+ = closure over the
+    # UNION edge set — one capped recursive CTE, shared depth bound
+    sql["kg_pattern_search"] = sql["kg_pattern_search"].replace(
+        "{ALTPATH_SQL}",
+        closure_oracle_sql(
+            f"SELECT * FROM read_parquet('{fx}/kb_triples.parquet') "
+            "WHERE pred IN ('P131', 'P279')",
+        ),
     )
 
     sql["kg_types_2hop"] = sql["kg_types_2hop"].replace(

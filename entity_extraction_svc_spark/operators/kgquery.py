@@ -304,13 +304,22 @@ def match_bgp(triples: DataFrame, patterns: list[tuple[str, str, str]],
         equi-joins and AQE broadcasts any leg that turns out tiny at
         runtime.
 
-    Property paths: a constant predicate ending in ``+`` (SPARQL's
-    one-or-more path, e.g. ``P279+``) makes the leg scan the
-    :func:`~entity_extraction_svc_spark.operators.graphwalk.transitive_closure`
-    of that predicate instead of the raw table — closed once per distinct
-    path predicate, shared across legs.  Sound for the hierarchy-shaped
-    predicates closure is sized for (see the closure docstring's honest
-    budget note).
+    Property paths over constant predicates (the SPARQL 1.1 operators a
+    KG query surface actually needs, round 5 extends + with | and ^):
+
+      * ``p+`` — one-or-more: the leg scans the
+        :func:`~entity_extraction_svc_spark.operators.graphwalk.transitive_closure`
+        of the predicate instead of the raw table, closed once per
+        distinct path expression and shared across legs.  Sound for the
+        hierarchy-shaped predicates closure is sized for (see the
+        closure docstring's honest budget note).
+      * ``p1|p2`` — alternation: the leg filters ``pred IN (p1, p2)``
+        (still a pushed-down scan filter).
+      * ``^p`` — inverse: the leg swaps subj/obj.  Composes with the
+        others: ``^p+`` is the inverse of the closure, and
+        ``p1|p2+`` parses as ``(p1|p2)+`` (the ``+`` binds the whole
+        alternation — one closure over the union edge set, which is how
+        SPARQL's ``(p1|p2)+`` evaluates).
 
     Bag semantics (no implicit distinct), like SPARQL BGPs.  ``select``
     projects the named variables (with or without the ``?``)."""
@@ -318,7 +327,7 @@ def match_bgp(triples: DataFrame, patterns: list[tuple[str, str, str]],
         transitive_closure,
     )
 
-    closures: dict[str, DataFrame] = {}
+    closures: dict = {}
     if pred_counts is None:
         # the predicate dimension is ontology-sized (10^3), and constant
         # predicates are the norm in BGPs — one tiny agg buys the
@@ -330,18 +339,48 @@ def match_bgp(triples: DataFrame, patterns: list[tuple[str, str, str]],
             ).collect()
         }
     total_rows = sum(pred_counts.values()) or 1
+
+    def _parse_path(p: str) -> tuple[bool, bool, list[str]]:
+        """'^p1|p2+' -> (inverse, plus, [p1, p2])."""
+        inv = p.startswith("^")
+        core = p[1:] if inv else p
+        plus = core.endswith("+") and len(core) > 1
+        if plus:
+            core = core[:-1]
+        alts = [a for a in core.split("|") if a]
+        if not alts:
+            raise ValueError(f"empty property path: {p!r}")
+        return inv, plus, alts
+
     legs = []
     for i, (s, p, o) in enumerate(patterns):
         leg = triples
-        if not p.startswith("?") and p.endswith("+") and len(p) > 1:
-            base = p[:-1]
-            if base not in closures:
-                closures[base] = transitive_closure(triples, base).select(
-                    F.col("src").alias("subj"),
-                    F.lit(p).alias("pred"),
-                    F.col("dst").alias("obj"),
+        if not p.startswith("?"):
+            inv, plus, alts = _parse_path(p)
+            if inv or plus or len(alts) > 1:
+                key = (plus, tuple(sorted(alts)))
+                if plus and key not in closures:
+                    closures[key] = transitive_closure(
+                        triples.filter(F.col("pred").isin(alts))
+                    ).select(
+                        F.col("src").alias("subj"),
+                        F.col("dst").alias("obj"),
+                    ).localCheckpoint(eager=True)
+                pairs = (
+                    closures[key] if plus
+                    else triples.filter(F.col("pred").isin(alts))
+                    .select("subj", "obj")
                 )
-            leg = closures[base]
+                if inv:
+                    pairs = pairs.select(
+                        F.col("obj").alias("subj"),
+                        F.col("subj").alias("obj"),
+                    )
+                # pred rides as the original path literal so the generic
+                # constant filter below matches it
+                leg = pairs.select(
+                    "subj", F.lit(p).alias("pred"), "obj"
+                )
         out_cols, seen = [], {}
         for col, term in (("subj", s), ("pred", p), ("obj", o)):
             if term.startswith("?"):
@@ -361,8 +400,7 @@ def match_bgp(triples: DataFrame, patterns: list[tuple[str, str, str]],
         if p.startswith("?"):
             est = total_rows
         else:
-            base_p = p[:-1] if p.endswith("+") and len(p) > 1 else p
-            est = pred_counts.get(base_p, 0)
+            est = sum(pred_counts.get(a, 0) for a in _parse_path(p)[2])
         legs.append(
             {"df": leg.select(*out_cols), "vars": set(seen),
              "nconst": 3 - len(seen), "est": est, "idx": i}

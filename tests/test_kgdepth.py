@@ -257,3 +257,37 @@ def test_bgp_explicit_pred_counts_override(spark):
     )
     assert plan.index("= p") < plan.index("= q")
     assert [tuple(r) for r in got.collect()] == [("a", "b", "c")]
+
+
+def test_bgp_path_alternation_and_inverse(spark):
+    tr = spark.createDataFrame(
+        [("a", "p", "b"), ("c", "q", "b"), ("d", "r", "b"),
+         ("b", "s", "e")],
+        "subj string, pred string, obj string",
+    )
+    # alternation: p|q matches both edges into b
+    got = match_bgp(tr, [("?x", "p|q", "b")], select=["x"])
+    assert sorted(r.x for r in got.collect()) == ["a", "c"]
+    # inverse: ^s from e reaches b
+    got = match_bgp(tr, [("e", "^s", "?y")], select=["y"])
+    assert [r.y for r in got.collect()] == ["b"]
+    # inverse joins like any leg: who points at something e points from
+    got = match_bgp(
+        tr, [("e", "^s", "?m"), ("?x", "p", "?m")], select=["x", "m"]
+    )
+    assert [tuple(r) for r in got.collect()] == [("a", "b")]
+
+
+def test_bgp_alternation_closure(spark):
+    # p1|p2+ parses as (p1|p2)+: one closure over the union edge set, so
+    # mixed-predicate chains compose
+    tr = spark.createDataFrame(
+        [("a", "p1", "b"), ("b", "p2", "c"), ("c", "p1", "d"),
+         ("x", "p3", "y")],
+        "subj string, pred string, obj string",
+    )
+    got = match_bgp(tr, [("a", "p1|p2+", "?t")], select=["t"])
+    assert sorted(r.t for r in got.collect()) == ["b", "c", "d"]
+    # inverse of a closure
+    got = match_bgp(tr, [("d", "^p1|p2+", "?t")], select=["t"])
+    assert sorted(r.t for r in got.collect()) == ["a", "b", "c"]
