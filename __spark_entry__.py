@@ -397,9 +397,29 @@ def _kg_pattern_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("altpath").alias("part"), F.col("x").alias("a"),
         F.col("anc").alias("b"), *pad2,
     )
+    # r5 OPTIONAL / MINUS: occupation with optional birthplace (nulls
+    # packed as ''), and occupation-holders with NO birthplace
+    opt = match_bgp(
+        kb, [("?p", "P106", "?occ")],
+        optional=[[("?p", "P19", "?city")]],
+        select=["p", "occ", "city"],
+    ).select(
+        F.lit("opt").alias("part"), F.col("p").alias("a"),
+        F.col("occ").alias("b"),
+        F.coalesce(F.col("city"), F.lit("")).alias("c"),
+        F.lit("").alias("d"),
+    )
+    neg = match_bgp(
+        kb, [("?p", "P106", "?occ")],
+        minus=[[("?p", "P19", "?c")]],
+        select=["p", "occ"],
+    ).select(
+        F.lit("neg").alias("part"), F.col("p").alias("a"),
+        F.col("occ").alias("b"), *pad2,
+    )
     return (
         w1.unionByName(bgp).unionByName(alt).unionByName(inv)
-        .unionByName(altpath)
+        .unionByName(altpath).unionByName(opt).unionByName(neg)
     )
 
 
@@ -1766,7 +1786,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 'inv', subj, 'Q30', '', '' FROM t "
             "WHERE pred = 'P17' AND obj = 'Q30' "
             "UNION ALL "
-            "SELECT 'altpath', src, dst, '', '' FROM ({ALTPATH_SQL}) ap"
+            "SELECT 'altpath', src, dst, '', '' FROM ({ALTPATH_SQL}) ap "
+            "UNION ALL "
+            "SELECT 'opt', p.subj, p.obj, coalesce(b.obj, ''), '' "
+            "FROM t p LEFT JOIN t b ON p.subj = b.subj AND b.pred = 'P19' "
+            "WHERE p.pred = 'P106' "
+            "UNION ALL "
+            "SELECT 'neg', p.subj, p.obj, '', '' FROM t p "
+            "WHERE p.pred = 'P106' AND NOT EXISTS ("
+            "  SELECT 1 FROM t b WHERE b.subj = p.subj AND b.pred = 'P19')"
         ),
         "kg_find_rels": (
             f"WITH t AS (SELECT * FROM read_parquet('{fx}/kb_triples.parquet')), "

@@ -276,7 +276,10 @@ def top_triplets_for(linked_qids: DataFrame, triples: DataFrame,
 
 def match_bgp(triples: DataFrame, patterns: list[tuple[str, str, str]],
               select: list[str] | None = None,
-              pred_counts: dict[str, int] | None = None) -> DataFrame:
+              pred_counts: dict[str, int] | None = None,
+              optional: list[list[tuple[str, str, str]]] | None = None,
+              minus: list[list[tuple[str, str, str]]] | None = None,
+              ) -> DataFrame:
     """Basic-graph-pattern matcher: a conjunction of (s, p, o) patterns with
     ``?var`` terms compiled into selectivity-ordered hash self-joins over the
     triples table — the general form of the reference wiki-parser's
@@ -321,6 +324,13 @@ def match_bgp(triples: DataFrame, patterns: list[tuple[str, str, str]],
         alternation — one closure over the union edge set, which is how
         SPARQL's ``(p1|p2)+`` evaluates).
 
+    ``optional`` (SPARQL OPTIONAL) takes pattern GROUPS, each compiled
+    like a mini-BGP and LEFT-joined on its variables shared with what is
+    already bound (nulls where the group does not match); ``minus``
+    (SPARQL MINUS / FILTER NOT EXISTS) anti-joins each group's shared
+    variables.  Both require at least one shared variable — a disjoint
+    OPTIONAL/MINUS group is a SPARQL footgun this matcher refuses.
+
     Bag semantics (no implicit distinct), like SPARQL BGPs.  ``select``
     projects the named variables (with or without the ``?``)."""
     from entity_extraction_svc_spark.operators.graphwalk import (
@@ -352,74 +362,98 @@ def match_bgp(triples: DataFrame, patterns: list[tuple[str, str, str]],
             raise ValueError(f"empty property path: {p!r}")
         return inv, plus, alts
 
-    legs = []
-    for i, (s, p, o) in enumerate(patterns):
-        leg = triples
-        if not p.startswith("?"):
-            inv, plus, alts = _parse_path(p)
-            if inv or plus or len(alts) > 1:
-                key = (plus, tuple(sorted(alts)))
-                if plus and key not in closures:
-                    closures[key] = transitive_closure(
-                        triples.filter(F.col("pred").isin(alts))
-                    ).select(
-                        F.col("src").alias("subj"),
-                        F.col("dst").alias("obj"),
-                    ).localCheckpoint(eager=True)
-                pairs = (
-                    closures[key] if plus
-                    else triples.filter(F.col("pred").isin(alts))
-                    .select("subj", "obj")
-                )
-                if inv:
-                    pairs = pairs.select(
-                        F.col("obj").alias("subj"),
-                        F.col("subj").alias("obj"),
+    def _compile(pats: list[tuple[str, str, str]]):
+        legs = []
+        for i, (s, p, o) in enumerate(pats):
+            leg = triples
+            if not p.startswith("?"):
+                inv, plus, alts = _parse_path(p)
+                if inv or plus or len(alts) > 1:
+                    key = (plus, tuple(sorted(alts)))
+                    if plus and key not in closures:
+                        closures[key] = transitive_closure(
+                            triples.filter(F.col("pred").isin(alts))
+                        ).select(
+                            F.col("src").alias("subj"),
+                            F.col("dst").alias("obj"),
+                        ).localCheckpoint(eager=True)
+                    pairs = (
+                        closures[key] if plus
+                        else triples.filter(F.col("pred").isin(alts))
+                        .select("subj", "obj")
                     )
-                # pred rides as the original path literal so the generic
-                # constant filter below matches it
-                leg = pairs.select(
-                    "subj", F.lit(p).alias("pred"), "obj"
-                )
-        out_cols, seen = [], {}
-        for col, term in (("subj", s), ("pred", p), ("obj", o)):
-            if term.startswith("?"):
-                v = term[1:]
-                if not v:
-                    raise ValueError(f"empty variable name in pattern {i}")
-                if v in seen:  # same var twice in one pattern -> equality
-                    leg = leg.filter(F.col(col) == F.col(seen[v]))
+                    if inv:
+                        pairs = pairs.select(
+                            F.col("obj").alias("subj"),
+                            F.col("subj").alias("obj"),
+                        )
+                    # pred rides as the original path literal so the generic
+                    # constant filter below matches it
+                    leg = pairs.select(
+                        "subj", F.lit(p).alias("pred"), "obj"
+                    )
+            out_cols, seen = [], {}
+            for col, term in (("subj", s), ("pred", p), ("obj", o)):
+                if term.startswith("?"):
+                    v = term[1:]
+                    if not v:
+                        raise ValueError(f"empty variable name in pattern {i}")
+                    if v in seen:  # same var twice in one pattern -> equality
+                        leg = leg.filter(F.col(col) == F.col(seen[v]))
+                    else:
+                        seen[v] = col
+                        out_cols.append(F.col(col).alias(v))
                 else:
-                    seen[v] = col
-                    out_cols.append(F.col(col).alias(v))
+                    leg = leg.filter(F.col(col) == term)
+            # leg cardinality estimate: the predicate's row count (total for
+            # a variable predicate; path legs use the base predicate's count
+            # as a closure-size proxy)
+            if p.startswith("?"):
+                est = total_rows
             else:
-                leg = leg.filter(F.col(col) == term)
-        # leg cardinality estimate: the predicate's row count (total for
-        # a variable predicate; path legs use the base predicate's count
-        # as a closure-size proxy)
-        if p.startswith("?"):
-            est = total_rows
-        else:
-            est = sum(pred_counts.get(a, 0) for a in _parse_path(p)[2])
-        legs.append(
-            {"df": leg.select(*out_cols), "vars": set(seen),
-             "nconst": 3 - len(seen), "est": est, "idx": i}
+                est = sum(pred_counts.get(a, 0) for a in _parse_path(p)[2])
+            legs.append(
+                {"df": leg.select(*out_cols), "vars": set(seen),
+                 "nconst": 3 - len(seen), "est": est, "idx": i}
+            )
+        if not legs:
+            raise ValueError("match_bgp needs at least one pattern")
+        remaining = sorted(
+            legs, key=lambda l: (-l["nconst"], l["est"], l["idx"])
         )
-    if not legs:
-        raise ValueError("match_bgp needs at least one pattern")
-    remaining = sorted(
-        legs, key=lambda l: (-l["nconst"], l["est"], l["idx"])
-    )
-    first = remaining.pop(0)
-    out, bound = first["df"], set(first["vars"])
-    while remaining:
-        pick = next(
-            (j for j, leg in enumerate(remaining) if leg["vars"] & bound), 0
-        )
-        leg = remaining.pop(pick)
-        shared = sorted(leg["vars"] & bound)
-        out = out.join(leg["df"], on=shared) if shared else out.crossJoin(leg["df"])
-        bound |= leg["vars"]
+        first = remaining.pop(0)
+        out, bound = first["df"], set(first["vars"])
+        while remaining:
+            pick = next(
+                (j for j, leg in enumerate(remaining)
+                 if leg["vars"] & bound), 0
+            )
+            leg = remaining.pop(pick)
+            shared = sorted(leg["vars"] & bound)
+            out = (out.join(leg["df"], on=shared) if shared
+                   else out.crossJoin(leg["df"]))
+            bound |= leg["vars"]
+        return out, bound
+
+    out, bound = _compile(patterns)
+    for grp in (optional or []):
+        og, ovars = _compile(grp)
+        shared = sorted(ovars & bound)
+        if not shared:
+            raise ValueError(
+                "optional group shares no variable with the required block"
+            )
+        out = out.join(og, on=shared, how="left")
+        bound |= ovars
+    for grp in (minus or []):
+        mg, mvars = _compile(grp)
+        shared = sorted(mvars & bound)
+        if not shared:
+            raise ValueError(
+                "minus group shares no variable with the required block"
+            )
+        out = out.join(mg.select(*shared).distinct(), on=shared,
+                       how="left_anti")
     if select is not None:
         want = [v.lstrip("?") for v in select]
         missing = [v for v in want if v not in bound]

@@ -291,3 +291,63 @@ def test_bgp_alternation_closure(spark):
     # inverse of a closure
     got = match_bgp(tr, [("d", "^p1|p2+", "?t")], select=["t"])
     assert sorted(r.t for r in got.collect()) == ["a", "b", "c"]
+
+
+def test_bgp_optional_left_join(spark):
+    tr = spark.createDataFrame(
+        [("a", "occ", "dr"), ("b", "occ", "eng"),
+         ("a", "born", "paris")],
+        "subj string, pred string, obj string",
+    )
+    got = match_bgp(
+        tr, [("?p", "occ", "?o")],
+        optional=[[("?p", "born", "?c")]],
+        select=["p", "o", "c"],
+    )
+    assert sorted(map(tuple, got.collect())) == [
+        ("a", "dr", "paris"), ("b", "eng", None)
+    ]
+
+
+def test_bgp_minus_anti_join(spark):
+    tr = spark.createDataFrame(
+        [("a", "occ", "dr"), ("b", "occ", "eng"),
+         ("a", "born", "paris")],
+        "subj string, pred string, obj string",
+    )
+    got = match_bgp(
+        tr, [("?p", "occ", "?o")],
+        minus=[[("?p", "born", "?c")]],
+        select=["p", "o"],
+    )
+    assert [tuple(r) for r in got.collect()] == [("b", "eng")]
+
+
+def test_bgp_optional_group_and_chained_minus(spark):
+    # optional GROUP: both legs must match for the group to bind;
+    # second minus sees variables bound by the optional
+    tr = spark.createDataFrame(
+        [("a", "occ", "dr"), ("b", "occ", "eng"), ("c", "occ", "dr"),
+         ("a", "born", "paris"), ("paris", "in", "france"),
+         ("b", "born", "nyc")],  # nyc has no 'in' edge -> group unbound
+        "subj string, pred string, obj string",
+    )
+    got = match_bgp(
+        tr, [("?p", "occ", "?o")],
+        optional=[[("?p", "born", "?c"), ("?c", "in", "?r")]],
+        select=["p", "o", "c", "r"],
+    )
+    assert sorted(map(tuple, got.collect())) == [
+        ("a", "dr", "paris", "france"),
+        ("b", "eng", None, None),
+        ("c", "dr", None, None),
+    ]
+
+
+def test_bgp_disjoint_optional_refused(spark):
+    tr = spark.createDataFrame(
+        [("a", "p", "b")], "subj string, pred string, obj string")
+    with pytest.raises(ValueError, match="shares no variable"):
+        match_bgp(tr, [("?x", "p", "?y")], optional=[[("?u", "q", "?v")]])
+    with pytest.raises(ValueError, match="shares no variable"):
+        match_bgp(tr, [("?x", "p", "?y")], minus=[[("?u", "q", "?v")]])
