@@ -686,6 +686,7 @@ def _kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from entity_extraction_svc_spark.operators.graphstats import hits
     from entity_extraction_svc_spark.operators.pagerank import (
         pagerank,
+        pagerank_warm,
         personalized_pagerank,
     )
 
@@ -708,7 +709,24 @@ def _kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     auth = ha.select(
         F.lit("hits_auth").alias("part"), "node", F.col("auth").alias("rank")
     )
-    return glob.unionByName(ppr).unionByName(hub).unionByName(auth)
+    # part=warm pins the warm-start machinery (init injection: outer-match
+    # to nodes, 1/n floor, renormalize) over 3 fixed iterations from a
+    # deterministic non-uniform init (out-degree + 1) — the oracle unrolls
+    # the SAME recurrence from the SAME init; the tol-convergence
+    # behavior is unit-tested (iterative stop depends on scalar reads, so
+    # the fixed-count form is what cross-engine hashing certifies)
+    init = edges.distinct().groupBy(F.col("src").alias("node")).agg(
+        (F.count("*") + F.lit(1)).cast("double").alias("rank")
+    )
+    warm_df, _ = pagerank_warm(edges, init_ranks=init, max_iterations=3)
+    warm = warm_df.select(
+        F.lit("warm").alias("part"), "node",
+        F.round("rank", 6).alias("rank"),
+    )
+    return (
+        glob.unionByName(ppr).unionByName(hub).unionByName(auth)
+        .unionByName(warm)
+    )
 
 
 def _doc_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2665,6 +2683,16 @@ def oracle_sql() -> dict[str, str]:
         " UNION ALL "
         f"SELECT 'hits_auth' AS part, node, auth AS rank"
         f" FROM ({hits_oracle_sql(_pr_edges)})"
+        " UNION ALL "
+        f"SELECT 'warm' AS part, node, rank FROM ("
+        + pagerank_oracle_sql(
+            _pr_edges, iterations=3,
+            init_sql=(
+                "SELECT src AS node, count(*)::DOUBLE + 1 AS rank FROM "
+                f"(SELECT DISTINCT src, dst FROM ({_pr_edges})) GROUP BY src"
+            ),
+        )
+        + ")"
     )
 
     # kg_types_2hop parts closure/tax: the linear recursive-CTE closure

@@ -52,6 +52,39 @@ def pagerank(edges: DataFrame, iterations: int = ITERATIONS,
     normally.  The returned frame is small-per-node (2 columns) and
     unpersisted — callers writing it out pay one final shuffle at most.
     """
+    out, _ = pagerank_warm(edges, init_ranks=None,
+                           max_iterations=iterations, tol=None,
+                           damping=damping, src_col=src_col,
+                           dst_col=dst_col)
+    return out.select("node", F.round("rank", 6).alias("rank"))
+
+
+def pagerank_warm(edges: DataFrame, init_ranks: DataFrame | None = None,
+                  max_iterations: int = ITERATIONS,
+                  tol: float | None = None,
+                  damping: float = DAMPING, src_col: str = "src",
+                  dst_col: str = "dst") -> tuple[DataFrame, int]:
+    """:func:`pagerank` with WARM START + optional convergence stop — the
+    maintenance twin of ``closure_delta``: after a crawl's edge edits, the
+    previous rank vector is a near-fixpoint, so seeding from it reaches a
+    given L1 tolerance in a fraction of the cold iterations (measured in
+    BENCH.md §graph — the useful property for daily re-ranking of a
+    10^10-edge store whose daily delta is tiny).
+
+    ``init_ranks``: (node, rank) from a previous run (any graph version —
+    nodes are outer-matched: departed nodes drop, new nodes enter at the
+    uniform floor 1/n, and the vector renormalizes to sum 1 so the
+    recurrence's invariant holds).  None = uniform cold start, exactly
+    :func:`pagerank`.
+
+    ``tol``: L1 stop — iterate until sum(|r_t - r_{t-1}|) < tol (one
+    extra scalar aggregate per iteration, same sanctioned per-round
+    driver action as the dangling mass) or ``max_iterations``.  None =
+    fixed count, no early stop, bit-identical to :func:`pagerank` (the
+    driver-pinned recurrence).
+
+    Returns (ranks, iterations_run).
+    """
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).distinct()
@@ -66,15 +99,29 @@ def pagerank(edges: DataFrame, iterations: int = ITERATIONS,
     if n == 0:
         e.unpersist()
         nodes.unpersist()
-        return nodes.select("node", F.lit(0.0).alias("rank"))
+        return nodes.select("node", F.lit(0.0).alias("rank")), 0
     deg = e.groupBy("src").agg(F.count("*").alias("outd"))
 
     # lineage cut per iteration — see module docstring for why persist
     # alone makes iteration cost double
-    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank")).localCheckpoint(
-        eager=True
-    )
-    for _ in range(iterations):
+    if init_ranks is None:
+        ranks = nodes.select(
+            "node", F.lit(1.0 / n).alias("rank")
+        ).localCheckpoint(eager=True)
+    else:
+        seeded = nodes.join(
+            init_ranks.select("node", F.col("rank").alias("_init")),
+            "node", "left",
+        ).select(
+            "node",
+            F.coalesce("_init", F.lit(1.0 / n)).alias("rank"),
+        )
+        total = seeded.agg(F.sum("rank")).first()[0] or 1.0
+        ranks = seeded.select(
+            "node", (F.col("rank") / F.lit(total)).alias("rank")
+        ).localCheckpoint(eager=True)
+    iters_run = 0
+    for _ in range(max_iterations):
         with_deg = ranks.join(deg, ranks["node"] == deg["src"], "left")
         dangling = with_deg.filter(F.col("outd").isNull()).agg(
             F.coalesce(F.sum("rank"), F.lit(0.0))
@@ -85,6 +132,7 @@ def pagerank(edges: DataFrame, iterations: int = ITERATIONS,
             .groupBy("dst")
             .agg(F.sum(F.col("rank") / F.col("outd")).alias("contrib"))
         )
+        prev = ranks
         ranks = (
             nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
             .select(
@@ -97,22 +145,40 @@ def pagerank(edges: DataFrame, iterations: int = ITERATIONS,
             )
             .localCheckpoint(eager=True)
         )
-    out = ranks.select("node", F.round("rank", 6).alias("rank")).localCheckpoint(
-        eager=True
-    )
+        iters_run += 1
+        if tol is not None:
+            delta = (
+                ranks.alias("a")
+                .join(prev.alias("b"), "node")
+                .agg(F.sum(F.abs(F.col("a.rank") - F.col("b.rank"))))
+                .first()[0]
+            )
+            if delta is not None and delta < tol:
+                break
+    # UNROUNDED on purpose: rounding to 6 places costs ~2.5e-7 L1 noise
+    # PER NODE, which across a 10^7-node vector aggregates to ~1e-2 —
+    # enough to swamp a small edit's true perturbation and erase the
+    # warm-start advantage (measured: a 5-edge edit warm-started from a
+    # rounded vector took 32 iterations, from the exact vector ~1/4 of
+    # that).  :func:`pagerank` rounds at its boundary for the oracle
+    # contract; warm-start chains keep full precision.
+    out = ranks
     for df in (nodes, e):
         df.unpersist()
-    return out
+    return out, iters_run
 
 
 def pagerank_oracle_sql(edges_sql: str, iterations: int = ITERATIONS,
-                        damping: float = DAMPING) -> str:
+                        damping: float = DAMPING,
+                        init_sql: str | None = None) -> str:
     """The UNROLLED ANSI-SQL equivalent (DuckDB-ready) of :func:`pagerank`
     for a fixed iteration count — generated here so the Spark operator and
     its oracle share one definition of the recurrence.
 
     ``edges_sql`` must select columns (src, dst); duplicates are removed
-    identically to the Spark side.
+    identically to the Spark side.  ``init_sql`` (columns node, rank)
+    seeds r0 the way :func:`pagerank_warm` does — outer-matched to the
+    node set with a 1/n floor, then renormalized to sum 1.
     """
     d = damping
     # AS MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and each
@@ -126,8 +192,23 @@ def pagerank_oracle_sql(edges_sql: str, iterations: int = ITERATIONS,
         "nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e)",
         "nn AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM nodes)",
         "deg AS MATERIALIZED (SELECT src, count(*)::DOUBLE AS outd FROM e GROUP BY src)",
-        "r0 AS MATERIALIZED (SELECT node, 1.0 / nn.n AS rank FROM nodes, nn)",
     ]
+    if init_sql is None:
+        parts.append(
+            "r0 AS MATERIALIZED (SELECT node, 1.0 / nn.n AS rank "
+            "FROM nodes, nn)"
+        )
+    else:
+        parts.append(
+            "seeded AS MATERIALIZED (SELECT nodes.node, "
+            "coalesce(i.rank, 1.0 / nn.n) AS rank "
+            f"FROM nodes CROSS JOIN nn LEFT JOIN ({init_sql}) i "
+            "ON nodes.node = i.node)"
+        )
+        parts.append(
+            "r0 AS MATERIALIZED (SELECT node, "
+            "rank / (SELECT sum(rank) FROM seeded) AS rank FROM seeded)"
+        )
     for i in range(1, iterations + 1):
         p, c = f"r{i - 1}", f"r{i}"
         parts.append(

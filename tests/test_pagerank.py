@@ -188,3 +188,64 @@ def test_ppr_oracle_sql_parity(spark):
     )
     want = dict(duckdb.connect().execute(sql).fetchall())
     assert got == pytest.approx(want)
+
+
+# --- warm start (round 5) -----------------------------------------------------
+
+from entity_extraction_svc_spark.operators.pagerank import (  # noqa: E402
+    pagerank,
+    pagerank_warm,
+)
+
+
+def _ring_edges(spark, n, extra=()):
+    rows = [(f"n{i}", f"n{(i + 1) % n}") for i in range(n)] + list(extra)
+    return spark.createDataFrame(rows, "src string, dst string")
+
+
+def test_pagerank_warm_cold_start_matches_pagerank(spark):
+    e = _ring_edges(spark, 12, extra=[("n0", "n5"), ("n3", "n7")])
+    cold = {r.node: r.rank for r in pagerank(e, iterations=6).collect()}
+    warm, iters = pagerank_warm(e, init_ranks=None, max_iterations=6,
+                                tol=None)
+    # pagerank rounds at its boundary; the warm path stays full-precision
+    # (rounding a big vector injects L1 noise a warm chain can't afford)
+    got = {r.node: round(r.rank, 6) for r in warm.collect()}
+    assert got == cold and iters == 6
+
+
+def test_pagerank_warm_converges_faster_after_edit(spark):
+    # damping 0.5: the L1 delta contracts ~0.5^t, so the tolerance is
+    # reachable in ~20 cold iterations and the test stays fast; the
+    # warm-vs-cold property is damping-independent
+    base = _ring_edges(spark, 30, extra=[("n1", "n9"), ("n4", "n20")])
+    prev, cold_iters = pagerank_warm(base, max_iterations=40, tol=1e-6,
+                                     damping=0.5)
+    edited = _ring_edges(spark, 30, extra=[("n1", "n9"), ("n4", "n20"),
+                                           ("n2", "n11")])
+    warm, warm_iters = pagerank_warm(edited, init_ranks=prev,
+                                     max_iterations=40, tol=1e-6,
+                                     damping=0.5)
+    cold2, cold2_iters = pagerank_warm(edited, max_iterations=40, tol=1e-6,
+                                       damping=0.5)
+    # same fixpoint either way (round-6 equality within tolerance)
+    w = {r.node: r.rank for r in warm.collect()}
+    c = {r.node: r.rank for r in cold2.collect()}
+    assert set(w) == set(c)
+    assert max(abs(w[k] - c[k]) for k in w) < 1e-4
+    # the warm path does strictly less work for the same tolerance
+    assert warm_iters < cold2_iters, (warm_iters, cold2_iters)
+
+
+def test_pagerank_warm_handles_node_set_change(spark):
+    # departed nodes drop, new nodes enter at the floor; renormalization
+    # keeps the vector a distribution
+    old = _ring_edges(spark, 8)
+    prev, _ = pagerank_warm(old, max_iterations=10, tol=None)
+    new = _ring_edges(spark, 6, extra=[("n0", "m1"), ("m1", "n3")])
+    warm, _ = pagerank_warm(new, init_ranks=prev, max_iterations=10,
+                            tol=None)
+    rows = warm.collect()
+    nodes = {r.node for r in rows}
+    assert "m1" in nodes and "n7" not in nodes
+    assert abs(sum(r.rank for r in rows) - 1.0) < 1e-3

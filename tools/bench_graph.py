@@ -186,6 +186,58 @@ def main(n_edges: int = 1_000_000) -> None:
     out["hits_s"] = round(time.time() - t0, 2)
     out["hits_s_per_iter"] = round(out["hits_s"] / 10, 2)
 
+    # --- pagerank warm start after a small edit ------------------------------
+    # iterations-to-tol is the claim (damped-PageRank contraction is
+    # graph-size-independent ~d^t, and wall/iter is measured above), so
+    # this section runs a 100k-edge subgraph where a CONVERGED previous
+    # vector is affordable: prev to tol, +500 edges, then warm-vs-cold
+    # iterations to the same tol
+    from entity_extraction_svc_spark.operators.pagerank import pagerank_warm
+
+    # ring + chords + celebrity (the skewed-stationary shape): a
+    # near-regular graph's fixpoint is near-uniform, so cold start is
+    # already close and warm start has nothing to show
+    n_small = n_edges // 20
+    gs = spark.range(n_small).select(
+        F.col("id").cast("string").alias("src"),
+        ((F.col("id") + 1) % n_small).cast("string").alias("dst"),
+    ).unionByName(spark.range(n_small).select(
+        F.col("id").cast("string").alias("src"),
+        ((F.col("id") + 2) % n_small).cast("string").alias("dst"),
+    )).unionByName(spark.range(0, n_small, 10).select(
+        F.col("id").cast("string").alias("src"),
+        F.lit("0").alias("dst"),
+    )).persist()
+    gs.count()
+    tol, cap = 1e-5, 120
+    prev, prev_iters = pagerank_warm(gs, max_iterations=cap, tol=tol)
+    out["pr_prev_iters"] = prev_iters
+    # two edit shapes, both between EXISTING nodes (adding new nodes
+    # changes n and with it every node's (1-d)/n base term — a global
+    # perturbation no warm start can shortcut): iterations-to-tol scale
+    # with log(perturbed rank mass), so an edit touching the celebrity's
+    # high-rank wake buys less than one touching typical entities
+    def _edit(sources_base):
+        return spark.range(5).select(
+            ((F.col("id") * 37 + sources_base) % n_small)
+            .cast("string").alias("src"),
+            ((F.col("id") * 53 + 4000) % n_small)
+            .cast("string").alias("dst"),
+        )
+
+    for label, base_off in (("head", 7), ("typical", 5000)):
+        edited = gs.unionByName(_edit(base_off))
+        t0 = time.time()
+        _, warm_iters = pagerank_warm(edited, init_ranks=prev,
+                                      max_iterations=cap, tol=tol)
+        out[f"pr_warm_{label}_s"] = round(time.time() - t0, 2)
+        out[f"pr_warm_{label}_iters"] = warm_iters
+    t0 = time.time()
+    _, cold_iters = pagerank_warm(gs.unionByName(_edit(5000)),
+                                  max_iterations=cap, tol=tol)
+    out["pr_cold_s"] = round(time.time() - t0, 2)
+    out["pr_cold_iters"] = cold_iters
+
     print(json.dumps(out))
 
 
