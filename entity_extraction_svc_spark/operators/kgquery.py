@@ -279,6 +279,7 @@ def match_bgp(triples: DataFrame, patterns: list[tuple[str, str, str]],
               pred_counts: dict[str, int] | None = None,
               optional: list[list[tuple[str, str, str]]] | None = None,
               minus: list[list[tuple[str, str, str]]] | None = None,
+              materialized_closures: dict[str, DataFrame] | None = None,
               ) -> DataFrame:
     """Basic-graph-pattern matcher: a conjunction of (s, p, o) patterns with
     ``?var`` terms compiled into selectivity-ordered hash self-joins over the
@@ -338,6 +339,14 @@ def match_bgp(triples: DataFrame, patterns: list[tuple[str, str, str]],
     )
 
     closures: dict = {}
+    # pre-materialized closures (the runner's --maintain-closure store,
+    # plans/maintain.read_closure) keyed by predicate: a path leg like
+    # "P279+" reads the maintained (src, dst) pairs instead of re-closing
+    # the predicate at query time — the point of maintaining them
+    for pred_name, df in (materialized_closures or {}).items():
+        closures[(True, (pred_name,))] = df.select(
+            F.col("src").alias("subj"), F.col("dst").alias("obj")
+        )
     if pred_counts is None:
         # the predicate dimension is ontology-sized (10^3), and constant
         # predicates are the norm in BGPs — one tiny agg buys the

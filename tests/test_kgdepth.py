@@ -351,3 +351,24 @@ def test_bgp_disjoint_optional_refused(spark):
         match_bgp(tr, [("?x", "p", "?y")], optional=[[("?u", "q", "?v")]])
     with pytest.raises(ValueError, match="shares no variable"):
         match_bgp(tr, [("?x", "p", "?y")], minus=[[("?u", "q", "?v")]])
+
+
+def test_bgp_materialized_closure_injection(spark):
+    # a maintained closure store feeds path legs directly — same result
+    # as query-time closing, without re-closing
+    tr = spark.createDataFrame(
+        [("a", "P279", "b"), ("b", "P279", "c"), ("x", "P31", "a")],
+        "subj string, pred string, obj string",
+    )
+    from entity_extraction_svc_spark.operators.graphwalk import (
+        transitive_closure,
+    )
+
+    store = transitive_closure(tr, pred="P279")
+    fresh = match_bgp(tr, [("a", "P279+", "?t")], select=["t"])
+    injected = match_bgp(
+        tr, [("a", "P279+", "?t")], select=["t"],
+        materialized_closures={"P279": store},
+    )
+    assert sorted(r.t for r in injected.collect()) == \
+        sorted(r.t for r in fresh.collect()) == ["b", "c"]
