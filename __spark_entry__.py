@@ -1179,6 +1179,54 @@ def _dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup (Lee et al. 2022 "Deduplicating Training Data
+    Makes Language Models Better", re-expressed as a window-fingerprint
+    join instead of their single-machine suffix array): part=win is the
+    duplicated k-token windows on the fixture pages — whose repeated
+    "Boilerplate Nav/Footer" blocks are exactly the in-page boilerplate
+    the paper targets — with occurrence/doc counts and the keeper
+    occurrence; part=span merges adjacent duplicated windows into maximal
+    duplicated token ranges; part=winfp is the winnowed fingerprint set
+    (Schleimer et al. 2003) over the driver's documents table, the
+    shuffle-volume scale path, pinned value-for-value against a
+    window-function oracle plan."""
+    from entity_extraction_svc_spark.fixtures import ensure_fixtures
+    from entity_extraction_svc_spark.operators.dedup import (
+        substring_dup_spans,
+        substring_dup_windows,
+        winnow_fingerprints,
+    )
+
+    ensure_fixtures(FIXTURES)
+    pages = spark.read.parquet(f"{FIXTURES}/pages.parquet")
+    win = substring_dup_windows(pages, id_col="url", k=6).select(
+        F.lit("win").alias("part"),
+        F.col("keeper_id").alias("rid"),
+        F.col("keeper_pos").cast("long").alias("a"),
+        F.col("n_occ").cast("long").alias("b"),
+        F.col("n_docs").cast("long").alias("c"),
+        "wh",
+    )
+    span = substring_dup_spans(pages, id_col="url", k=6).select(
+        F.lit("span").alias("part"),
+        F.col("url").alias("rid"),
+        F.col("span_start").cast("long").alias("a"),
+        F.col("span_end").cast("long").alias("b"),
+        F.col("span_tokens").cast("long").alias("c"),
+        F.lit(None).cast("string").alias("wh"),
+    )
+    fp = winnow_fingerprints(_docs(spark, sf_dir), k=6, w=4).select(
+        F.lit("winfp").alias("part"),
+        F.col("doc_id").cast("string").alias("rid"),
+        F.col("pos").cast("long").alias("a"),
+        F.col("h").cast("long").alias("b"),
+        F.lit(None).cast("long").alias("c"),
+        F.lit(None).cast("string").alias("wh"),
+    )
+    return win.unionByName(span).unionByName(fp)
+
+
 def _sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from entity_extraction_svc_spark.operators.simsearch import cosine_topk
 
@@ -1577,6 +1625,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_pairs": _dedup_embedding_pairs,
         "dedup_embedding_pairs_lsh": _dedup_embedding_pairs_lsh,  # recall contract
         "dedup_semantic": _dedup_semantic,  # SemDeDup recall contract
+        "dedup_substring": _dedup_substring,  # Lee et al. windows + winnow
         # similarity search / ANN
         "sim_cosine_topk": _sim_cosine_topk,
         "sim_lsh_ann": _sim_lsh_ann,  # prebuilt-index recall contract
@@ -2594,6 +2643,80 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(count(*) AS BIGINT) AS n_exact,
                    true AS recall_ok, true AS drops_ok
             FROM pairs WHERE cos_sim >= 0.35
+            """
+        ),
+        "dedup_substring": (
+            # win/span: stride-1 k=6 window fingerprints on the fixture
+            # pages (real repeated boilerplate), islands-merged to maximal
+            # spans; winfp: leftmost-min winnowing (w=4) over documents,
+            # computed here as a WINDOW-FUNCTION plan vs the Spark side's
+            # row-local array expressions — independent plans, same set
+            f"""
+            WITH pt AS (
+              SELECT url, {_TOKS} AS toks
+              FROM read_parquet('{fx}/pages.parquet')
+            ),
+            w AS (
+              SELECT url, i::BIGINT AS pos, 6::BIGINT AS wlen,
+                     md5(array_to_string(list_slice(toks, i, i + 5), ' ')) AS wh
+              FROM pt, unnest(generate_series(1, len(toks) - 5)) AS u(i)
+              WHERE len(toks) >= 6
+              UNION ALL
+              SELECT url, 1::BIGINT, len(toks)::BIGINT,
+                     md5(array_to_string(toks, ' '))
+              FROM pt WHERE len(toks) > 0 AND len(toks) < 6
+            ),
+            g AS (
+              SELECT wh, count(*)::BIGINT AS n_occ,
+                     count(DISTINCT url)::BIGINT AS n_docs,
+                     min(struct_pack(i := url, p := pos)) AS kp
+              FROM w GROUP BY wh HAVING count(*) > 1
+            ),
+            dup AS (SELECT w.url, w.pos, w.wlen
+                    FROM w SEMI JOIN g ON w.wh = g.wh),
+            isl AS (
+              SELECT url, pos, wlen,
+                     pos - row_number() OVER (PARTITION BY url ORDER BY pos) AS grp
+              FROM dup
+            ),
+            spans AS (
+              SELECT url, min(pos) AS s, max(pos + wlen - 1) AS e
+              FROM isl GROUP BY url, grp
+            ),
+            dt AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            grams AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) >= 6 THEN
+                       list_transform(generate_series(1, len(toks) - 5),
+                                      i -> array_to_string(list_slice(toks, i, i + 5), ' '))
+                     ELSE [array_to_string(toks, ' ')] END AS gs
+              FROM dt WHERE len(toks) > 0
+            ),
+            h AS (
+              SELECT doc_id, i::BIGINT AS pos,
+                     ('0x' || substr(md5(gs[i]), 1, 15))::BIGINT AS hh,
+                     len(gs)::BIGINT AS nh
+              FROM grams, unnest(generate_series(1, len(gs))) AS u(i)
+            ),
+            selw AS (
+              SELECT doc_id, pos, nh,
+                     min(struct_pack(h := hh, p := pos)) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+              FROM h
+            ),
+            selected AS (
+              SELECT DISTINCT doc_id, (sel).p AS pos, (sel).h AS hh
+              FROM selw WHERE pos <= greatest(nh - 3, 1)
+            )
+            SELECT 'win' AS part, kp.i AS rid, kp.p AS a,
+                   n_occ AS b, n_docs AS c, wh
+            FROM g
+            UNION ALL
+            SELECT 'span', url, s, e, e - s + 1, NULL FROM spans
+            UNION ALL
+            SELECT 'winfp', doc_id::VARCHAR, pos, hh, NULL, NULL
+            FROM selected
             """
         ),
         "sim_cosine_topk": (

@@ -904,3 +904,255 @@ def resolve_near_dups(docs: DataFrame, pairs: DataFrame,
         F.coalesce("keeper_id", F.col(id_col)).alias("keeper_id"),
         (F.coalesce("keeper_id", F.col(id_col)) == F.col(id_col)).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# substring-level dedup: duplicated token WINDOWS and maximal SPANS
+# (document-granular dedup above misses boilerplate/licence blocks repeated
+# inside otherwise-distinct pages — the Lee et al. 2022 "Deduplicating
+# Training Data Makes Language Models Better" case.  Their suffix-array
+# build is a single-machine algorithm; the Spark-native equivalent is the
+# stride-1 window-fingerprint join below, plus winnowing (Schleimer et al.
+# 2003, MOSS) as the shuffle-volume reducer at corpus scale.)
+# ---------------------------------------------------------------------------
+
+def substring_windows(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", k: int = 8) -> DataFrame:
+    """One row per stride-1 k-token window: (id, pos, wlen, wh) with pos
+    1-based over the normalized token sequence and wh = md5 of the window
+    text (hex string — bit-reproducible in any SQL engine).  Documents
+    shorter than k tokens contribute their whole text as a single window
+    at pos 1 (wlen = token count) so they still participate.
+
+    Scale shape: window construction is row-local (the zip-of-shifted-
+    slices shingle builder — see :func:`with_shingles` for the measured
+    20x note vs indexed lambdas) and the frame is |corpus tokens| rows;
+    it is meant to be consumed by an aggregation in the same stage, never
+    materialized.  At 100 TB use :func:`winnow_fingerprints` instead,
+    which cuts the shuffled row count ~w/2-fold with a detection
+    guarantee."""
+    nt = F.size(_word_tokens(_norm_text(text_col)))
+    return (
+        with_shingles(docs, text_col=text_col, n=k, out_col="_w")
+        .withColumn("_nt", nt)
+        # a zero-token document has no substrings; letting it through
+        # would make every empty doc a "duplicate" of every other (and
+        # the empty string is NULL-vs-'' engine-dependent)
+        .filter(F.col("_nt") > 0)
+        .select(
+            F.col(id_col),
+            F.posexplode("_w").alias("_p", "_win"),
+            F.when(F.col("_nt") >= k, F.lit(k)).otherwise(F.col("_nt"))
+            .alias("wlen"),
+        )
+        .select(
+            id_col,
+            (F.col("_p") + 1).alias("pos"),
+            "wlen",
+            F.md5("_win").alias("wh"),
+        )
+    )
+
+
+def substring_dup_windows(docs: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", k: int = 8) -> DataFrame:
+    """Duplicated k-token windows: one row per window text that occurs
+    more than once in the corpus (across documents or repeated within
+    one), with occurrence count, distinct-document count, and the keeper
+    occurrence = lexicographic min (id, pos).  One hash-groupBy with
+    map-side partial aggregation; the shuffle carries one row per
+    distinct window per map task."""
+    occ = substring_windows(docs, text_col, id_col, k)
+    kp = F.min(F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p")))
+    return (
+        occ.groupBy("wh")
+        .agg(
+            F.count("*").alias("n_occ"),
+            F.countDistinct(id_col).alias("n_docs"),
+            kp.alias("_kp"),
+        )
+        .filter(F.col("n_occ") > 1)
+        .select(
+            "wh", "n_occ", "n_docs",
+            F.col("_kp.i").alias("keeper_id"),
+            F.col("_kp.p").alias("keeper_pos"),
+        )
+    )
+
+
+def substring_dup_spans(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 8) -> DataFrame:
+    """Maximal duplicated substrings per document: adjacent duplicated
+    window starts merged into (id, span_start, span_end, span_tokens)
+    token ranges (gaps-and-islands on pos - row_number).  A run of L
+    duplicated tokens yields L-k+1 duplicated windows at consecutive
+    positions, so the merged span recovers the full run — the detector is
+    exact for any duplicated substring of >= k tokens.
+
+    Two passes over the window stream (the groupBy that finds duplicated
+    hashes, then the semi-join back) — the same two-pass shape as the
+    suffix-array pipeline it replaces; the semi-join's build side is only
+    the DUPLICATED hash set, broadcast when small, and the islands window
+    shuffles only duplicated occurrences, partitioned by document."""
+    from pyspark.sql.window import Window
+
+    occ = substring_windows(docs, text_col, id_col, k)
+    dup_keys = (
+        occ.groupBy("wh").agg(F.count("*").alias("_n"))
+        .filter("_n > 1").select("wh")
+    )
+    dups = occ.join(dup_keys, "wh", "left_semi")
+    win = Window.partitionBy(id_col).orderBy("pos")
+    isl = dups.withColumn(
+        "_grp", F.col("pos") - F.row_number().over(win)
+    )
+    return (
+        isl.groupBy(id_col, "_grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            F.max(F.col("pos") + F.col("wlen") - 1).alias("span_end"),
+        )
+        .select(
+            id_col, "span_start", "span_end",
+            (F.col("span_end") - F.col("span_start") + 1)
+            .alias("span_tokens"),
+        )
+    )
+
+
+def strip_dup_spans(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", k: int = 8,
+                    out_col: str = "text_stripped") -> DataFrame:
+    """Keep-first substring removal: every duplicated-window occurrence
+    except its hash's global keeper (min (id, pos)) is removed; the
+    surviving tokens are reassembled in order.  The first (lowest-id,
+    leftmost) copy of a repeated block therefore survives verbatim and
+    all later copies vanish — Lee et al.'s dedup policy.
+
+    Returns the input plus ``out_col`` (normalized-token text).  Covered
+    token indexes are exploded only for REMOVABLE occurrences (volume =
+    removed tokens, not corpus tokens), and the reassembly groupBy
+    shuffles each affected document once; untouched documents ride
+    through the final left join with out_col = normalized text."""
+    occ = substring_windows(docs, text_col, id_col, k)
+    keepers = substring_dup_windows(docs, text_col, id_col, k).select(
+        "wh",
+        F.col("keeper_id").alias("_ki"), F.col("keeper_pos").alias("_kp"),
+    )
+    removable = occ.join(keepers, "wh").filter(
+        ~((F.col(id_col) == F.col("_ki")) & (F.col("pos") == F.col("_kp")))
+    )
+    covered = removable.select(
+        id_col,
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + F.col("wlen") - 1)
+        ).alias("_tp"),
+    ).distinct()
+    toks = docs.select(
+        id_col, F.posexplode(_word_tokens(_norm_text(text_col)))
+        .alias("_p0", "_tok"),
+    ).select(id_col, (F.col("_p0") + 1).alias("_tp"), "_tok")
+    kept = toks.join(covered, [id_col, "_tp"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_tp", "_tok"))),
+                lambda s: s["_tok"],
+            ),
+        ).alias("_rb")
+    )
+    # a doc whose every token was removed has no `kept` rows at all, so a
+    # bare coalesce would silently resurrect its original text — join the
+    # affected-id set to tell "untouched" apart from "fully stripped"
+    affected = covered.select(id_col).distinct().withColumn(
+        "_aff", F.lit(True)
+    )
+    return (
+        docs.join(rebuilt, id_col, "left")
+        .join(affected, id_col, "left")
+        .withColumn(
+            out_col,
+            F.when(
+                F.col("_aff").isNotNull(), F.coalesce("_rb", F.lit(""))
+            ).otherwise(_norm_text(text_col)),
+        )
+        .drop("_rb", "_aff")
+    )
+
+
+def winnow_fingerprints(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 8,
+                        w: int = 4) -> DataFrame:
+    """Winnowed window fingerprints (Schleimer et al. 2003): from each
+    run of w consecutive k-token-window hashes, select the minimal
+    (hash, pos) pair; emit the distinct selected set as (id, pos, h).
+
+    Guarantee (the reason this is the 100-TB path): any duplicated token
+    run of >= k + w - 1 tokens spans at least one full w-window of hashes
+    in BOTH copies, and the minimal hash inside a shared w-window is the
+    same hash value on both sides — so the copies share a selected
+    fingerprint and the duplicate is caught, while the rows entering the
+    dup-detection shuffle drop from |tokens| to ~2|tokens|/(w+1) (the
+    expected density of sliding-window minima).  Ties on the hash value
+    break to the leftmost position; documents with fewer than w windows
+    select their single minimal hash so short docs still participate.
+
+    Selection is entirely row-local array expressions (zip_with /
+    transform / array_min over (h, pos) structs — struct ordering is
+    lexicographic) inside one codegen stage; only the selected
+    fingerprints are exploded."""
+    shingled = with_shingles(docs, text_col=text_col, n=k, out_col="_w").filter(
+        F.size(_word_tokens(_norm_text(text_col))) > 0  # no substrings in ""
+    )
+    hs = F.transform(
+        "_w",
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+    )
+    with_h = shingled.withColumn("_hs", hs)
+    structs = F.zip_with(
+        "_hs",
+        F.sequence(F.lit(1), F.size("_hs")),
+        lambda h, p: F.struct(h.alias("h"), p.alias("p")),
+    )
+    nsel = F.greatest(F.size("_hs") - (w - 1), F.lit(1))
+    sel = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), nsel - 1),
+            lambda i: F.array_min(F.slice(F.col("_st"), i + 1, w)),
+        )
+    )
+    return (
+        with_h.withColumn("_st", structs)
+        .select(id_col, F.explode(sel).alias("_s"))
+        .select(
+            id_col,
+            F.col("_s.p").alias("pos"),
+            F.col("_s.h").alias("h"),
+        )
+    )
+
+
+def winnow_dup_groups(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", k: int = 8,
+                      w: int = 4) -> DataFrame:
+    """Duplicated winnowed fingerprints: hash-groupBy over the selected
+    set — the scale-path analogue of :func:`substring_dup_windows` (same
+    output shape keyed by the integer fingerprint), feeding the same
+    span-merge/resolution machinery on ~2/(w+1) of the shuffle volume."""
+    fp = winnow_fingerprints(docs, text_col, id_col, k, w)
+    kp = F.min(F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p")))
+    return (
+        fp.groupBy("h")
+        .agg(
+            F.count("*").alias("n_occ"),
+            F.countDistinct(id_col).alias("n_docs"),
+            kp.alias("_kp"),
+        )
+        .filter(F.col("n_occ") > 1)
+        .select(
+            "h", "n_occ", "n_docs",
+            F.col("_kp.i").alias("keeper_id"),
+            F.col("_kp.p").alias("keeper_pos"),
+        )
+    )
