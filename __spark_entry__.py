@@ -417,9 +417,33 @@ def _kg_pattern_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("neg").alias("part"), F.col("p").alias("a"),
         F.col("occ").alias("b"), *pad2,
     )
+    # r5 addendum: sequence paths (birthplace's region without naming the
+    # city), negated property sets (everything about a subject EXCEPT its
+    # type/taxonomy edges), and VALUES + FILTER (occupation restricted to
+    # an explicit list, then one value filtered back out)
+    seq = match_bgp(kb, [("?x", "P19/P131", "?region")],
+                    select=["x", "region"]).select(
+        F.lit("seq").alias("part"), F.col("x").alias("a"),
+        F.col("region").alias("b"), *pad2,
+    )
+    npset = match_bgp(kb, [("?s", "!(P31|P279)", "?o")],
+                      select=["s", "o"]).select(
+        F.lit("npset").alias("part"), F.col("s").alias("a"),
+        F.col("o").alias("b"), *pad2,
+    )
+    valfil = match_bgp(
+        kb, [("?p", "P106", "?occ")],
+        values={"?occ": ["Q639669", "Q1028181", "Q36180"]},
+        filters=["occ != 'Q36180'"],
+        select=["p", "occ"],
+    ).select(
+        F.lit("valfil").alias("part"), F.col("p").alias("a"),
+        F.col("occ").alias("b"), *pad2,
+    )
     return (
         w1.unionByName(bgp).unionByName(alt).unionByName(inv)
         .unionByName(altpath).unionByName(opt).unionByName(neg)
+        .unionByName(seq).unionByName(npset).unionByName(valfil)
     )
 
 
@@ -1861,7 +1885,17 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL "
             "SELECT 'neg', p.subj, p.obj, '', '' FROM t p "
             "WHERE p.pred = 'P106' AND NOT EXISTS ("
-            "  SELECT 1 FROM t b WHERE b.subj = p.subj AND b.pred = 'P19')"
+            "  SELECT 1 FROM t b WHERE b.subj = p.subj AND b.pred = 'P19') "
+            "UNION ALL "
+            "SELECT 'seq', x.subj, y.obj, '', '' FROM t x "
+            "JOIN t y ON x.obj = y.subj "
+            "WHERE x.pred = 'P19' AND y.pred = 'P131' "
+            "UNION ALL "
+            "SELECT 'npset', subj, obj, '', '' FROM t "
+            "WHERE pred NOT IN ('P31', 'P279') "
+            "UNION ALL "
+            "SELECT 'valfil', subj, obj, '', '' FROM t "
+            "WHERE pred = 'P106' AND obj IN ('Q639669', 'Q1028181')"
         ),
         "kg_find_rels": (
             f"WITH t AS (SELECT * FROM read_parquet('{fx}/kb_triples.parquet')), "

@@ -280,6 +280,8 @@ def match_bgp(triples: DataFrame, patterns: list[tuple[str, str, str]],
               optional: list[list[tuple[str, str, str]]] | None = None,
               minus: list[list[tuple[str, str, str]]] | None = None,
               materialized_closures: dict[str, DataFrame] | None = None,
+              values: dict[str, list] | None = None,
+              filters: list | None = None,
               ) -> DataFrame:
     """Basic-graph-pattern matcher: a conjunction of (s, p, o) patterns with
     ``?var`` terms compiled into selectivity-ordered hash self-joins over the
@@ -324,6 +326,17 @@ def match_bgp(triples: DataFrame, patterns: list[tuple[str, str, str]],
         ``p1|p2+`` parses as ``(p1|p2)+`` (the ``+`` binds the whole
         alternation — one closure over the union edge set, which is how
         SPARQL's ``(p1|p2)+`` evaluates).
+      * ``p1/p2`` — sequence: the leg is the join of the step pair-sets
+        through anonymous midpoints (``?x P19/P131 ?r`` = birthplace's
+        region without naming the city).  Each ``/``-separated step takes
+        the full ``^``/``|``/``+`` grammar, so ``P19/P131+`` chains a raw
+        scan into a closure; the chain joins smallest-step-first inside
+        the leg the same way legs join in the outer BGP.
+      * ``!p1|p2`` (or ``!(p1|p2)``) — negated property set: the leg
+        keeps edges whose predicate is NOT in the set (still one
+        pushed-down scan filter); estimated at total - sum(set counts).
+        Plain predicates/alternations only — negating a path has no
+        single-scan meaning and is refused.
 
     ``optional`` (SPARQL OPTIONAL) takes pattern GROUPS, each compiled
     like a mini-BGP and LEFT-joined on its variables shared with what is
@@ -331,6 +344,16 @@ def match_bgp(triples: DataFrame, patterns: list[tuple[str, str, str]],
     (SPARQL MINUS / FILTER NOT EXISTS) anti-joins each group's shared
     variables.  Both require at least one shared variable — a disjoint
     OPTIONAL/MINUS group is a SPARQL footgun this matcher refuses.
+
+    ``values`` (SPARQL VALUES, the single-variable form) restricts a
+    bound variable to an explicit list; ``filters`` (SPARQL FILTER)
+    applies Spark SQL boolean expressions over the bound variable names
+    (strings through ``F.expr`` or ready Column objects).  Both are
+    attached to the assembled result — Catalyst pushes the isin/filter
+    predicates down through the join tree to the leg that binds each
+    variable, so authoring position costs nothing.  Per SPARQL semantics
+    they apply AFTER optional joins (a filter on an optional variable
+    sees its nulls).
 
     Bag semantics (no implicit distinct), like SPARQL BGPs.  ``select``
     projects the named variables (with or without the ``?``)."""
@@ -371,36 +394,91 @@ def match_bgp(triples: DataFrame, patterns: list[tuple[str, str, str]],
             raise ValueError(f"empty property path: {p!r}")
         return inv, plus, alts
 
+    def _neg_alts(p: str) -> list[str]:
+        """'!p1|p2' / '!(p1|p2)' -> [p1, p2]; refuses negated paths."""
+        core = p[1:]
+        if core.startswith("(") and core.endswith(")"):
+            core = core[1:-1]
+        inv, plus, alts = _parse_path(core)
+        if inv or plus or "/" in core:
+            raise ValueError(
+                "negated property sets take plain predicates/alternations "
+                f"only: {p!r}"
+            )
+        return alts
+
+    def _step_pairs(step: str) -> DataFrame:
+        """One path STEP (['^'] alts ['+']) as a (subj, obj) pair frame."""
+        inv, plus, alts = _parse_path(step)
+        key = (plus, tuple(sorted(alts)))
+        if plus and key not in closures:
+            closures[key] = transitive_closure(
+                triples.filter(F.col("pred").isin(alts))
+            ).select(
+                F.col("src").alias("subj"),
+                F.col("dst").alias("obj"),
+            ).localCheckpoint(eager=True)
+        pairs = (
+            closures[key] if plus
+            else triples.filter(F.col("pred").isin(alts))
+            .select("subj", "obj")
+        )
+        if inv:
+            pairs = pairs.select(
+                F.col("obj").alias("subj"),
+                F.col("subj").alias("obj"),
+            )
+        return pairs
+
+    def _step_est(step: str) -> int:
+        return sum(pred_counts.get(a, 0) for a in _parse_path(step)[2])
+
+    def _path_est(p: str) -> int:
+        if p.startswith("?"):
+            return total_rows
+        if p.startswith("!"):
+            return max(
+                total_rows - sum(pred_counts.get(a, 0) for a in _neg_alts(p)),
+                0,
+            )
+        # sequences: the most selective step bounds one join side; the
+        # product can fan out past it, but as a RELATIVE key for leg
+        # ordering the min-step proxy keeps selective chains early
+        return min(_step_est(st) for st in p.split("/"))
+
     def _compile(pats: list[tuple[str, str, str]]):
         legs = []
         for i, (s, p, o) in enumerate(pats):
             leg = triples
             if not p.startswith("?"):
-                inv, plus, alts = _parse_path(p)
-                if inv or plus or len(alts) > 1:
-                    key = (plus, tuple(sorted(alts)))
-                    if plus and key not in closures:
-                        closures[key] = transitive_closure(
-                            triples.filter(F.col("pred").isin(alts))
-                        ).select(
-                            F.col("src").alias("subj"),
-                            F.col("dst").alias("obj"),
-                        ).localCheckpoint(eager=True)
-                    pairs = (
-                        closures[key] if plus
-                        else triples.filter(F.col("pred").isin(alts))
-                        .select("subj", "obj")
-                    )
-                    if inv:
-                        pairs = pairs.select(
-                            F.col("obj").alias("subj"),
-                            F.col("subj").alias("obj"),
+                if p.startswith("!"):
+                    pairs = triples.filter(
+                        ~F.col("pred").isin(_neg_alts(p))
+                    ).select("subj", "obj")
+                    leg = pairs.select("subj", F.lit(p).alias("pred"), "obj")
+                else:
+                    steps = [st for st in p.split("/") if st]
+                    if not steps:
+                        raise ValueError(f"empty property path: {p!r}")
+                    inv0, plus0, alts0 = _parse_path(steps[0])
+                    if len(steps) > 1 or inv0 or plus0 or len(alts0) > 1:
+                        # sequence steps fold left-to-right; AQE broadcasts
+                        # whichever step frame turns out tiny at runtime
+                        pairs = _step_pairs(steps[0])
+                        for st in steps[1:]:
+                            nxt = _step_pairs(st)
+                            pairs = pairs.alias("l").join(
+                                nxt.alias("r"),
+                                F.col("l.obj") == F.col("r.subj"),
+                            ).select(
+                                F.col("l.subj").alias("subj"),
+                                F.col("r.obj").alias("obj"),
+                            )
+                        # pred rides as the original path literal so the
+                        # generic constant filter below matches it
+                        leg = pairs.select(
+                            "subj", F.lit(p).alias("pred"), "obj"
                         )
-                    # pred rides as the original path literal so the generic
-                    # constant filter below matches it
-                    leg = pairs.select(
-                        "subj", F.lit(p).alias("pred"), "obj"
-                    )
             out_cols, seen = [], {}
             for col, term in (("subj", s), ("pred", p), ("obj", o)):
                 if term.startswith("?"):
@@ -415,12 +493,10 @@ def match_bgp(triples: DataFrame, patterns: list[tuple[str, str, str]],
                 else:
                     leg = leg.filter(F.col(col) == term)
             # leg cardinality estimate: the predicate's row count (total for
-            # a variable predicate; path legs use the base predicate's count
-            # as a closure-size proxy)
-            if p.startswith("?"):
-                est = total_rows
-            else:
-                est = sum(pred_counts.get(a, 0) for a in _parse_path(p)[2])
+            # a variable predicate; path legs use the base predicate counts
+            # as a closure-size proxy, sequences their most selective step,
+            # negations the complement count)
+            est = _path_est(p)
             legs.append(
                 {"df": leg.select(*out_cols), "vars": set(seen),
                  "nconst": 3 - len(seen), "est": est, "idx": i}
@@ -463,6 +539,13 @@ def match_bgp(triples: DataFrame, patterns: list[tuple[str, str, str]],
             )
         out = out.join(mg.select(*shared).distinct(), on=shared,
                        how="left_anti")
+    for v, vals in (values or {}).items():
+        vv = v.lstrip("?")
+        if vv not in bound:
+            raise ValueError(f"VALUES variable not bound by any pattern: {v}")
+        out = out.filter(F.col(vv).isin(list(vals)))
+    for fexpr in (filters or []):
+        out = out.filter(F.expr(fexpr) if isinstance(fexpr, str) else fexpr)
     if select is not None:
         want = [v.lstrip("?") for v in select]
         missing = [v for v in want if v not in bound]

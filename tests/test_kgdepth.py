@@ -372,3 +372,63 @@ def test_bgp_materialized_closure_injection(spark):
     )
     assert sorted(r.t for r in injected.collect()) == \
         sorted(r.t for r in fresh.collect()) == ["b", "c"]
+
+
+def test_bgp_sequence_path(spark):
+    # p1/p2 joins step pair-sets through an anonymous midpoint; steps take
+    # the full step grammar so a closure can sit inside a sequence
+    tr = spark.createDataFrame(
+        [("a", "P19", "c1"), ("c1", "P131", "r1"), ("b", "P19", "c2"),
+         ("c2", "P131", "r2"), ("r1", "P279", "r0")],
+        "subj string, pred string, obj string",
+    )
+    got = match_bgp(tr, [("?x", "P19/P131", "?r")], select=["x", "r"])
+    assert sorted((r.x, r.r) for r in got.collect()) == [
+        ("a", "r1"), ("b", "r2")
+    ]
+    got = match_bgp(tr, [("?x", "P19/P131/P279+", "?r")], select=["x", "r"])
+    assert [(r.x, r.r) for r in got.collect()] == [("a", "r0")]
+    # inverse step inside a sequence: region's residents-by-birth
+    got = match_bgp(tr, [("r1", "^P131/^P19", "?who")], select=["who"])
+    assert [r.who for r in got.collect()] == ["a"]
+
+
+def test_bgp_negated_property_set(spark):
+    tr = spark.createDataFrame(
+        [("a", "P106", "artist"), ("a", "P19", "c1"), ("a", "P31", "Q5")],
+        "subj string, pred string, obj string",
+    )
+    got = match_bgp(tr, [("a", "!P106", "?o")], select=["o"])
+    assert sorted(r.o for r in got.collect()) == ["Q5", "c1"]
+    got = match_bgp(tr, [("a", "!(P106|P31)", "?o")], select=["o"])
+    assert [r.o for r in got.collect()] == ["c1"]
+    # negating a path/closure has no single-scan meaning -> refused
+    with pytest.raises(ValueError, match="negated property sets"):
+        match_bgp(tr, [("a", "!P106+", "?o")], select=["o"])
+
+
+def test_bgp_values_and_filter(spark):
+    tr = spark.createDataFrame(
+        [("a", "P106", "artist"), ("b", "P106", "writer"),
+         ("c", "P106", "artist"), ("a", "P19", "paris")],
+        "subj string, pred string, obj string",
+    )
+    got = match_bgp(
+        tr, [("?p", "P106", "?occ")], values={"?occ": ["artist"]},
+        select=["p", "occ"],
+    )
+    assert sorted(r.p for r in got.collect()) == ["a", "c"]
+    got = match_bgp(
+        tr, [("?p", "P106", "?occ")], filters=["occ != 'artist'"],
+        select=["p"],
+    )
+    assert [r.p for r in got.collect()] == ["b"]
+    # FILTER applies after OPTIONAL, so it sees the nulls (SPARQL bound())
+    got = match_bgp(
+        tr, [("?p", "P106", "?occ")],
+        optional=[[("?p", "P19", "?city")]],
+        filters=["city IS NULL"], select=["p"],
+    )
+    assert sorted(r.p for r in got.collect()) == ["b", "c"]
+    with pytest.raises(ValueError, match="VALUES variable"):
+        match_bgp(tr, [("?p", "P106", "?occ")], values={"?nope": ["x"]})
