@@ -440,10 +440,18 @@ def _kg_pattern_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("valfil").alias("part"), F.col("p").alias("a"),
         F.col("occ").alias("b"), *pad2,
     )
+    # zero-or-more: the canonical "instance of, including the class itself
+    # and its taxonomic ancestors" idiom (P31/P279*)
+    star = match_bgp(kb, [("?x", "P31/P279*", "?cls")],
+                     select=["x", "cls"]).select(
+        F.lit("star").alias("part"), F.col("x").alias("a"),
+        F.col("cls").alias("b"), *pad2,
+    )
     return (
         w1.unionByName(bgp).unionByName(alt).unionByName(inv)
         .unionByName(altpath).unionByName(opt).unionByName(neg)
         .unionByName(seq).unionByName(npset).unionByName(valfil)
+        .unionByName(star)
     )
 
 
@@ -1895,7 +1903,22 @@ def oracle_sql() -> dict[str, str]:
             "WHERE pred NOT IN ('P31', 'P279') "
             "UNION ALL "
             "SELECT 'valfil', subj, obj, '', '' FROM t "
-            "WHERE pred = 'P106' AND obj IN ('Q639669', 'Q1028181')"
+            "WHERE pred = 'P106' AND obj IN ('Q639669', 'Q1028181') "
+            "UNION ALL "
+            # bag multiplicity mirrors the Spark plan: one row per P31
+            # edge x distinct star pair (closure UNION identity dedupes
+            # exactly like the operator's .distinct())
+            "SELECT 'star', x.subj, sp.t, '', '' FROM t x JOIN ("
+            "  WITH RECURSIVE cp(s, t) AS ("
+            "    SELECT subj, obj FROM t WHERE pred = 'P279' "
+            "    UNION "
+            "    SELECT c.s, y.obj FROM cp c "
+            "    JOIN t y ON y.subj = c.t AND y.pred = 'P279') "
+            "  SELECT s, t FROM cp "
+            "  UNION "
+            "  SELECT n, n FROM ("
+            "    SELECT subj AS n FROM t UNION SELECT obj FROM t) u"
+            ") sp ON sp.s = x.obj WHERE x.pred = 'P31'"
         ),
         "kg_find_rels": (
             f"WITH t AS (SELECT * FROM read_parquet('{fx}/kb_triples.parquet')), "

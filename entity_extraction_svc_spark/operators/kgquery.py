@@ -326,12 +326,17 @@ def match_bgp(triples: DataFrame, patterns: list[tuple[str, str, str]],
         ``p1|p2+`` parses as ``(p1|p2)+`` (the ``+`` binds the whole
         alternation — one closure over the union edge set, which is how
         SPARQL's ``(p1|p2)+`` evaluates).
+      * ``p*`` / ``p?`` — zero-or-more / zero-or-one: the closure (resp.
+        raw scan) unioned with the identity pairs over the graph's terms
+        (SPARQL's zero-length-path semantics), distinct because a length-1
+        self-loop and the zero-length match coincide.  The identity frame
+        is built once per match and shared across legs like a closure.
       * ``p1/p2`` — sequence: the leg is the join of the step pair-sets
         through anonymous midpoints (``?x P19/P131 ?r`` = birthplace's
         region without naming the city).  Each ``/``-separated step takes
-        the full ``^``/``|``/``+`` grammar, so ``P19/P131+`` chains a raw
-        scan into a closure; the chain joins smallest-step-first inside
-        the leg the same way legs join in the outer BGP.
+        the full ``^``/``|``/``+``/``*``/``?`` grammar, so ``P31/P279*``
+        is "type, including the type itself and its taxonomic ancestors";
+        the chain folds left-to-right inside the leg.
       * ``!p1|p2`` (or ``!(p1|p2)``) — negated property set: the leg
         keeps edges whose predicate is NOT in the set (still one
         pushed-down scan filter); estimated at total - sum(set counts).
@@ -382,36 +387,55 @@ def match_bgp(triples: DataFrame, patterns: list[tuple[str, str, str]],
         }
     total_rows = sum(pred_counts.values()) or 1
 
-    def _parse_path(p: str) -> tuple[bool, bool, list[str]]:
-        """'^p1|p2+' -> (inverse, plus, [p1, p2])."""
+    def _parse_path(p: str) -> tuple[bool, str, list[str]]:
+        """'^p1|p2+' -> (inverse, mode, [p1, p2]) with mode one of
+        '' (raw scan), '+' (one-or-more), '*' (zero-or-more),
+        '?' (zero-or-one) — the quantifier binds the whole alternation,
+        matching SPARQL's (p1|p2)+ reading."""
         inv = p.startswith("^")
         core = p[1:] if inv else p
-        plus = core.endswith("+") and len(core) > 1
-        if plus:
-            core = core[:-1]
+        mode = ""
+        if len(core) > 1 and core[-1] in "+*?":
+            mode, core = core[-1], core[:-1]
         alts = [a for a in core.split("|") if a]
         if not alts:
             raise ValueError(f"empty property path: {p!r}")
-        return inv, plus, alts
+        return inv, mode, alts
 
     def _neg_alts(p: str) -> list[str]:
         """'!p1|p2' / '!(p1|p2)' -> [p1, p2]; refuses negated paths."""
         core = p[1:]
         if core.startswith("(") and core.endswith(")"):
             core = core[1:-1]
-        inv, plus, alts = _parse_path(core)
-        if inv or plus or "/" in core:
+        inv, mode, alts = _parse_path(core)
+        if inv or mode or "/" in core:
             raise ValueError(
                 "negated property sets take plain predicates/alternations "
                 f"only: {p!r}"
             )
         return alts
 
+    def _identity_pairs() -> DataFrame:
+        # zero-length path: one (x, x) per term occurring in the graph
+        # (SPARQL's zero-length semantics over the graph's RDF terms);
+        # built once per match and cached like a closure
+        if "__identity__" not in closures:
+            nodes = (
+                triples.select(F.col("subj").alias("n"))
+                .unionByName(triples.select(F.col("obj").alias("n")))
+                .distinct()
+            )
+            closures["__identity__"] = nodes.select(
+                F.col("n").alias("subj"), F.col("n").alias("obj")
+            ).localCheckpoint(eager=True)
+        return closures["__identity__"]
+
     def _step_pairs(step: str) -> DataFrame:
-        """One path STEP (['^'] alts ['+']) as a (subj, obj) pair frame."""
-        inv, plus, alts = _parse_path(step)
-        key = (plus, tuple(sorted(alts)))
-        if plus and key not in closures:
+        """One path STEP (['^'] alts ['+'|'*'|'?']) as (subj, obj) pairs."""
+        inv, mode, alts = _parse_path(step)
+        closed = mode in ("+", "*")
+        key = (True, tuple(sorted(alts)))
+        if closed and key not in closures:
             closures[key] = transitive_closure(
                 triples.filter(F.col("pred").isin(alts))
             ).select(
@@ -419,7 +443,7 @@ def match_bgp(triples: DataFrame, patterns: list[tuple[str, str, str]],
                 F.col("dst").alias("obj"),
             ).localCheckpoint(eager=True)
         pairs = (
-            closures[key] if plus
+            closures[key] if closed
             else triples.filter(F.col("pred").isin(alts))
             .select("subj", "obj")
         )
@@ -428,6 +452,10 @@ def match_bgp(triples: DataFrame, patterns: list[tuple[str, str, str]],
                 F.col("obj").alias("subj"),
                 F.col("subj").alias("obj"),
             )
+        if mode in ("*", "?"):
+            # zero-or-X = X plus the identity pairs; distinct because a
+            # length-1 self-loop and the zero-length match coincide
+            pairs = pairs.unionByName(_identity_pairs()).distinct()
         return pairs
 
     def _step_est(step: str) -> int:
@@ -460,8 +488,8 @@ def match_bgp(triples: DataFrame, patterns: list[tuple[str, str, str]],
                     steps = [st for st in p.split("/") if st]
                     if not steps:
                         raise ValueError(f"empty property path: {p!r}")
-                    inv0, plus0, alts0 = _parse_path(steps[0])
-                    if len(steps) > 1 or inv0 or plus0 or len(alts0) > 1:
+                    inv0, mode0, alts0 = _parse_path(steps[0])
+                    if len(steps) > 1 or inv0 or mode0 or len(alts0) > 1:
                         # sequence steps fold left-to-right; AQE broadcasts
                         # whichever step frame turns out tiny at runtime
                         pairs = _step_pairs(steps[0])

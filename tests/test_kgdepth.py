@@ -432,3 +432,22 @@ def test_bgp_values_and_filter(spark):
     assert sorted(r.p for r in got.collect()) == ["b", "c"]
     with pytest.raises(ValueError, match="VALUES variable"):
         match_bgp(tr, [("?p", "P106", "?occ")], values={"?nope": ["x"]})
+
+
+def test_bgp_star_and_optional_quantifiers(spark):
+    # p* = closure + zero-length identity; p? = raw + identity
+    tr = spark.createDataFrame(
+        [("a", "P279", "b"), ("b", "P279", "c"), ("x", "P31", "a"),
+         ("d", "P5", "e")],
+        "subj string, pred string, obj string",
+    )
+    got = match_bgp(tr, [("a", "P279*", "?t")], select=["t"])
+    assert sorted(r.t for r in got.collect()) == ["a", "b", "c"]
+    got = match_bgp(tr, [("a", "P279?", "?t")], select=["t"])
+    assert sorted(r.t for r in got.collect()) == ["a", "b"]
+    # zero-length matches a term with NO such edges at all
+    got = match_bgp(tr, [("e", "P279*", "?t")], select=["t"])
+    assert [r.t for r in got.collect()] == ["e"]
+    # the canonical SPARQL idiom: instance-of including the class itself
+    got = match_bgp(tr, [("x", "P31/P279*", "?t")], select=["t"])
+    assert sorted(r.t for r in got.collect()) == ["a", "b", "c"]
