@@ -1709,9 +1709,12 @@ _SHINGLES = (
 )
 _H64 = "('0x' || substr(md5({X}), 1, 15))::BIGINT"
 
-# N-triples line pattern (sources/ntriples.py NT_RE), single-quote escaped
+# N-triples line pattern (sources/ntriples.py NT_RE), single-quote escaped;
+# groups 5/6 (lang tag / datatype IRI) are accepted-and-ignored here, the
+# same annotation-dropping default parse_ntriples applies
 NT_RE_SQL = (
-    '^<([^>]+)>\\s+<([^>]+)>\\s+(?:<([^>]+)>|"((?:[^"\\\\]|\\\\.)*)")'
+    '^<([^>]+)>\\s+<([^>]+)>\\s+(?:<([^>]+)>|"((?:[^"\\\\]|\\\\.)*)"'
+    '(?:@([A-Za-z]+(?:-[A-Za-z0-9]+)*)|\\^\\^<([^>]+)>)?)'
     '\\s*\\.\\s*$'
 )
 

@@ -746,6 +746,19 @@ def write_fixtures(out_dir: str, n_docs: int = 200, shards: int = 1) -> None:
             '<http://we/QESC1> <http://wl/label> '
             '"back\\\\slash\\tand\\ttab" .\n'
         )
+        # language-tagged and datatype-annotated literals (the remaining
+        # N-Triples object forms): parse must accept them, and the
+        # keep_annotations roundtrip must re-serialize them byte-identically
+        f.write(
+            '<http://we/QLANG1> <http://wl/label> "Joconde"@fr .\n'
+        )
+        f.write(
+            '<http://we/QLANG1> <http://wl/label> "Mona Lisa"@zh-Hans .\n'
+        )
+        f.write(
+            '<http://we/QDT1> <http://wpd/P571> '
+            '"1503"^^<http://www.w3.org/2001/XMLSchema#gYear> .\n'
+        )
         f.write(
             '<http://we/QESC2> <http://wl/label> '
             '"quo\\"te and\\nnew\\rline" .\n'

@@ -21,8 +21,14 @@ from pyspark.sql import functions as F
 
 # "<subj> <rel> <obj> ." with <obj> either an IRI or a quoted literal;
 # the literal body admits backslash-escaped characters (incl. \") so a
-# formatted line with special characters re-parses instead of dropping
-NT_RE = r'^<([^>]+)>\s+<([^>]+)>\s+(?:<([^>]+)>|"((?:[^"\\]|\\.)*)")\s*\.\s*$'
+# formatted line with special characters re-parses instead of dropping.
+# Literals may carry a language tag (@en, @zh-Hans — group 5) or a
+# datatype IRI (^^<...#integer> — group 6), the remaining N-Triples
+# object forms; both optional and mutually exclusive per the spec.
+NT_RE = (
+    r'^<([^>]+)>\s+<([^>]+)>\s+(?:<([^>]+)>|"((?:[^"\\]|\\.)*)"'
+    r'(?:@([A-Za-z]+(?:-[A-Za-z0-9]+)*)|\^\^<([^>]+)>)?)\s*\.\s*$'
+)
 
 # sentinel for the single-pass unescape below: escaped backslashes park
 # here so later replacements never mistake "\\t" (backslash + t) for a
@@ -43,29 +49,42 @@ def _unescape_literal(c: "F.Column") -> "F.Column":
     return F.regexp_replace(c, _SENTINEL, r"\\")
 
 
-def parse_ntriples(lines: DataFrame, col: str = "value") -> DataFrame:
+def parse_ntriples(lines: DataFrame, col: str = "value",
+                   keep_annotations: bool = False) -> DataFrame:
     """Text lines -> (subj, pred, obj); malformed lines are dropped.
 
     The IRI prefix is stripped to the local name (the reference keys
     everything by bare QID/PID, ``wiki_parser.py:30-37``); literal
     objects are UNESCAPED, so parse is the true inverse of
-    :func:`format_ntriples` including special characters."""
+    :func:`format_ntriples` including special characters.  Language tags
+    and datatype IRIs on literals are accepted either way;
+    ``keep_annotations=True`` surfaces them as nullable ``lang`` /
+    ``dtype`` columns (dtype = the full IRI, so formatting round-trips)
+    instead of dropping them."""
     local = lambda c: F.element_at(F.split(c, "/"), -1)  # noqa: E731
     parsed = lines.select(
         F.regexp_extract(F.col(col), NT_RE, 1).alias("s_iri"),
         F.regexp_extract(F.col(col), NT_RE, 2).alias("p_iri"),
         F.regexp_extract(F.col(col), NT_RE, 3).alias("o_iri"),
         F.regexp_extract(F.col(col), NT_RE, 4).alias("o_lit"),
+        F.regexp_extract(F.col(col), NT_RE, 5).alias("o_lang"),
+        F.regexp_extract(F.col(col), NT_RE, 6).alias("o_dtype"),
     )
+    cols = [
+        local(F.col("s_iri")).alias("subj"),
+        local(F.col("p_iri")).alias("pred"),
+        F.when(F.col("o_iri") != "", local(F.col("o_iri")))
+        .otherwise(_unescape_literal(F.col("o_lit")))
+        .alias("obj"),
+    ]
+    if keep_annotations:
+        cols += [
+            F.when(F.col("o_lang") != "", F.col("o_lang")).alias("lang"),
+            F.when(F.col("o_dtype") != "", F.col("o_dtype")).alias("dtype"),
+        ]
     return (
         parsed.filter((F.col("s_iri") != "") & (F.col("p_iri") != ""))
-        .select(
-            local(F.col("s_iri")).alias("subj"),
-            local(F.col("p_iri")).alias("pred"),
-            F.when(F.col("o_iri") != "", local(F.col("o_iri")))
-            .otherwise(_unescape_literal(F.col("o_lit")))
-            .alias("obj"),
-        )
+        .select(*cols)
         .filter(F.col("obj") != "")
     )
 
@@ -142,14 +161,29 @@ def format_ntriples(triples: DataFrame, entity_base: str = ENTITY_BASE,
     """(subj, pred, obj) -> one canonical N-Triples ``line`` per row — the
     export sink inverse of :func:`parse_ntriples` (reference S7's ingest
     direction), for interchange with standard RDF tooling.  QID-shaped
-    objects serialize as IRIs, everything else as escaped literals.
-    Row-local string concat, zero exchanges: a 10^12-triple export runs at
-    scan throughput and ``write.text`` shards it per partition."""
+    objects serialize as IRIs, everything else as escaped literals; if
+    the input carries ``lang`` / ``dtype`` columns (a
+    ``parse_ntriples(keep_annotations=True)`` output) they serialize back
+    as ``@lang`` / ``^^<dtype>`` suffixes, lang winning when both are set
+    (the spec makes them mutually exclusive).  Row-local string concat,
+    zero exchanges: a 10^12-triple export runs at scan throughput and
+    ``write.text`` shards it per partition."""
+    suffix = F.lit("")
+    if "lang" in triples.columns or "dtype" in triples.columns:
+        lang = F.col("lang") if "lang" in triples.columns else F.lit(None)
+        dtype = F.col("dtype") if "dtype" in triples.columns else F.lit(None)
+        suffix = F.coalesce(
+            F.when(lang.isNotNull(), F.concat(F.lit("@"), lang)),
+            F.when(dtype.isNotNull(),
+                   F.concat(F.lit("^^<"), dtype, F.lit(">"))),
+            F.lit(""),
+        )
     obj = F.when(
         F.col("obj").rlike("^Q[0-9]+$"),
         F.concat(F.lit("<" + entity_base), F.col("obj"), F.lit(">")),
     ).otherwise(
-        F.concat(F.lit('"'), _escape_literal(F.col("obj")), F.lit('"'))
+        F.concat(F.lit('"'), _escape_literal(F.col("obj")), F.lit('"'),
+                 suffix)
     )
     return triples.select(
         F.concat(

@@ -203,3 +203,45 @@ def test_ntriples_parse_escaped_quote_line(spark):
     )
     got = parse_ntriples(lines).collect()
     assert [tuple(r) for r in got] == [("Q9", "label", 'quo"te\tand\\bs')]
+
+
+def test_ntriples_lang_datatype_accepted_by_default(spark):
+    # language-tagged and datatype-annotated literals (the remaining
+    # N-Triples object forms) must parse — annotations dropped, the bare
+    # literal kept — instead of the whole line being silently discarded
+    lines = spark.createDataFrame(
+        [
+            ('<http://we/Q1> <http://wl/label> "Joconde"@fr .',),
+            ('<http://we/Q1> <http://wl/label> "Mona Lisa"@zh-Hans .',),
+            ('<http://we/Q2> <http://wpd/P571> '
+             '"1503"^^<http://www.w3.org/2001/XMLSchema#gYear> .',),
+        ],
+        "value string",
+    )
+    got = sorted(map(tuple, parse_ntriples(lines).collect()))
+    assert got == [
+        ("Q1", "label", "Joconde"),
+        ("Q1", "label", "Mona Lisa"),
+        ("Q2", "P571", "1503"),
+    ]
+
+
+def test_ntriples_annotation_roundtrip_byte_identical(spark):
+    # keep_annotations=True -> format_ntriples re-serializes @lang / ^^<dt>
+    # byte-identically (escaping still applies to the literal body)
+    lines = [
+        '<http://www.wikidata.org/entity/Q1> '
+        '<http://www.wikidata.org/prop/direct/label> "Joconde"@fr .',
+        '<http://www.wikidata.org/entity/Q1> '
+        '<http://www.wikidata.org/prop/direct/label> "quo\\"te"@zh-Hans .',
+        '<http://www.wikidata.org/entity/Q2> '
+        '<http://www.wikidata.org/prop/direct/P571> '
+        '"1503"^^<http://www.w3.org/2001/XMLSchema#gYear> .',
+        '<http://www.wikidata.org/entity/Q3> '
+        '<http://www.wikidata.org/prop/direct/label> "plain" .',
+    ]
+    df = spark.createDataFrame([(x,) for x in lines], "value string")
+    parsed = parse_ntriples(df, keep_annotations=True)
+    assert parsed.columns == ["subj", "pred", "obj", "lang", "dtype"]
+    back = format_ntriples(parsed)
+    assert sorted(r["line"] for r in back.collect()) == sorted(lines)
