@@ -904,6 +904,36 @@ def _doc_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_split(_docs(spark, sf_dir)).select("doc_id", "bucket", "split")
 
 
+def _doc_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk training-sequence packing (seq_len=128) over the
+    documents table: every token of every non-empty doc assigned to
+    exactly one fixed-length sequence, docs laid out in md5(doc_id)
+    shuffle order.  The Spark side computes the global prefix sum
+    two-level (256 order-prefix buckets, index-sized totals frame); the
+    oracle uses one flat window — same definition, different physical
+    plan."""
+    from entity_extraction_svc_spark.operators.packing import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), seq_len=128).select(
+        "seq_id", "doc_id", "tok_start", "tok_end", "seq_pos", "n_tokens"
+    )
+
+
+def _doc_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted language mixture (alpha=0.5, T=corpus size):
+    per-language keep fraction min(1, T * n_l**alpha / sum(n**alpha) / n_l)
+    — the majority language is sampled down, minority languages keep
+    everything (the documents table's lang column is naturally skewed;
+    its source column is uniform, which would make temperature a no-op) —
+    membership by the row-local md5-bucket rule (shuffle-free,
+    join-compatible with hash_split/hash_sample)."""
+    from entity_extraction_svc_spark.operators.packing import temperature_sample
+
+    return temperature_sample(
+        _docs(spark, sf_dir), source_col="lang", alpha=0.5
+    ).select("doc_id", F.col("lang").alias("source"), "keep_frac")
+
+
 def _doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from entity_extraction_svc_spark.operators.textstats import quality_filter
 
@@ -1673,6 +1703,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_embed": _doc_embed,  # feature-hash embedder (docs -> vectors)
         "doc_pii": _doc_pii,  # PII scan + typed redaction
         "doc_split": _doc_split,  # deterministic md5-bucket train/val/test
+        "doc_pack": _doc_pack,  # concat-and-chunk sequence packing
+        "doc_mixture": _doc_mixture,  # temperature source re-weighting
         "doc_decontam": _doc_decontam,  # eval-set n-gram overlap audit
         "doc_perplexity": _doc_perplexity,  # bigram-LM cross-entropy
         "web_hygiene": _web_hygiene,  # url_parts + per-domain cap
@@ -2842,6 +2874,56 @@ def oracle_sql() -> dict[str, str]:
                     WHEN bucket < 9000 THEN 'val'
                     ELSE 'test' END AS split
         FROM b
+    """
+
+    # doc_pack: same definition as packing.pack_sequences but with ONE flat
+    # cumulative window over (md5, id) order — the two-level Spark plan must
+    # equal it exactly because the 256-bucket key is a PREFIX of the order key
+    sql["doc_pack"] = """
+        WITH toks AS (
+          SELECT doc_id,
+                 len(list_filter(string_split_regex(lower(coalesce(text,'')),
+                                                    '\\s+'), t -> t != ''))::BIGINT
+                   AS n_tokens,
+                 md5(coalesce(doc_id::VARCHAR, chr(0))) AS h
+          FROM documents
+        ), nz AS (SELECT * FROM toks WHERE n_tokens > 0),
+        offs AS (
+          SELECT doc_id, n_tokens,
+                 coalesce(sum(n_tokens) OVER (ORDER BY h, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+          FROM nz
+        ), chunks AS (
+          SELECT doc_id, n_tokens, off,
+                 unnest(generate_series((off // 128)::BIGINT,
+                                        ((off + n_tokens - 1) // 128)::BIGINT))
+                   AS seq_id
+          FROM offs
+        )
+        SELECT seq_id, doc_id,
+               greatest(0, seq_id * 128 - off) AS tok_start,
+               least(n_tokens, (seq_id + 1) * 128 - off) AS tok_end,
+               greatest(0, off - seq_id * 128) AS seq_pos,
+               n_tokens
+        FROM chunks
+    """
+
+    # doc_mixture: keep fraction min(1, T * n^alpha / sum(n^alpha) / n) with
+    # alpha=0.5, T=corpus size; membership = the doc_split md5 bucket rule
+    sql["doc_mixture"] = """
+        WITH c AS (
+          SELECT lang, count(*)::DOUBLE AS n FROM documents GROUP BY lang
+        ), w AS (
+          SELECT sum(pow(n, 0.5)) AS wsum, sum(n) AS t FROM c
+        ), f AS (
+          SELECT lang,
+                 least(1.0, w.t * pow(c.n, 0.5) / w.wsum / c.n) AS frac
+          FROM c, w
+        )
+        SELECT d.doc_id, d.lang AS source, round(f.frac, 6) AS keep_frac
+        FROM documents d JOIN f ON d.lang = f.lang
+        WHERE ('0x' || substr(md5(coalesce(d.doc_id::VARCHAR, chr(0))), 1, 8))::BIGINT
+              % 10000 < floor(f.frac * 10000)
     """
 
     # kg_pagerank: the unrolled-iteration SQL is generated by the operator

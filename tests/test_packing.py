@@ -1,0 +1,156 @@
+"""Sequence packing (concat-and-chunk) and temperature mixture sampling."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from entity_extraction_svc_spark.operators.packing import (
+    pack_sequences,
+    temperature_sample,
+)
+
+
+def _mk_docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def _token_counts(texts):
+    return [len([t for t in x.lower().split() if t]) for x in texts]
+
+
+def test_every_token_packed_exactly_once(spark):
+    texts = [f"tok {'word ' * (i % 17)}end" for i in range(60)]
+    df = _mk_docs(spark, texts)
+    out = pack_sequences(df, seq_len=16).collect()
+    total = sum(_token_counts(texts))
+    assert sum(r.tok_end - r.tok_start for r in out) == total
+    # per-doc slices tile [0, n_tokens) without gaps or overlaps
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.tok_start, r.tok_end))
+    for doc, slices in by_doc.items():
+        slices.sort()
+        assert slices[0][0] == 0
+        for (a0, a1), (b0, b1) in zip(slices, slices[1:]):
+            assert a1 == b0
+    # every full sequence holds exactly seq_len tokens, tiled contiguously
+    by_seq = {}
+    for r in out:
+        by_seq.setdefault(r.seq_id, []).append((r.seq_pos, r.seq_pos + (r.tok_end - r.tok_start)))
+    n_full = total // 16
+    for seq, spans in by_seq.items():
+        spans.sort()
+        assert spans[0][0] == 0
+        for (a0, a1), (b0, b1) in zip(spans, spans[1:]):
+            assert a1 == b0
+        if seq < n_full:
+            assert spans[-1][1] == 16
+    assert set(by_seq) == set(range(math.ceil(total / 16)))
+
+
+def test_packing_is_partitioning_invariant(spark):
+    texts = [f"{'a ' * (i % 9 + 1)}" for i in range(40)]
+    df = _mk_docs(spark, texts)
+    a = sorted(map(tuple, pack_sequences(df, seq_len=8).collect()))
+    b = sorted(map(tuple, pack_sequences(df.repartition(13), seq_len=8).collect()))
+    assert a == b
+
+
+def test_long_doc_spans_multiple_sequences(spark):
+    df = _mk_docs(spark, ["w " * 50])  # 50 tokens, seq_len 16
+    out = sorted(pack_sequences(df, seq_len=16).collect(), key=lambda r: r.tok_start)
+    assert len(out) == 4  # 16+16+16+2
+    assert [r.tok_end - r.tok_start for r in out] == [16, 16, 16, 2]
+    # consecutive seq ids
+    assert [r.seq_id - out[0].seq_id for r in out] == [0, 1, 2, 3]
+    # interior slices start at seq_pos 0
+    assert all(r.seq_pos == 0 for r in out[1:])
+
+
+def test_zero_token_docs_excluded(spark):
+    df = _mk_docs(spark, ["one two", "", "   ", "three"])
+    out = pack_sequences(df, seq_len=4).collect()
+    assert {r.doc_id for r in out} == {0, 3}
+
+
+def test_drop_last_partial_sequence(spark):
+    texts = ["w " * 10, "w " * 7]  # 17 tokens, seq_len 8 -> 2 full + 1 partial
+    df = _mk_docs(spark, texts)
+    kept = pack_sequences(df, seq_len=8, drop_last=True).collect()
+    assert {r.seq_id for r in kept} == {0, 1}
+    assert sum(r.tok_end - r.tok_start for r in kept) == 16
+
+
+def test_count_col_override(spark):
+    df = spark.createDataFrame(
+        [(1, 5), (2, 3)], "doc_id long, n_tok long"
+    )
+    out = pack_sequences(df, seq_len=4, count_col="n_tok")
+    assert sum(r.tok_end - r.tok_start for r in out.collect()) == 8
+
+
+def test_pack_rejects_bad_seq_len(spark):
+    df = _mk_docs(spark, ["a b"])
+    with pytest.raises(ValueError):
+        pack_sequences(df, seq_len=0)
+
+
+# --- temperature mixture -----------------------------------------------------
+
+
+def _mix_docs(spark, sizes: dict[str, int]):
+    rows, i = [], 0
+    for src, n in sizes.items():
+        for _ in range(n):
+            rows.append((i, src))
+            i += 1
+    return spark.createDataFrame(rows, "doc_id long, source string")
+
+
+def test_alpha_one_keeps_everything(spark):
+    df = _mix_docs(spark, {"a": 300, "b": 100})
+    out = temperature_sample(df, alpha=1.0)
+    assert out.count() == 400
+    assert out.select("keep_frac").distinct().collect()[0][0] == 1.0
+
+
+def test_alpha_zero_equalizes_sources(spark):
+    df = _mix_docs(spark, {"big": 1000, "small": 100})
+    out = temperature_sample(df, alpha=0.0, target_total=400)
+    got = {r["source"]: r["cnt"] for r in
+           out.groupBy("source").agg(F.count("*").alias("cnt")).collect()}
+    # expected 200 each; big is sampled (~200 of 1000), small capped at 100
+    assert got["small"] == 100
+    assert 140 <= got["big"] <= 260  # ~200 expected, md5-bucket variance
+
+
+def test_temperature_flattens_monotonically(spark):
+    df = _mix_docs(spark, {"big": 900, "small": 100})
+    frac = {}
+    for alpha in (1.0, 0.5, 0.0):
+        out = temperature_sample(df, alpha=alpha, target_total=500)
+        rows = out.select("source", "keep_frac").distinct().collect()
+        frac[alpha] = {r["source"]: r["keep_frac"] for r in rows}
+    # lower alpha -> relatively more of the small source
+    assert frac[1.0]["big"] > frac[0.5]["big"] > frac[0.0]["big"]
+    assert frac[0.0]["small"] >= frac[0.5]["small"] >= frac[1.0]["small"]
+
+
+def test_mixture_is_hash_sample_compatible(spark):
+    # membership is the md5-bucket rule: the kept set must be a subset
+    # relationship under shrinking fractions (nested samples)
+    df = _mix_docs(spark, {"a": 500})
+    small = {r.doc_id for r in temperature_sample(df, alpha=1.0, target_total=100).collect()}
+    big = {r.doc_id for r in temperature_sample(df, alpha=1.0, target_total=300).collect()}
+    assert small <= big
+
+
+def test_mixture_rejects_negative_alpha(spark):
+    df = _mix_docs(spark, {"a": 3})
+    with pytest.raises(ValueError):
+        temperature_sample(df, alpha=-1.0)
