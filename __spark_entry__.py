@@ -291,9 +291,15 @@ def _kg_connection(spark: SparkSession, sf_dir: str) -> DataFrame:
     entities, min-parent walk-back (part=path: a=entity, b=step), + the
     global graph-shape pass, per-node triangle counts and clustering
     coefficients over the entity->entity edges (part=tri; b packs
-    degree:n_tri:coeff-in-micros so the row stays integer-hashed),
+    degree:n_tri:coeff-in-micros so the row stays integer-hashed), + the
+    synchronous label-propagation communities over the same edge set
+    (part=lpa: a=node, b=community — fixed 5 rounds, min-label tie rule,
+    certified by an unrolled row_number-argmax oracle),
     merged into one driver row over the same fixture KB."""
-    from entity_extraction_svc_spark.operators.graphstats import triangle_counts
+    from entity_extraction_svc_spark.operators.graphstats import (
+        label_propagation,
+        triangle_counts,
+    )
     from entity_extraction_svc_spark.operators.graphwalk import (
         bfs_distances,
         shortest_path,
@@ -332,7 +338,15 @@ def _kg_connection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("entity").alias("a"),
         F.col("step").cast("string").alias("b"),
     )
-    return conn.unionByName(bfs).unionByName(tri).unionByName(path)
+    lpa = label_propagation(ee).select(
+        F.lit("lpa").alias("part"),
+        F.col("node").alias("a"),
+        F.col("community").alias("b"),
+    )
+    return (
+        conn.unionByName(bfs).unionByName(tri).unionByName(path)
+        .unionByName(lpa)
+    )
 
 
 def _kg_date_format(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2928,7 +2942,10 @@ def oracle_sql() -> dict[str, str]:
 
     # kg_pagerank: the unrolled-iteration SQL is generated by the operator
     # module itself, so Spark and oracle share ONE recurrence definition
-    from entity_extraction_svc_spark.operators.graphstats import hits_oracle_sql
+    from entity_extraction_svc_spark.operators.graphstats import (
+        hits_oracle_sql,
+        lpa_oracle_sql,
+    )
     from entity_extraction_svc_spark.operators.pagerank import (
         pagerank_oracle_sql,
         ppr_oracle_sql,
@@ -3089,6 +3106,10 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT * FROM read_parquet('{fx}/kb_triples.parquet')",
             "Q12418", "Q2126369", 4,
         )
+        + ")"
+        " UNION ALL "
+        "SELECT 'lpa' AS part, node AS a, community AS b FROM ("
+        + lpa_oracle_sql(_pr_edges)
         + ")"
     )
 

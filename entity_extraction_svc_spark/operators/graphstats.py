@@ -1,5 +1,5 @@
 """Graph-shape analytics over the KG edge list: triangles, clustering
-coefficients, HITS hubs/authorities.
+coefficients, HITS hubs/authorities, label-propagation communities.
 
 The reference's connection heuristics (``entity_linking.py`` rel-ranking,
 ``wiki_parser.py:339-368`` find_connection/find_intersection) are local
@@ -247,6 +247,97 @@ def hits(edges: DataFrame, iterations: int = HITS_ITERATIONS,
     for df in (nodes, e):
         df.unpersist()
     return out
+
+
+LPA_ITERATIONS = 5
+
+
+def label_propagation(edges: DataFrame, iterations: int = LPA_ITERATIONS,
+                      src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """Synchronous label-propagation communities (Raghavan et al. 2007)
+    over the undirected simple graph: (node, community).
+
+    Every node starts labelled with itself; each round it adopts the label
+    most frequent among its neighbors, ties broken by the lexicographically
+    smallest label — a total order, so the result is a pure function of
+    (edges, iterations) the oracle can certify.  Fixed iteration count by
+    design: synchronous LPA can two-cycle on bipartite structures (the
+    known failure mode), so convergence detection would not terminate;
+    bounded rounds make the answer deterministic instead, and community
+    quality plateaus within ~5 rounds on social-shaped graphs (the paper's
+    observation).
+
+    Scale shape: the adjacency is built once (both directions of the
+    deduped undirected edge list) and persisted; each round is ONE
+    join+groupBy pair — labels joined to the adjacency on the neighbor
+    end, counts reduced per (node, label) with map-side partial agg, then
+    the (count desc, label asc) argmax taken as a min-of-struct aggregate
+    (no window, so no per-node sort materialization).  Labels are
+    ``localCheckpoint``-ed per round like pagerank/HITS (persist alone
+    re-walks the whole lineage each analyzer pass).  Celebrity nodes are
+    per-(node,label) count rows — bounded by distinct neighbor labels,
+    already collapsed map-side — not per-neighbor rows.
+    """
+    und = _undirected(edges, src_col, dst_col)
+    adj = (
+        und.select(F.col("lo").alias("node"), F.col("hi").alias("nbr"))
+        .unionByName(
+            und.select(F.col("hi").alias("node"), F.col("lo").alias("nbr"))
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        adj.select("node").distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iterations):
+        nbr_labels = adj.join(
+            labels.withColumnRenamed("node", "nbr"), "nbr"
+        ).select("node", "label")
+        labels = (
+            nbr_labels.groupBy("node", "label")
+            .agg(F.count("*").alias("c"))
+            .groupBy("node")
+            .agg(
+                F.min(
+                    F.struct((-F.col("c")).alias("nc"), F.col("label").alias("l"))
+                ).alias("best")
+            )
+            .select("node", F.col("best.l").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    adj.unpersist()
+    return labels.select("node", F.col("label").alias("community"))
+
+
+def lpa_oracle_sql(edges_sql: str, iterations: int = LPA_ITERATIONS) -> str:
+    """Unrolled DuckDB equivalent of :func:`label_propagation` — one
+    MATERIALIZED CTE per round, argmax spelled as a row_number window
+    (different plan, same (count desc, label asc) total order)."""
+    parts = [
+        f"""WITH und AS MATERIALIZED (
+          SELECT DISTINCT least(src::VARCHAR, dst::VARCHAR) AS lo,
+                          greatest(src::VARCHAR, dst::VARCHAR) AS hi
+          FROM ({edges_sql}) WHERE src::VARCHAR <> dst::VARCHAR)""",
+        "adj AS MATERIALIZED (SELECT lo AS node, hi AS nbr FROM und "
+        "UNION ALL SELECT hi, lo FROM und)",
+        "l0 AS MATERIALIZED (SELECT DISTINCT node, node AS label FROM adj)",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"l{i} AS MATERIALIZED (SELECT node, label FROM ("
+            f"  SELECT a.node, l.label, "
+            f"    row_number() OVER (PARTITION BY a.node "
+            f"      ORDER BY count(*) DESC, l.label ASC) AS rn "
+            f"  FROM adj a JOIN l{i - 1} l ON a.nbr = l.node "
+            f"  GROUP BY a.node, l.label) WHERE rn = 1)"
+        )
+    body = ",\n".join(parts)
+    return (
+        f"{body}\n"
+        f"SELECT node, label AS community FROM l{iterations}"
+    )
 
 
 def hits_oracle_sql(edges_sql: str, iterations: int = HITS_ITERATIONS) -> str:

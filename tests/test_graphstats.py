@@ -80,3 +80,68 @@ def test_hits_invariants_and_oracle_parity(spark):
 def test_hits_empty_graph(spark):
     empty = spark.createDataFrame([], "src string, dst string")
     assert hits(empty, 3).count() == 0
+
+
+# --- label propagation ---------------------------------------------------------
+
+from entity_extraction_svc_spark.operators.graphstats import (  # noqa: E402
+    label_propagation,
+    lpa_oracle_sql,
+)
+
+
+def test_lpa_two_cliques_one_bridge(spark):
+    # two 4-cliques joined by one bridge edge: each clique converges to its
+    # lexicographically smallest member and the bridge does not merge them.
+    # (3-cliques WOULD merge under the deterministic min-label tie rule —
+    # a bridge endpoint sees a 1-1-1 tie and imports the foreign label; a
+    # 4-clique's internal majority outvotes the bridge, which is why the
+    # docstring scopes community quality to structures with internal
+    # support, exactly like GraphX's hash-min tie-break.)
+    def clique(prefix):
+        ns = [f"{prefix}{i}" for i in range(1, 5)]
+        return [(a, b) for i, a in enumerate(ns) for b in ns[i + 1:]]
+
+    edges = clique("a") + clique("b") + [("a1", "b1")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["community"]
+           for r in label_propagation(df, iterations=5).collect()}
+    assert got["a2"] == got["a3"] == got["a4"] == got["a1"] == "a1"
+    assert got["b2"] == got["b3"] == got["b4"] == got["b1"] == "b1"
+
+
+def test_lpa_tie_breaks_to_smallest_label(spark):
+    # isolated edge: after one sync round each endpoint adopts the other's
+    # label; after two they swap back — with the min-label tie rule the
+    # pair must still agree with the oracle at every fixed count
+    df = spark.createDataFrame([("p", "q")], "src string, dst string")
+    for iters in (1, 2, 3):
+        got = {r["node"]: r["community"]
+               for r in label_propagation(df, iterations=iters).collect()}
+        want = {r[0]: r[1] for r in duckdb.sql(
+            lpa_oracle_sql("SELECT 'p' AS src, 'q' AS dst", iters)
+        ).fetchall()}
+        assert got == want
+
+
+def test_lpa_matches_oracle(spark):
+    edges = [
+        ("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e"),
+        ("e", "f"), ("f", "d"), ("g", "a"), ("b", "a"), ("a", "a"),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    rows = ", ".join(f"('{s}', '{d}')" for s, d in edges)
+    want = {r[0]: r[1] for r in duckdb.sql(
+        lpa_oracle_sql(f"SELECT * FROM (VALUES {rows}) t(src, dst)", 5)
+    ).fetchall()}
+    got = {r["node"]: r["community"]
+           for r in label_propagation(df, iterations=5).collect()}
+    assert got == want
+
+
+def test_lpa_partitioning_invariant(spark):
+    edges = [(f"n{i}", f"n{(i * 7) % 23}") for i in range(40)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    a = sorted(map(tuple, label_propagation(df, 3).collect()))
+    b = sorted(map(tuple, label_propagation(df.repartition(11), 3).collect()))
+    assert a == b
