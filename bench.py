@@ -90,6 +90,10 @@ def run_benches(spark, sf_dir: str, bench_docs: int = BENCH_DOCS) -> dict[str, d
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
 
     timed("doc_stats", lambda: doc_stats(docs).count())
+
+    from entity_extraction_svc_spark.operators.packing import pack_sequences
+
+    timed("doc_pack", lambda: pack_sequences(docs, seq_len=2048).count())
     timed("dedup_minhash_pairs", lambda: minhash_dup_pairs(docs, threshold=0.5).count())
     timed(
         "dedup_ngram_jaccard",
