@@ -349,6 +349,19 @@ def _kg_connection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kg_salience(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level entity salience over the golden linked mentions:
+    tf-share x idf x early-position boost, per-doc rank — the aboutness
+    layer above per-mention confidence (P9-P11 rank candidates WITHIN a
+    mention; this ranks entities within the document)."""
+    from entity_extraction_svc_spark.fixtures import ensure_fixtures
+    from entity_extraction_svc_spark.operators.annotations import entity_salience
+
+    ensure_fixtures(FIXTURES)
+    links = spark.read.parquet(f"{FIXTURES}/golden_links.parquet")
+    return entity_salience(links)
+
+
 def _kg_date_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W2 date prettifier + the scalar-function surface (regex, datetime,
     concat) in one per-event projection — one driver row covers both."""
@@ -1690,6 +1703,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_annotations": _kg_annotations,  # + unlisted_annotations
         "kg_canonical_triples": _kg_canonical_triples,
         "kg_connection": _kg_connection,
+        "kg_salience": _kg_salience,  # per-doc entity aboutness ranking
         "kg_date_format": _kg_date_format,  # + scalar-function surface
         "kg_pagerank": _kg_pagerank,  # iterative entity importance
         # dedup family
@@ -3112,6 +3126,31 @@ def oracle_sql() -> dict[str, str]:
         + lpa_oracle_sql(_pr_edges)
         + ")"
     )
+
+    # kg_salience: tf-share x idf x rational position boost over the golden
+    # linked mentions; rank window ordered by the ROUNDED score (both sides)
+    # with qid tie-break so the order is total
+    sql["kg_salience"] = f"""
+        WITH m AS (SELECT url, qid, start
+                   FROM read_parquet('{fx}/golden_links.parquet')),
+        per AS (SELECT url, qid, count(*) AS tf, min(start) AS first_pos
+                FROM m GROUP BY url, qid),
+        docm AS (SELECT url, sum(tf) AS m_doc FROM per GROUP BY url),
+        dfreq AS (SELECT qid, count(*) AS df FROM per GROUP BY qid),
+        n AS (SELECT count(*) AS n_docs FROM docm),
+        scored AS (
+          SELECT per.url, per.qid, tf, first_pos,
+                 round((tf::DOUBLE / m_doc)
+                       * ln(n_docs::DOUBLE / df)
+                       * (1.0 + 1.0 / (1.0 + first_pos / 1000.0)), 6)
+                   AS salience
+          FROM per JOIN docm USING (url) JOIN dfreq USING (qid) CROSS JOIN n
+        )
+        SELECT url, qid, tf, first_pos, salience,
+               row_number() OVER (PARTITION BY url
+                                  ORDER BY salience DESC, qid ASC) AS sal_rank
+        FROM scored
+    """
 
     # doc_decontam: word 8-grams (with_shingles semantics incl. the
     # shorter-than-n whole-text fallback), eval side = substr-240 of every

@@ -121,3 +121,63 @@ def assemble_annotations(linked: DataFrame, kb_entities: DataFrame) -> DataFrame
             F.coalesce(F.size("extras"), F.lit(0)).alias("n_extras"),
         )
     )
+
+
+def entity_salience(mentions: DataFrame, url_col: str = "url",
+                    qid_col: str = "qid",
+                    pos_col: str = "start") -> DataFrame:
+    """Per-document entity salience: which entities a document is ABOUT,
+    not merely which it mentions.
+
+    The reference ranks candidates per mention (confidence); a
+    construction pipeline also wants the document-level ranking so
+    downstream consumers (KB enrichment, training-data tagging, retrieval
+    labels) can separate a page's subject from its incidental links.
+    Standard aboutness recipe: term-frequency share x corpus idf x an
+    early-position boost,
+
+        salience = (tf / m_doc) * ln(N / df) * (1 + 1 / (1 + pos/1000))
+
+    with tf = the entity's linked mentions in the doc, m_doc = all linked
+    mentions in the doc, df = docs containing the entity, N = docs, pos =
+    the entity's first mention offset.  The boost is rational (no exp), so
+    both engines evaluate it bit-identically; ln is the libm-stable choice
+    cooccur.py already relies on.  Rounded to 6 places; per-doc rank by
+    (salience desc, qid asc) is total, so the output is deterministic.
+
+    Scale shape: one groupBy on (url, qid) — everything else derives from
+    that aggregate, never from the mention stream again: per-doc totals
+    are a sum over it (superset key: same exchange), document frequencies
+    a count over its (qid) projection (per has one row per (url, qid), so
+    count == distinct-url count with no expensive countDistinct), N a
+    1-row broadcast.  The df side is KB-bounded, hence broadcast.  The
+    rank window partitions by url — per-doc entity counts are small, no
+    skew concern.
+    """
+    per = mentions.groupBy(
+        F.col(url_col).alias("url"), F.col(qid_col).alias("qid")
+    ).agg(
+        F.count("*").alias("tf"),
+        F.min(F.col(pos_col)).alias("first_pos"),
+    )
+    docm = per.groupBy("url").agg(F.sum("tf").alias("m_doc"))
+    dfreq = per.groupBy("qid").agg(F.count("*").alias("df"))
+    n_docs = docm.agg(F.count("*").alias("n_docs"))
+    from pyspark.sql.window import Window
+
+    sal = F.round(
+        (F.col("tf").cast("double") / F.col("m_doc"))
+        * F.log(F.col("n_docs").cast("double") / F.col("df"))
+        * (1.0 + 1.0 / (1.0 + F.col("first_pos") / F.lit(1000.0))),
+        6,
+    )
+    w = Window.partitionBy("url").orderBy(
+        F.col("salience").desc(), F.col("qid").asc()
+    )
+    return (
+        per.join(docm, "url")
+        .join(F.broadcast(dfreq), "qid")
+        .join(F.broadcast(n_docs))
+        .select("url", "qid", "tf", "first_pos", sal.alias("salience"))
+        .withColumn("sal_rank", F.row_number().over(w))
+    )
