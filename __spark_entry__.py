@@ -961,6 +961,34 @@ def _doc_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", F.col("lang").alias("source"), "keep_frac")
 
 
+def _doc_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE trainer + token counter over the documents table: 10 learned
+    merges (part=merge: a/b/c = left/right/merged, n = rank) and the
+    per-document subword token count under them (part=count: a = doc_id,
+    n = tokens).  The merge loop runs on the VOCABULARY frame; the corpus
+    is touched once for word counts and once for the final count join."""
+    from entity_extraction_svc_spark.operators.bpe import (
+        bpe_token_counts,
+        learn_bpe,
+        merges_df,
+    )
+
+    docs = _docs(spark, sf_dir)
+    merges, vocab = learn_bpe(docs, n_merges=10)
+    blank = F.lit("")
+    m = merges_df(spark, merges).select(
+        F.lit("merge").alias("part"),
+        F.col("left").alias("a"), F.col("right").alias("b"),
+        F.col("merged").alias("c"), F.col("rank").alias("n"),
+    )
+    c = bpe_token_counts(docs, vocab).select(
+        F.lit("count").alias("part"),
+        F.col("doc_id").cast("string").alias("a"), blank.alias("b"),
+        blank.alias("c"), F.col("n_bpe").cast("long").alias("n"),
+    )
+    return m.unionByName(c)
+
+
 def _doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from entity_extraction_svc_spark.operators.textstats import quality_filter
 
@@ -1732,6 +1760,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pii": _doc_pii,  # PII scan + typed redaction
         "doc_split": _doc_split,  # deterministic md5-bucket train/val/test
         "doc_pack": _doc_pack,  # concat-and-chunk sequence packing
+        "doc_bpe": _doc_bpe,  # BPE merge learning + subword token counts
         "doc_mixture": _doc_mixture,  # temperature source re-weighting
         "doc_decontam": _doc_decontam,  # eval-set n-gram overlap audit
         "doc_perplexity": _doc_perplexity,  # bigram-LM cross-entropy
@@ -3125,6 +3154,15 @@ def oracle_sql() -> dict[str, str]:
         "SELECT 'lpa' AS part, node AS a, community AS b FROM ("
         + lpa_oracle_sql(_pr_edges)
         + ")"
+    )
+
+    # doc_bpe: the whole trainer unrolled — 10 (pairs, argmax, rewrite)
+    # rounds in MATERIALIZED CTEs; generated next to the operator so both
+    # engines share one greedy-fold definition
+    from entity_extraction_svc_spark.operators.bpe import bpe_oracle_sql
+
+    sql["doc_bpe"] = bpe_oracle_sql(
+        "SELECT doc_id, text FROM documents", toks_lower, 10
     )
 
     # kg_salience: tf-share x idf x rational position boost over the golden
