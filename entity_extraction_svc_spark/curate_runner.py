@@ -14,8 +14,16 @@ Local smoke:
 Outputs under ``--out``:
     report.parquet     per-document gate verdicts + reasons (full audit)
     corpus.parquet     surviving documents, text PII-redacted
+    sequences.parquet  (with --pack N) concat-and-chunk packing manifest:
+                       which token slice of which doc lands in which
+                       fixed-length training sequence
 and ONE JSON stats line on stdout (counts per gate — the numbers an
 operator pastes into a run log).
+
+``--mixture-alpha`` rebalances the kept set across ``--mixture-col``
+groups by temperature before the corpus is written (minority groups keep
+everything, the majority is hash-sampled down); ``--pack N`` appends the
+training-sequence packing stage over the written corpus.
 """
 
 from __future__ import annotations
@@ -43,7 +51,22 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--id-col", default="doc_id")
     ap.add_argument("--text-col", default="text")
     ap.add_argument("--master", default=None)
+    ap.add_argument("--mixture-alpha", type=float, default=None,
+                    help="temperature-rebalance the kept docs across "
+                         "--mixture-col groups (n^alpha weighting)")
+    ap.add_argument("--mixture-col", default="lang",
+                    help="grouping column for --mixture-alpha")
+    ap.add_argument("--mixture-target", type=int, default=None,
+                    help="target doc count for the mixture (default: keep "
+                         "the corpus size, downsampling only the majority)")
+    ap.add_argument("--pack", type=int, default=None, metavar="SEQ_LEN",
+                    help="write sequences.parquet: concat-and-chunk packing "
+                         "of the curated corpus into SEQ_LEN-token sequences")
     args = ap.parse_args(argv)
+    if args.pack is not None and args.pack <= 0:
+        ap.error(f"--pack must be positive, got {args.pack}")
+    if args.mixture_alpha is not None and args.mixture_alpha < 0:
+        ap.error(f"--mixture-alpha must be >= 0, got {args.mixture_alpha}")
 
     from pyspark.sql import functions as F
 
@@ -96,6 +119,23 @@ def main(argv: list[str] | None = None) -> int:
     kept = docs.join(
         rep.filter("keep").select(args.id_col), args.id_col, "semi"
     )
+    n_mixture_dropped = 0
+    if args.mixture_alpha is not None:
+        # validate BEFORE any further work (the early-flag-validation rule)
+        if args.mixture_col not in kept.columns:
+            print(f"error: --mixture-col '{args.mixture_col}' not in input "
+                  f"columns {kept.columns}", file=sys.stderr)
+            return 2
+        from entity_extraction_svc_spark.operators.packing import (
+            temperature_sample,
+        )
+
+        n_before = kept.count()
+        kept = temperature_sample(
+            kept, source_col=args.mixture_col, alpha=args.mixture_alpha,
+            target_total=args.mixture_target, id_col=args.id_col,
+        ).drop("keep_frac").persist()
+        n_mixture_dropped = n_before - kept.count()
     red = pii_redact(kept, args.text_col, args.id_col)
     others = [c for c in docs.columns if c != args.text_col]
     corpus = kept.select(*others).join(red, args.id_col).withColumnRenamed(
@@ -114,6 +154,24 @@ def main(argv: list[str] | None = None) -> int:
         F.sum((F.col("n_pii") > 0).cast("long")).alias("n_pii_docs"),
     ).first().asDict()
     stats["n_out"] = spark.read.parquet(f"{args.out}/corpus.parquet").count()
+    if args.mixture_alpha is not None:
+        stats["n_mixture_dropped"] = n_mixture_dropped
+    if args.pack is not None:
+        # pack the WRITTEN corpus (reading it back avoids recomputing the
+        # gate lineage; packing re-tokenizes once, which is its one pass)
+        from entity_extraction_svc_spark.operators.packing import pack_sequences
+
+        seqs = pack_sequences(
+            spark.read.parquet(f"{args.out}/corpus.parquet"),
+            seq_len=args.pack, id_col=args.id_col, text_col=args.text_col,
+        )
+        seqs.write.mode("overwrite").parquet(f"{args.out}/sequences.parquet")
+        spark.catalog.refreshByPath(f"{args.out}/sequences.parquet")
+        sq = spark.read.parquet(f"{args.out}/sequences.parquet")
+        stats["n_sequences"] = sq.select("seq_id").distinct().count()
+        stats["n_tokens"] = sq.agg(
+            F.sum(F.col("tok_end") - F.col("tok_start"))
+        ).first()[0]
     stats["sec"] = round(time.time() - t0, 2)
     print(json.dumps(stats))
     return 0

@@ -154,3 +154,42 @@ def test_mixture_rejects_negative_alpha(spark):
     df = _mix_docs(spark, {"a": 3})
     with pytest.raises(ValueError):
         temperature_sample(df, alpha=-1.0)
+
+
+# --- runner integration --------------------------------------------------------
+
+
+def test_runner_mixture_and_pack(spark, tmp_path):
+    import json
+    from contextlib import redirect_stdout
+    import io
+
+    from entity_extraction_svc_spark.curate_runner import main
+
+    out = str(tmp_path / "cur")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main([
+            "--docs", "/root/testdata/sf0.001/documents.parquet",
+            "--out", out, "--mixture-alpha", "0.5", "--pack", "64",
+        ])
+    assert rc == 0
+    stats = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert stats["n_out"] == stats["n_kept"] - stats["n_mixture_dropped"]
+    assert stats["n_sequences"] >= 1 and stats["n_tokens"] >= 64
+    seqs = spark.read.parquet(f"{out}/sequences.parquet")
+    # every doc in the packing manifest survived curation
+    corpus_ids = {r.doc_id for r in
+                  spark.read.parquet(f"{out}/corpus.parquet").select("doc_id").collect()}
+    assert {r.doc_id for r in seqs.select("doc_id").distinct().collect()} <= corpus_ids
+
+
+def test_runner_rejects_missing_mixture_col(tmp_path):
+    from entity_extraction_svc_spark.curate_runner import main
+
+    rc = main([
+        "--docs", "/root/testdata/sf0.001/documents.parquet",
+        "--out", str(tmp_path / "x"), "--mixture-alpha", "0.5",
+        "--mixture-col", "nope",
+    ])
+    assert rc == 2
