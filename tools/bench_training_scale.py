@@ -134,6 +134,36 @@ def main() -> None:
         return resolve_near_dups(docs, pairs).filter("NOT keep").count()
 
     timed("minhash_resolve", resolve_run)
+
+    from entity_extraction_svc_spark.operators.bpe import (
+        bpe_token_counts,
+        learn_bpe,
+    )
+    from entity_extraction_svc_spark.operators.packing import (
+        pack_sequences,
+        temperature_sample,
+    )
+
+    timed("pack_sequences", lambda: pack_sequences(docs, seq_len=2048).count())
+    # skewed 4-source mixture: 70% in one source, the rest split 3 ways
+    mix = docs.withColumn(
+        "src",
+        F.when(F.col("doc_id") % 10 < 7, F.lit("big")).otherwise(
+            F.concat(F.lit("s"), (F.col("doc_id") % 10).cast("string"))
+        ),
+    )
+    timed(
+        "temperature_mixture",
+        lambda: temperature_sample(mix, source_col="src", alpha=0.5).count(),
+    )
+
+    def bpe_run():
+        # trainer (10 merge rounds on the vocab frame) + the corpus-count
+        # join, end to end
+        merges, vocab = learn_bpe(docs, n_merges=10)
+        return bpe_token_counts(docs, vocab).count()
+
+    timed("bpe_train10_count", bpe_run)
     timed(
         "curation_report",
         lambda: curation_report(docs, ev).filter("keep").count(),
