@@ -782,9 +782,25 @@ def _kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("warm").alias("part"), "node",
         F.round("rank", 6).alias("rank"),
     )
+    # part=wpr: evidence-weighted rank — edges weighted idf-style by their
+    # predicate's corpus frequency (rare predicates carry more signal),
+    # w = 1/ln(1 + count(pred)); exercises the non-uniform distribution
+    # path (parallel-edge weight SUMMING included, since two predicates
+    # can connect the same entity pair)
+    from entity_extraction_svc_spark.operators.pagerank import weighted_pagerank
+
+    qq = tr.filter(F.col("obj").rlike("^Q[0-9]+$"))
+    pred_n = qq.groupBy("pred").agg(F.count("*").alias("pn"))
+    wedges = qq.join(F.broadcast(pred_n), "pred").select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst"),
+        (F.lit(1.0) / F.log(F.lit(1.0) + F.col("pn"))).alias("w"),
+    )
+    wpr = weighted_pagerank(wedges, iterations=10).select(
+        F.lit("wpr").alias("part"), "node", "rank"
+    )
     return (
         glob.unionByName(ppr).unionByName(hub).unionByName(auth)
-        .unionByName(warm)
+        .unionByName(warm).unionByName(wpr)
     )
 
 
@@ -2992,6 +3008,7 @@ def oracle_sql() -> dict[str, str]:
     from entity_extraction_svc_spark.operators.pagerank import (
         pagerank_oracle_sql,
         ppr_oracle_sql,
+        weighted_pagerank_oracle_sql,
     )
 
     _pr_edges = (
@@ -3016,6 +3033,19 @@ def oracle_sql() -> dict[str, str]:
                 "SELECT src AS node, count(*)::DOUBLE + 1 AS rank FROM "
                 f"(SELECT DISTINCT src, dst FROM ({_pr_edges})) GROUP BY src"
             ),
+        )
+        + ")"
+        " UNION ALL "
+        "SELECT 'wpr' AS part, node, rank FROM ("
+        + weighted_pagerank_oracle_sql(
+            f"SELECT t.subj AS src, t.obj AS dst, "
+            f"1.0 / ln(1.0 + pn.pn) AS w "
+            f"FROM read_parquet('{fx}/kb_triples.parquet') t "
+            f"JOIN (SELECT pred, count(*) AS pn "
+            f"      FROM read_parquet('{fx}/kb_triples.parquet') "
+            f"      WHERE regexp_matches(obj, '^Q[0-9]+$') "
+            f"      GROUP BY pred) pn USING (pred) "
+            f"WHERE regexp_matches(t.obj, '^Q[0-9]+$')"
         )
         + ")"
     )

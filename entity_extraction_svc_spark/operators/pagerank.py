@@ -227,6 +227,122 @@ def pagerank_oracle_sql(edges_sql: str, iterations: int = ITERATIONS,
     return f"{body}\nSELECT node, round(rank, 6) AS rank FROM r{iterations}"
 
 
+def weighted_pagerank(edges: DataFrame, weight_col: str = "w",
+                      iterations: int = ITERATIONS,
+                      damping: float = DAMPING, src_col: str = "src",
+                      dst_col: str = "dst") -> DataFrame:
+    """PageRank with per-edge weights: a node distributes its rank to its
+    successors proportionally to edge weight instead of uniformly,
+
+        r'(v) = (1-d)/N + d * ( sum_{u->v} r(u) * w(u,v)/outw(u) + dang/N )
+
+    the natural form when edges carry evidence strength (triple
+    confidence, co-occurrence PMI, alias purity).  Parallel edges SUM
+    their weights (the multigraph semantics — two independent claims of
+    the same fact double its pull), vs the unweighted operator's distinct.
+    With a constant weight column the result equals :func:`pagerank`
+    exactly (pinned by test), so this is a strict generalization kept
+    separate from the driver-pinned unweighted recurrence.
+
+    Same execution shape as :func:`pagerank_warm`: weight-summed edges and
+    out-weight totals persisted once, one join+groupBy pair per iteration,
+    rank vector localCheckpoint-ed, dangling mass as a scalar action.
+    Zero- or negative-weight edges are rejected (they would corrupt the
+    stochastic-matrix invariant silently).
+    """
+    w = F.col(weight_col).cast("double")
+    e = (
+        edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst"),
+            w.alias("w"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    bad = e.filter(F.col("w") <= 0).count()
+    if bad:
+        e.unpersist()
+        raise ValueError(f"{bad} edges have non-positive total weight")
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n = nodes.count()
+    if n == 0:
+        e.unpersist()
+        nodes.unpersist()
+        return nodes.select("node", F.lit(0.0).alias("rank"))
+    outw = e.groupBy("src").agg(F.sum("w").alias("outw"))
+
+    ranks = nodes.select(
+        "node", F.lit(1.0 / n).alias("rank")
+    ).localCheckpoint(eager=True)
+    for _ in range(iterations):
+        with_deg = ranks.join(outw, ranks["node"] == outw["src"], "left")
+        dangling = with_deg.filter(F.col("outw").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0))
+        ).first()[0]
+        contrib = (
+            ranks.join(e, ranks["node"] == e["src"])
+            .join(outw, "src")
+            .groupBy("dst")
+            .agg(
+                F.sum(F.col("rank") * F.col("w") / F.col("outw")).alias("contrib")
+            )
+        )
+        ranks = (
+            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (F.coalesce("contrib", F.lit(0.0)) + F.lit(dangling / n))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    for df in (nodes, e):
+        df.unpersist()
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+def weighted_pagerank_oracle_sql(edges_sql: str,
+                                 iterations: int = ITERATIONS,
+                                 damping: float = DAMPING) -> str:
+    """Unrolled DuckDB equivalent of :func:`weighted_pagerank`.
+    ``edges_sql`` must select (src, dst, w); parallel edges sum, exactly
+    like the Spark side."""
+    d = damping
+    parts = [
+        f"WITH e AS MATERIALIZED (SELECT src, dst, sum(w::DOUBLE) AS w "
+        f"FROM ({edges_sql}) GROUP BY src, dst)",
+        "nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "nn AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM nodes)",
+        "outw AS MATERIALIZED (SELECT src, sum(w) AS outw FROM e GROUP BY src)",
+        "r0 AS MATERIALIZED (SELECT node, 1.0 / nn.n AS rank FROM nodes, nn)",
+    ]
+    for i in range(1, iterations + 1):
+        p, c = f"r{i - 1}", f"r{i}"
+        parts.append(
+            f"{c} AS MATERIALIZED (SELECT nodes.node, "
+            f"(1 - {d}) / nn.n + {d} * (coalesce(ctb.contrib, 0) + dang.m / nn.n) AS rank "
+            f"FROM nodes CROSS JOIN nn CROSS JOIN ("
+            f"  SELECT coalesce(sum(rank), 0) AS m FROM {p} "
+            f"  LEFT JOIN outw ON {p}.node = outw.src WHERE outw.src IS NULL) dang "
+            f"LEFT JOIN ("
+            f"  SELECT e.dst AS node, sum({p}.rank * e.w / outw.outw) AS contrib "
+            f"  FROM {p} JOIN e ON {p}.node = e.src "
+            f"  JOIN outw ON e.src = outw.src GROUP BY e.dst) ctb "
+            f"ON nodes.node = ctb.node)"
+        )
+    body = ",\n".join(parts)
+    return f"{body}\nSELECT node, round(rank, 6) AS rank FROM r{iterations}"
+
+
 def personalized_pagerank(edges: DataFrame, seeds: list[str],
                           iterations: int = ITERATIONS,
                           damping: float = DAMPING, src_col: str = "src",

@@ -249,3 +249,71 @@ def test_pagerank_warm_handles_node_set_change(spark):
     nodes = {r.node for r in rows}
     assert "m1" in nodes and "n7" not in nodes
     assert abs(sum(r.rank for r in rows) - 1.0) < 1e-3
+
+
+# --- weighted pagerank ---------------------------------------------------------
+
+from entity_extraction_svc_spark.operators.pagerank import (  # noqa: E402
+    pagerank,
+    weighted_pagerank,
+    weighted_pagerank_oracle_sql,
+)
+
+
+def test_weighted_constant_weight_equals_unweighted(spark):
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a")]
+    uw = spark.createDataFrame(edges, "src string, dst string")
+    w = spark.createDataFrame([(s, d, 7.0) for s, d in edges],
+                              "src string, dst string, w double")
+    got_u = {r.node: r.rank for r in pagerank(uw, 6).collect()}
+    got_w = {r.node: r.rank for r in weighted_pagerank(w, iterations=6).collect()}
+    assert got_u == got_w
+
+
+def test_weighted_pull_follows_weight(spark):
+    # a splits 9:1 between b and c -> b must outrank c (only source is a)
+    w = spark.createDataFrame(
+        [("a", "b", 9.0), ("a", "c", 1.0)],
+        "src string, dst string, w double",
+    )
+    got = {r.node: r.rank for r in weighted_pagerank(w, iterations=8).collect()}
+    assert got["b"] > got["c"]
+
+
+def test_weighted_parallel_edges_sum(spark):
+    # two (a,b,3) claims == one (a,b,6) claim
+    two = spark.createDataFrame(
+        [("a", "b", 3.0), ("a", "b", 3.0), ("a", "c", 6.0)],
+        "src string, dst string, w double",
+    )
+    one = spark.createDataFrame(
+        [("a", "b", 6.0), ("a", "c", 6.0)],
+        "src string, dst string, w double",
+    )
+    ga = sorted(map(tuple, weighted_pagerank(two, iterations=5).collect()))
+    gb = sorted(map(tuple, weighted_pagerank(one, iterations=5).collect()))
+    assert ga == gb
+
+
+def test_weighted_oracle_parity(spark):
+    import duckdb
+
+    edges = [("a", "b", 2.5), ("b", "c", 1.0), ("c", "a", 4.0),
+             ("a", "c", 0.5), ("d", "a", 1.5)]
+    df = spark.createDataFrame(edges, "src string, dst string, w double")
+    got = {r.node: r.rank for r in weighted_pagerank(df, iterations=6).collect()}
+    rows = ", ".join(f"('{s}', '{d}', {w})" for s, d, w in edges)
+    want = {r[0]: r[1] for r in duckdb.sql(
+        weighted_pagerank_oracle_sql(
+            f"SELECT * FROM (VALUES {rows}) t(src, dst, w)", 6)
+    ).fetchall()}
+    assert got == want
+
+
+def test_weighted_rejects_nonpositive(spark):
+    import pytest as _pt
+
+    df = spark.createDataFrame([("a", "b", 0.0)],
+                               "src string, dst string, w double")
+    with _pt.raises(ValueError, match="non-positive"):
+        weighted_pagerank(df)
