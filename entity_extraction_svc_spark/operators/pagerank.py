@@ -260,10 +260,12 @@ def weighted_pagerank(edges: DataFrame, weight_col: str = "w",
         .agg(F.sum("w").alias("w"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    bad = e.filter(F.col("w") <= 0).count()
+    bad = e.filter(F.col("w").isNull() | (F.col("w") <= 0)).count()
     if bad:
         e.unpersist()
-        raise ValueError(f"{bad} edges have non-positive total weight")
+        raise ValueError(
+            f"{bad} edges have null or non-positive total weight"
+        )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))

@@ -317,3 +317,12 @@ def test_weighted_rejects_nonpositive(spark):
                                "src string, dst string, w double")
     with _pt.raises(ValueError, match="non-positive"):
         weighted_pagerank(df)
+
+
+def test_weighted_rejects_null_weight(spark):
+    import pytest as _pt
+
+    df = spark.createDataFrame([("a", "b", None), ("b", "c", 1.0)],
+                               "src string, dst string, w double")
+    with _pt.raises(ValueError, match="null or non-positive"):
+        weighted_pagerank(df)
