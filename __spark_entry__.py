@@ -349,6 +349,22 @@ def _kg_connection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kg_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG-embedding negative sampling (filtered TransE corruption) over
+    the fixture KB's entity->entity triples: k=2 md5-deterministic
+    corruptions per true triple, true-triple collisions anti-joined out.
+    The entity dimension is numbered by the same two-level order-prefix
+    construction packing uses, so no task sorts the whole entity set."""
+    from entity_extraction_svc_spark.fixtures import ensure_fixtures
+    from entity_extraction_svc_spark.operators.triples import negative_triples
+
+    ensure_fixtures(FIXTURES)
+    kb = spark.read.parquet(f"{FIXTURES}/kb_triples.parquet")
+    return negative_triples(kb, k=2).select(
+        "subj", "pred", "obj", F.col("neg_rank").cast("long").alias("neg_rank")
+    )
+
+
 def _kg_salience(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document-level entity salience over the golden linked mentions:
     tf-share x idf x early-position boost, per-doc rank — the aboutness
@@ -474,11 +490,24 @@ def _kg_pattern_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("star").alias("part"), F.col("x").alias("a"),
         F.col("cls").alias("b"), *pad2,
     )
+    # r5 CONSTRUCT: the single-rule enrichment step — born-in city +
+    # city-in-region derives born-in-region triples (set semantics)
+    from entity_extraction_svc_spark.operators.kgquery import construct_triples
+
+    constr = construct_triples(
+        kb,
+        [("?x", "P19", "?c"), ("?c", "P131", "?r")],
+        ("?x", "bornin_region", "?r"),
+    ).select(
+        F.lit("constr").alias("part"), F.col("subj").alias("a"),
+        F.col("pred").alias("b"), F.col("obj").alias("c"),
+        F.lit("").alias("d"),
+    )
     return (
         w1.unionByName(bgp).unionByName(alt).unionByName(inv)
         .unionByName(altpath).unionByName(opt).unionByName(neg)
         .unionByName(seq).unionByName(npset).unionByName(valfil)
-        .unionByName(star)
+        .unionByName(star).unionByName(constr)
     )
 
 
@@ -1748,6 +1777,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_canonical_triples": _kg_canonical_triples,
         "kg_connection": _kg_connection,
         "kg_salience": _kg_salience,  # per-doc entity aboutness ranking
+        "kg_negatives": _kg_negatives,  # filtered TransE negative sampling
         "kg_date_format": _kg_date_format,  # + scalar-function surface
         "kg_pagerank": _kg_pagerank,  # iterative entity importance
         # dedup family
@@ -2026,7 +2056,11 @@ def oracle_sql() -> dict[str, str]:
             "  UNION "
             "  SELECT n, n FROM ("
             "    SELECT subj AS n FROM t UNION SELECT obj FROM t) u"
-            ") sp ON sp.s = x.obj WHERE x.pred = 'P31'"
+            ") sp ON sp.s = x.obj WHERE x.pred = 'P31' "
+            "UNION ALL "
+            "SELECT DISTINCT 'constr', x.subj, 'bornin_region', y.obj, '' "
+            "FROM t x JOIN t y ON x.obj = y.subj "
+            "WHERE x.pred = 'P19' AND y.pred = 'P131'"
         ),
         "kg_find_rels": (
             f"WITH t AS (SELECT * FROM read_parquet('{fx}/kb_triples.parquet')), "
@@ -3193,6 +3227,17 @@ def oracle_sql() -> dict[str, str]:
 
     sql["doc_bpe"] = bpe_oracle_sql(
         "SELECT doc_id, text FROM documents", toks_lower, 10
+    )
+
+    # kg_negatives: the module's own SQL rendition (flat row_number index,
+    # same (md5, e) total order as the two-level Spark numbering)
+    from entity_extraction_svc_spark.operators.triples import (
+        negative_triples_oracle_sql,
+    )
+
+    sql["kg_negatives"] = negative_triples_oracle_sql(
+        f"SELECT subj, pred, obj FROM read_parquet('{fx}/kb_triples.parquet')",
+        k=2,
     )
 
     # kg_salience: tf-share x idf x rational position boost over the golden

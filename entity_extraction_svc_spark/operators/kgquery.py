@@ -622,3 +622,40 @@ def validate_triples(triples: DataFrame, constraints: DataFrame) -> DataFrame:
                 F.col("range").alias("expected"))
     )
     return dom.unionByName(rng)
+
+
+def construct_triples(triples: DataFrame, patterns: list[tuple[str, str, str]],
+                      head: tuple[str, str, str], **bgp_kwargs) -> DataFrame:
+    """SPARQL CONSTRUCT / a single datalog rule: match the BGP body with
+    :func:`match_bgp` (full grammar — property paths, OPTIONAL, MINUS,
+    VALUES, FILTER), then emit one derived (subj, pred, obj) per binding
+    from the ``head`` template, each term a ``?var`` bound by the body or
+    a constant.  Output is DISTINCT (CONSTRUCT's set semantics: two
+    bindings proving the same triple yield one row), ready to feed the
+    lineage store or :func:`~..sources.ntriples.format_ntriples` — the
+    rule-based enrichment step of a construction pipeline (e.g. born-in
+    city + city-in-region => born-in-region).
+
+    Head variables must appear in the body (raises otherwise — a silent
+    null column would poison the store).  Plan = the body's ordered join
+    tree + one projection + an aggregate-free distinct; the derived
+    triples inherit the body's partitioning until the distinct's hash
+    exchange on the full row.
+    """
+    bind = match_bgp(triples, patterns, **bgp_kwargs)
+
+    def term(t: str):
+        if t.startswith("?"):
+            v = t[1:]
+            if v not in bind.columns:
+                raise ValueError(
+                    f"head variable ?{v} is not bound by the body "
+                    f"(bound: {bind.columns})"
+                )
+            return F.col(v)
+        return F.lit(t)
+
+    s, p, o = head
+    return bind.select(
+        term(s).alias("subj"), term(p).alias("pred"), term(o).alias("obj")
+    ).distinct()

@@ -129,3 +129,136 @@ def triple_evidence(linked: DataFrame, kb_triples: DataFrame,
             ).alias("evidence"),
         )
     )
+
+
+def negative_triples(triples: DataFrame, k: int = 2,
+                     subj_col: str = "subj", pred_col: str = "pred",
+                     obj_col: str = "obj") -> DataFrame:
+    """KG-embedding negative sampling (TransE-style corrupted triples,
+    Bordes et al. 2013, the "filtered" setting): for each true
+    entity->entity triple, up to ``k`` negatives made by replacing the
+    head or the tail with a pseudo-random entity; corruptions that happen
+    to be TRUE triples are removed (the anti-join), so a consumer can
+    train margin losses without false negatives.
+
+    Everything is an md5-derived pure function of (s, p, o, i) — which
+    side to corrupt and which entity to substitute — so the sample is
+    deterministic across runs, partitionings and engines.  The entity
+    substitute is picked by dense index: the entity dimension gets a
+    global contiguous 1..n numbering via the same two-level
+    order-prefix trick ``packing.pack_sequences`` uses for its prefix sum
+    (256-way-parallel row_number inside the md5's first byte + index-sized
+    bucket offsets), so no single task ever sorts the whole entity set.
+    The substitute lookup is then one hash join on the index; corpus-side
+    cost is one explode (k rows per triple) + two shuffles.
+
+    Output: (subj, pred, obj, neg_rank) — the corrupted triples, with
+    ``neg_rank`` in [0, k) preserving which draw produced the row.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    t = triples.select(
+        F.col(subj_col).alias("subj"), F.col(pred_col).alias("pred"),
+        F.col(obj_col).alias("obj"),
+    ).filter(F.col("obj").rlike("^Q[0-9]+$")).distinct()
+
+    ents = (
+        t.select(F.col("subj").alias("e"))
+        .unionByName(t.select(F.col("obj").alias("e")))
+        .distinct()
+    )
+    # two-level dense index in (md5(e), e) order — the bucket (md5's
+    # first byte) is a PREFIX of the order key, so per-bucket row_numbers
+    # plus bucket offsets equal the flat global numbering exactly (the
+    # pack_sequences construction; any total order works for an index,
+    # determinism is what matters)
+    from pyspark.sql.window import Window
+
+    h = F.md5(F.col("e"))
+    pfx = F.conv(F.substring(h, 1, 2), 16, 10).cast("long")
+    eb = ents.select("e", h.alias("_h"), pfx.alias("_pfx"))
+    w_local = Window.partitionBy("_pfx").orderBy("_h", "e")
+    local = eb.withColumn("_rn", F.row_number().over(w_local)).persist()
+    w_tot = (
+        Window.orderBy("_pfx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    totals = (
+        local.groupBy("_pfx").agg(F.max("_rn").alias("_cnt"))
+        .withColumn("_off", F.sum("_cnt").over(w_tot) - F.col("_cnt"))
+    )
+    indexed = (
+        local.join(F.broadcast(totals.select("_pfx", "_off")), "_pfx")
+        .select("e", (F.col("_off") + F.col("_rn")).alias("idx"))
+    )
+    n_ents = F.broadcast(totals.agg(F.sum("_cnt").alias("n")))
+
+    h64 = lambda c: F.conv(  # noqa: E731
+        F.substring(F.md5(c), 1, 15), 16, 10
+    ).cast("long")
+    cand = (
+        t.join(n_ents)
+        .select(
+            "subj", "pred", "obj", "n",
+            F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("neg_rank"),
+        )
+        .withColumn(
+            "_key", F.concat_ws("\x1f", "subj", "pred", "obj",
+                                F.col("neg_rank").cast("string"))
+        )
+        .withColumn("_side", F.pmod(h64(F.concat(F.col("_key"), F.lit(":side"))), F.lit(2)))
+        .withColumn(
+            "idx",
+            F.pmod(h64(F.concat(F.col("_key"), F.lit(":pick"))), F.col("n")) + 1,
+        )
+    )
+    corrupted = (
+        cand.join(indexed, "idx")
+        .select(
+            F.when(F.col("_side") == 0, F.col("e")).otherwise(F.col("subj")).alias("subj"),
+            "pred",
+            F.when(F.col("_side") == 1, F.col("e")).otherwise(F.col("obj")).alias("obj"),
+            "neg_rank",
+        )
+        # a corruption may reproduce the original (substitute == replaced
+        # entity) or another TRUE triple: the filtered setting drops both
+        .join(t, ["subj", "pred", "obj"], "anti")
+    )
+    local.unpersist()
+    return corrupted
+
+
+def negative_triples_oracle_sql(triples_sql: str, k: int = 2) -> str:
+    """DuckDB equivalent of :func:`negative_triples` — flat row_number
+    entity index (same (md5, e) total order as the two-level Spark
+    numbering), same md5-derived side/pick functions, same anti-join."""
+    h64 = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+    key = ("subj || chr(31) || pred || chr(31) || obj || chr(31) || "
+           "neg_rank::VARCHAR")
+    return f"""
+    WITH t AS MATERIALIZED (
+      SELECT DISTINCT subj, pred, obj FROM ({triples_sql})
+      WHERE regexp_matches(obj, '^Q[0-9]+$')
+    ),
+    ents AS (SELECT subj AS e FROM t UNION SELECT obj FROM t),
+    indexed AS MATERIALIZED (
+      SELECT e, row_number() OVER (ORDER BY md5(e), e) AS idx FROM ents
+    ),
+    nn AS (SELECT count(*) AS n FROM indexed),
+    cand AS (
+      SELECT subj, pred, obj, neg_rank,
+             {h64.format(x=key + " || ':side'")} % 2 AS side,
+             ({h64.format(x=key + " || ':pick'")} % nn.n) + 1 AS idx
+      FROM t CROSS JOIN nn
+      CROSS JOIN (SELECT unnest(generate_series(0, {k - 1})) AS neg_rank)
+    ),
+    corrupted AS (
+      SELECT CASE WHEN side = 0 THEN i.e ELSE c.subj END AS subj,
+             c.pred,
+             CASE WHEN side = 1 THEN i.e ELSE c.obj END AS obj,
+             c.neg_rank
+      FROM cand c JOIN indexed i USING (idx)
+    )
+    SELECT co.subj, co.pred, co.obj, co.neg_rank FROM corrupted co
+    ANTI JOIN t ON co.subj = t.subj AND co.pred = t.pred AND co.obj = t.obj
+    """
