@@ -110,6 +110,10 @@ def main() -> None:
     def timed(name, fn, repeats: int = 2):
         best, rows = None, None
         for _ in range(repeats):
+            # operators that persist internally (pack_sequences) would
+            # otherwise serve rep 2+ from cache and min-of-N would book
+            # the cache-hit path as op cost
+            spark.catalog.clearCache()
             t0 = time.time()
             rows = fn()
             sec = time.time() - t0
