@@ -57,6 +57,9 @@ def run_benches(spark, sf_dir: str, bench_docs: int = BENCH_DOCS) -> dict[str, d
         protocol — steady-state throughput, not first-compile latency."""
         best, rows = None, None
         for _ in range(repeats):
+            # operators that persist internally (pack_sequences) must not
+            # serve rep 2+ from cache — min-of-N books the COLD path
+            spark.catalog.clearCache()
             t0 = time.time()
             rows = fn()
             sec = time.time() - t0
