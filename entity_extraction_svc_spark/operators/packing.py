@@ -76,6 +76,13 @@ def pack_sequences(docs: DataFrame, seq_len: int, id_col: str = "doc_id",
     contribute nothing to the stream).  ``drop_last=True`` drops the
     final partial sequence (training wants fixed shapes); the sequence
     is dropped whole, not truncated.
+
+    Cache lifecycle: the narrow counted frame is ``persist()``-ed (see
+    inline note — a prefix sum is two-phase) and stays registered until
+    the session evicts it (LRU) or the caller runs
+    ``spark.catalog.clearCache()``; a long-lived session packing many
+    corpora in a loop should clear between runs.  Benchmarks must clear
+    between repeats or they book the cache-hit path (bench.py does).
     """
     if seq_len <= 0:
         raise ValueError(f"seq_len must be positive, got {seq_len}")
