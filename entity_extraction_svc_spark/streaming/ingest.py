@@ -19,6 +19,8 @@ watermark on ``warc_ts`` to bound state and admit late pages.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -100,3 +102,72 @@ def windowed_page_counts(pages_stream: DataFrame, window: str = "1 hour",
             "n_pages",
         )
     )
+
+
+def stream_nt_lines(spark: SparkSession, src_dir: str,
+                    max_files: int = 16) -> DataFrame:
+    """File-source stream of N-Triples text files landing in src_dir."""
+    return (
+        spark.readStream
+        .option("maxFilesPerTrigger", max_files)
+        .text(src_dir)
+    )
+
+
+def kb_ingest_stream(spark: SparkSession, src_dir: str, out_dir: str,
+                     checkpoint_dir: str, upsert: bool = False,
+                     available_now: bool = True):
+    """Streaming custom-KB ingest: N-Triples files land in ``src_dir``,
+    each micro-batch parses (``sources.ntriples.parse_ntriples`` — full
+    escape/lang-tag/datatype handling) and commits into the
+    lineage-tracked triple store at ``out_dir`` — the S7 ingest direction
+    for continuous feeds, with S8's single-entity-replace semantics
+    behind ``upsert=True``.
+
+    Crash/replay safety, batch by batch:
+
+    * append mode: ``write.mode("append")`` + the store's SET semantics
+      (reads apply DISTINCT; compaction collapses) — a replayed batch
+      re-appends the same rows, which dedupe away.  Exactly-once file
+      admission comes from the stream checkpoint.
+    * upsert mode: the batch's subjects are first RETRACTED from the
+      store head (:func:`~..plans.lineage.retract_triples` — a
+      crash-safe compaction-shaped commit), then the new rows append.
+      A replayed batch retracts whatever the crashed attempt appended
+      for those subjects and re-appends — convergent, because
+      retraction keys on the batch's SUBJECT set, not on row identity.
+
+    The store directory must be dedicated to this feed (schema
+    (subj, pred, obj)); mixing with the pipeline's triples store would
+    merge schemas unpredictably.  Returns the started StreamingQuery.
+    """
+    from entity_extraction_svc_spark.plans import lineage as L
+    from entity_extraction_svc_spark.sources.ntriples import parse_ntriples
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        triples = parse_ntriples(batch_df).persist()
+        if triples.isEmpty():
+            triples.unpersist()
+            return
+        p = L.triples_path(out_dir)
+        if upsert and os.path.isdir(p):
+            store = spark.read.parquet(p)
+            subjects = triples.select("subj").distinct()
+            to_rm = store.join(subjects, "subj", "semi").select(
+                "subj", "pred", "obj"
+            )
+            L.retract_triples(spark, out_dir, to_rm)
+        triples.write.mode("append").parquet(p)
+        spark.catalog.refreshByPath(p)
+        triples.unpersist()
+
+    writer = (
+        stream_nt_lines(spark, src_dir)
+        .writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -357,3 +357,62 @@ def test_cross_dup_pairs_store_duplicates_dont_overflow_cap(spark):
     # bucket alive and find all three pairs
     hits = cross_dup_pairs(probe, doubled, threshold=0.9, max_bucket=4)
     assert {r.id_store for r in hits.collect()} == {1, 2, 3}
+
+
+# --- streaming custom-KB ingest (S7/S8 for continuous feeds) -------------------
+
+
+def _write_nt(path, lines):
+    import os
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        for ln in lines:
+            f.write(ln + "\n")
+
+
+def test_kb_ingest_stream_append_and_upsert(spark, tmp_path):
+    from entity_extraction_svc_spark.plans import lineage as L
+    from entity_extraction_svc_spark.streaming.ingest import kb_ingest_stream
+
+    src = str(tmp_path / "nt_in")
+    out = str(tmp_path / "kb_store")
+    ck = str(tmp_path / "ck1")
+    _write_nt(f"{src}/a.nt", [
+        '<http://we/Q1> <http://wl/label> "Ada" .',
+        '<http://we/Q1> <http://wpd/P31> <http://we/Q5> .',
+        '<http://we/Q2> <http://wl/label> "Paris"@fr .',
+    ])
+    q = kb_ingest_stream(spark, src, out, ck)
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.read.parquet(L.triples_path(out)).collect()}
+    assert got == {("Q1", "label", "Ada"), ("Q1", "P31", "Q5"),
+                   ("Q2", "label", "Paris")}
+
+    # second file: upsert replaces ALL of Q1's rows, leaves Q2 untouched
+    _write_nt(f"{src}/b.nt", [
+        '<http://we/Q1> <http://wl/label> "Ada Lovelace" .',
+    ])
+    q2 = kb_ingest_stream(spark, src, out, ck, upsert=True)
+    q2.awaitTermination(120)
+    got = {tuple(r) for r in
+           spark.read.parquet(L.triples_path(out)).distinct().collect()}
+    assert got == {("Q1", "label", "Ada Lovelace"),
+                   ("Q2", "label", "Paris")}
+
+
+def test_kb_ingest_stream_restart_is_noop(spark, tmp_path):
+    from entity_extraction_svc_spark.plans import lineage as L
+    from entity_extraction_svc_spark.streaming.ingest import kb_ingest_stream
+
+    src = str(tmp_path / "nt_in")
+    out = str(tmp_path / "kb_store")
+    ck = str(tmp_path / "ck")
+    _write_nt(f"{src}/a.nt", ['<http://we/Q9> <http://wpd/P31> <http://we/Q5> .'])
+    q = kb_ingest_stream(spark, src, out, ck)
+    q.awaitTermination(120)
+    n1 = spark.read.parquet(L.triples_path(out)).distinct().count()
+    # same checkpoint, no new files: restart admits nothing
+    q2 = kb_ingest_stream(spark, src, out, ck)
+    q2.awaitTermination(120)
+    n2 = spark.read.parquet(L.triples_path(out)).distinct().count()
+    assert n1 == n2 == 1

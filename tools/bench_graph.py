@@ -238,6 +238,43 @@ def main(n_edges: int = 1_000_000) -> None:
     out["pr_cold_s"] = round(time.time() - t0, 2)
     out["pr_cold_iters"] = cold_iters
 
+    # --- label propagation (5 rounds) on the skewed triangle graph -----------
+    # the celebrity node stresses the per-(node,label) count path: its
+    # n/10 in-neighbors contribute label-count rows, collapsed map-side
+    from entity_extraction_svc_spark.operators.graphstats import (
+        label_propagation,
+    )
+
+    t0 = time.time()
+    lp = label_propagation(
+        g.select(F.col("subj").alias("src"), F.col("obj").alias("dst")),
+        iterations=5,
+    )
+    out["lpa_communities"] = lp.select("community").distinct().count()
+    out["lpa_s"] = round(time.time() - t0, 2)
+    out["lpa_s_per_round"] = round(out["lpa_s"] / 5, 2)
+
+    # --- weighted pagerank (10 iterations), same graph, md5-derived
+    # weights in (0, 1] so the distribution is genuinely non-uniform ------
+    from entity_extraction_svc_spark.operators.pagerank import (
+        weighted_pagerank,
+    )
+
+    wg = g.select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst"),
+        (
+            (
+                F.conv(F.substring(F.md5(F.concat_ws(":", "subj", "obj")), 1, 4),
+                       16, 10).cast("double") + 1.0
+            )
+            / 65536.0
+        ).alias("w"),
+    )
+    t0 = time.time()
+    weighted_pagerank(wg, iterations=10).count()
+    out["wpr_s"] = round(time.time() - t0, 2)
+    out["wpr_s_per_iter"] = round(out["wpr_s"] / 10, 2)
+
     print(json.dumps(out))
 
 
