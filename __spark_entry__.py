@@ -343,9 +343,16 @@ def _kg_connection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("a"),
         F.col("community").alias("b"),
     )
+    from entity_extraction_svc_spark.operators.graphstats import kcore
+
+    core = kcore(ee, k=2).select(
+        F.lit("kcore").alias("part"),
+        F.col("node").alias("a"),
+        F.col("degree").cast("string").alias("b"),
+    )
     return (
         conn.unionByName(bfs).unionByName(tri).unionByName(path)
-        .unionByName(lpa)
+        .unionByName(lpa).unionByName(core)
     )
 
 
@@ -3037,6 +3044,7 @@ def oracle_sql() -> dict[str, str]:
     # module itself, so Spark and oracle share ONE recurrence definition
     from entity_extraction_svc_spark.operators.graphstats import (
         hits_oracle_sql,
+        kcore_oracle_sql,
         lpa_oracle_sql,
     )
     from entity_extraction_svc_spark.operators.pagerank import (
@@ -3217,6 +3225,10 @@ def oracle_sql() -> dict[str, str]:
         " UNION ALL "
         "SELECT 'lpa' AS part, node AS a, community AS b FROM ("
         + lpa_oracle_sql(_pr_edges)
+        + ")"
+        " UNION ALL "
+        "SELECT 'kcore' AS part, node AS a, degree::VARCHAR AS b FROM ("
+        + kcore_oracle_sql(_pr_edges, k=2)
         + ")"
     )
 

@@ -311,6 +311,83 @@ def label_propagation(edges: DataFrame, iterations: int = LPA_ITERATIONS,
     return labels.select("node", F.col("label").alias("community"))
 
 
+def kcore(edges: DataFrame, k: int = 2, src_col: str = "src",
+          dst_col: str = "dst", max_rounds: int = 50) -> DataFrame:
+    """The k-core of the undirected simple graph: the maximal subgraph in
+    which every node has degree >= k, computed by iterated peeling
+    (delete all nodes with degree < k; repeat to fixpoint).  Returns
+    (node, degree) for surviving nodes — ``degree`` is the degree INSIDE
+    the core.
+
+    Spark shape: per round one degree aggregation over the surviving
+    edge list and one semi-join to drop edges touching peeled nodes,
+    localCheckpoint-ed (the iterative-loop lineage rule); the loop stops
+    when a round peels nothing (node count is the per-round scalar
+    action).  Peeling is monotone and idempotent after convergence, which
+    is what lets :func:`kcore_oracle_sql` unroll a FIXED round count and
+    still be exact: extra rounds are no-ops.  ``max_rounds`` bounds the
+    worst case (a path graph peels one layer per round); real KGs
+    converge in a handful.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    und = _undirected(edges, src_col, dst_col)
+    adj = (
+        und.select(F.col("lo").alias("node"), F.col("hi").alias("nbr"))
+        .unionByName(
+            und.select(F.col("hi").alias("node"), F.col("lo").alias("nbr"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    n_prev = adj.select("node").distinct().count()
+    for _ in range(max_rounds):
+        alive = (
+            adj.groupBy("node").agg(F.count("*").alias("degree"))
+            .filter(F.col("degree") >= k)
+            .select("node")
+        )
+        adj = (
+            adj.join(alive, "node", "semi")
+            .join(alive.withColumnRenamed("node", "nbr"), "nbr", "semi")
+            .localCheckpoint(eager=True)
+        )
+        n_now = adj.select("node").distinct().count()
+        if n_now == n_prev:
+            break
+        n_prev = n_now
+    return adj.groupBy("node").agg(F.count("*").alias("degree"))
+
+
+def kcore_oracle_sql(edges_sql: str, k: int = 2, rounds: int = 12) -> str:
+    """Unrolled DuckDB equivalent of :func:`kcore` — ``rounds`` fixed peel
+    rounds (exact whenever the graph converges within them; extra rounds
+    are no-ops by idempotence)."""
+    parts = [
+        f"""WITH und AS MATERIALIZED (
+          SELECT DISTINCT least(src::VARCHAR, dst::VARCHAR) AS lo,
+                          greatest(src::VARCHAR, dst::VARCHAR) AS hi
+          FROM ({edges_sql}) WHERE src::VARCHAR <> dst::VARCHAR)""",
+        "a0 AS MATERIALIZED (SELECT lo AS node, hi AS nbr FROM und "
+        "UNION ALL SELECT hi, lo FROM und)",
+    ]
+    for i in range(1, rounds + 1):
+        p, a = f"a{i - 1}", f"a{i}"
+        parts.append(
+            f"k{i} AS MATERIALIZED (SELECT node FROM {p} "
+            f"GROUP BY node HAVING count(*) >= {k})"
+        )
+        parts.append(
+            f"{a} AS MATERIALIZED (SELECT t.node, t.nbr FROM {p} t "
+            f"JOIN k{i} x ON t.node = x.node "
+            f"JOIN k{i} y ON t.nbr = y.node)"
+        )
+    body = ",\n".join(parts)
+    return (
+        f"{body}\n"
+        f"SELECT node, count(*) AS degree FROM a{rounds} GROUP BY node"
+    )
+
+
 def lpa_oracle_sql(edges_sql: str, iterations: int = LPA_ITERATIONS) -> str:
     """Unrolled DuckDB equivalent of :func:`label_propagation` — one
     MATERIALIZED CTE per round, argmax spelled as a row_number window

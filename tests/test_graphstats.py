@@ -145,3 +145,58 @@ def test_lpa_partitioning_invariant(spark):
     a = sorted(map(tuple, label_propagation(df, 3).collect()))
     b = sorted(map(tuple, label_propagation(df.repartition(11), 3).collect()))
     assert a == b
+
+
+# --- k-core --------------------------------------------------------------------
+
+from entity_extraction_svc_spark.operators.graphstats import (  # noqa: E402
+    kcore,
+    kcore_oracle_sql,
+)
+
+
+def test_kcore_peels_tree_keeps_clique(spark):
+    # a 3-clique with a pendant path: the 2-core is exactly the clique
+    edges = [("a", "b"), ("b", "c"), ("c", "a"),
+             ("c", "d"), ("d", "e"), ("e", "f")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.node: r.degree for r in kcore(df, k=2).collect()}
+    assert got == {"a": 2, "b": 2, "c": 2}
+
+
+def test_kcore_cascade_peeling(spark):
+    # peeling must CASCADE: d starts with degree 2 but loses it once e
+    # (degree 1) is removed — a single pass would wrongly keep d
+    edges = [("a", "b"), ("b", "c"), ("c", "a"),
+             ("a", "d"), ("d", "e")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.node for r in kcore(df, k=2).collect()}
+    assert got == {"a", "b", "c"}
+
+
+def test_kcore_matches_oracle(spark):
+    import duckdb
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e"),
+             ("e", "f"), ("f", "d"), ("g", "a"), ("g", "b"), ("x", "y")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    rows = ", ".join(f"('{s}', '{d}')" for s, d in edges)
+    for k in (1, 2, 3):
+        got = sorted(map(tuple, kcore(df, k=k).collect()))
+        want = sorted(map(tuple, duckdb.sql(kcore_oracle_sql(
+            f"SELECT * FROM (VALUES {rows}) t(src, dst)", k=k
+        )).fetchall()))
+        assert got == want, k
+
+
+def test_kcore_empty_when_k_too_high(spark):
+    df = spark.createDataFrame([("a", "b")], "src string, dst string")
+    assert kcore(df, k=2).count() == 0
+
+
+def test_kcore_rejects_bad_k(spark):
+    import pytest as _pt
+
+    df = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with _pt.raises(ValueError):
+        kcore(df, k=0)

@@ -150,6 +150,20 @@ def main(n_edges: int = 1_000_000) -> None:
         out["recompute_2x_s"] / max(out["delta_2x_s"], 1e-9), 2
     )
 
+    # --- free the closure sections' footprint before the graph sections:
+    # clo/full/clo2/full2/inc/inc2/dec are localCheckpoint-ed frames (RDDs
+    # pinned on the executor heap until their Python refs die); with the
+    # round-5 lpa/wpr sections appended the accumulated set overflowed the
+    # 8g default heap mid-run — drop refs, unpersist the taxonomy inputs,
+    # and let the ContextCleaner reclaim before continuing
+    tax.unpersist()
+    tax2.unpersist()
+    del clo, full, inc, clo2, full2, inc2, dec
+    import gc as _gc
+
+    _gc.collect()
+    spark.sparkContext._jvm.System.gc()
+
     # --- triangles on a skewed graph -----------------------------------------
     # ring + chords gives triangle density; celebrity = node 0 linked from
     # every 10th node (degree n/10)
@@ -185,6 +199,48 @@ def main(n_edges: int = 1_000_000) -> None:
     h.count()
     out["hits_s"] = round(time.time() - t0, 2)
     out["hits_s_per_iter"] = round(out["hits_s"] / 10, 2)
+
+    # --- label propagation (5 rounds) on the same skewed graph ---------------
+    # the celebrity node stresses the per-(node,label) count path: its
+    # n/10 in-neighbors contribute label-count rows, collapsed map-side
+    from entity_extraction_svc_spark.operators.graphstats import (
+        label_propagation,
+    )
+
+    t0 = time.time()
+    lp = label_propagation(
+        g.select(F.col("subj").alias("src"), F.col("obj").alias("dst")),
+        iterations=5,
+    )
+    out["lpa_communities"] = lp.select("community").distinct().count()
+    out["lpa_s"] = round(time.time() - t0, 2)
+    out["lpa_s_per_round"] = round(out["lpa_s"] / 5, 2)
+
+    # --- weighted pagerank (10 iterations), same graph, md5-derived
+    # weights in (0, 1] so the distribution is genuinely non-uniform ------
+    from entity_extraction_svc_spark.operators.pagerank import (
+        weighted_pagerank,
+    )
+
+    wg = g.select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst"),
+        (
+            (
+                F.conv(F.substring(F.md5(F.concat_ws(":", "subj", "obj")), 1, 4),
+                       16, 10).cast("double") + 1.0
+            )
+            / 65536.0
+        ).alias("w"),
+    )
+    t0 = time.time()
+    weighted_pagerank(wg, iterations=10).count()
+    out["wpr_s"] = round(time.time() - t0, 2)
+    out["wpr_s_per_iter"] = round(out["wpr_s"] / 10, 2)
+
+    g.unpersist()
+    del lp, tri
+    _gc.collect()
+    spark.sparkContext._jvm.System.gc()
 
     # --- pagerank warm start after a small edit ------------------------------
     # iterations-to-tol is the claim (damped-PageRank contraction is
@@ -237,43 +293,6 @@ def main(n_edges: int = 1_000_000) -> None:
                                   max_iterations=cap, tol=tol)
     out["pr_cold_s"] = round(time.time() - t0, 2)
     out["pr_cold_iters"] = cold_iters
-
-    # --- label propagation (5 rounds) on the skewed triangle graph -----------
-    # the celebrity node stresses the per-(node,label) count path: its
-    # n/10 in-neighbors contribute label-count rows, collapsed map-side
-    from entity_extraction_svc_spark.operators.graphstats import (
-        label_propagation,
-    )
-
-    t0 = time.time()
-    lp = label_propagation(
-        g.select(F.col("subj").alias("src"), F.col("obj").alias("dst")),
-        iterations=5,
-    )
-    out["lpa_communities"] = lp.select("community").distinct().count()
-    out["lpa_s"] = round(time.time() - t0, 2)
-    out["lpa_s_per_round"] = round(out["lpa_s"] / 5, 2)
-
-    # --- weighted pagerank (10 iterations), same graph, md5-derived
-    # weights in (0, 1] so the distribution is genuinely non-uniform ------
-    from entity_extraction_svc_spark.operators.pagerank import (
-        weighted_pagerank,
-    )
-
-    wg = g.select(
-        F.col("subj").alias("src"), F.col("obj").alias("dst"),
-        (
-            (
-                F.conv(F.substring(F.md5(F.concat_ws(":", "subj", "obj")), 1, 4),
-                       16, 10).cast("double") + 1.0
-            )
-            / 65536.0
-        ).alias("w"),
-    )
-    t0 = time.time()
-    weighted_pagerank(wg, iterations=10).count()
-    out["wpr_s"] = round(time.time() - t0, 2)
-    out["wpr_s_per_iter"] = round(out["wpr_s"] / 10, 2)
 
     print(json.dumps(out))
 
