@@ -67,6 +67,9 @@ def main(argv: list[str] | None = None) -> int:
         ap.error(f"--pack must be positive, got {args.pack}")
     if args.mixture_alpha is not None and args.mixture_alpha < 0:
         ap.error(f"--mixture-alpha must be >= 0, got {args.mixture_alpha}")
+    if args.mixture_target is not None and args.mixture_target <= 0:
+        ap.error(f"--mixture-target must be positive, got "
+                 f"{args.mixture_target}")
 
     from pyspark.sql import functions as F
 

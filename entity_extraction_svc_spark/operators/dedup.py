@@ -1029,9 +1029,20 @@ def strip_dup_spans(docs: DataFrame, text_col: str = "text",
     leftmost) copy of a repeated block therefore survives verbatim and
     all later copies vanish — Lee et al.'s dedup policy.
 
+    Tokens covered by ANY keeper occurrence are PROTECTED from removal:
+    without the protection, occurrences of two different duplicated
+    windows can overlap such that window A's removable occurrence covers
+    window B's keeper tokens (found in review — a 3-doc counterexample
+    deleted every verbatim copy of a block).  With it the guarantee is
+    exact: a keeper's token positions are adjacent and all survive, and
+    per-document reassembly preserves order, so every duplicated
+    window's first copy appears verbatim in the rebuilt text.  A
+    removable occurrence overlapping a keeper loses only its unprotected
+    tokens (partial removal — the price of the guarantee).
+
     Returns the input plus ``out_col`` (normalized-token text).  Covered
-    token indexes are exploded only for REMOVABLE occurrences (volume =
-    removed tokens, not corpus tokens), and the reassembly groupBy
+    token indexes are exploded only for DUPLICATED occurrences (volume =
+    duplicated tokens, not corpus tokens), and the reassembly groupBy
     shuffles each affected document once; untouched documents ride
     through the final left join with out_col = normalized text."""
     occ = substring_windows(docs, text_col, id_col, k)
@@ -1039,15 +1050,18 @@ def strip_dup_spans(docs: DataFrame, text_col: str = "text",
         "wh",
         F.col("keeper_id").alias("_ki"), F.col("keeper_pos").alias("_kp"),
     )
-    removable = occ.join(keepers, "wh").filter(
-        ~((F.col(id_col) == F.col("_ki")) & (F.col("pos") == F.col("_kp")))
+    tagged = occ.join(keepers, "wh")
+    is_keeper = (
+        (F.col(id_col) == F.col("_ki")) & (F.col("pos") == F.col("_kp"))
     )
-    covered = removable.select(
-        id_col,
-        F.explode(
-            F.sequence(F.col("pos"), F.col("pos") + F.col("wlen") - 1)
-        ).alias("_tp"),
-    ).distinct()
+    span = F.explode(
+        F.sequence(F.col("pos"), F.col("pos") + F.col("wlen") - 1)
+    ).alias("_tp")
+    protected = tagged.filter(is_keeper).select(id_col, span).distinct()
+    covered = (
+        tagged.filter(~is_keeper).select(id_col, span).distinct()
+        .join(protected, [id_col, "_tp"], "left_anti")
+    )
     toks = docs.select(
         id_col, F.posexplode(_word_tokens(_norm_text(text_col)))
         .alias("_p0", "_tok"),
@@ -1105,10 +1119,7 @@ def winnow_fingerprints(docs: DataFrame, text_col: str = "text",
     shingled = with_shingles(docs, text_col=text_col, n=k, out_col="_w").filter(
         F.size(_word_tokens(_norm_text(text_col))) > 0  # no substrings in ""
     )
-    hs = F.transform(
-        "_w",
-        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
-    )
+    hs = F.transform("_w", _h64)
     with_h = shingled.withColumn("_hs", hs)
     structs = F.zip_with(
         "_hs",

@@ -326,8 +326,9 @@ def kcore(edges: DataFrame, k: int = 2, src_col: str = "src",
     action).  Peeling is monotone and idempotent after convergence, which
     is what lets :func:`kcore_oracle_sql` unroll a FIXED round count and
     still be exact: extra rounds are no-ops.  ``max_rounds`` bounds the
-    worst case (a path graph peels one layer per round); real KGs
-    converge in a handful.
+    worst case (a path graph peels one layer per round; real KGs converge
+    in a handful) — exhausting it RAISES rather than returning the
+    partially-peeled graph, which would be a wrong answer.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
@@ -340,6 +341,7 @@ def kcore(edges: DataFrame, k: int = 2, src_col: str = "src",
         .localCheckpoint(eager=True)
     )
     n_prev = adj.select("node").distinct().count()
+    converged = n_prev == 0
     for _ in range(max_rounds):
         alive = (
             adj.groupBy("node").agg(F.count("*").alias("degree"))
@@ -353,8 +355,20 @@ def kcore(edges: DataFrame, k: int = 2, src_col: str = "src",
         )
         n_now = adj.select("node").distinct().count()
         if n_now == n_prev:
+            converged = True
             break
         n_prev = n_now
+        if n_now == 0:
+            converged = True
+            break
+    if not converged:
+        # returning the partially-peeled graph would be a WRONG k-core
+        # (surviving low-degree nodes) — fail loudly instead
+        raise RuntimeError(
+            f"k-core peeling did not converge within {max_rounds} rounds "
+            f"({n_prev} nodes still alive); raise max_rounds — long induced "
+            "paths peel one layer per round"
+        )
     return adj.groupBy("node").agg(F.count("*").alias("degree"))
 
 

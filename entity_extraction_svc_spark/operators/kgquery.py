@@ -394,6 +394,15 @@ def match_bgp(triples: DataFrame, patterns: list[tuple[str, str, str]],
         matching SPARQL's (p1|p2)+ reading."""
         inv = p.startswith("^")
         core = p[1:] if inv else p
+        if core.startswith("!"):
+            # negation is only supported as a WHOLE single-leg path (the
+            # branch in _compile); inside a sequence step or under
+            # inverse/quantifier it would otherwise fall through to a
+            # literal predicate named '!...' and silently match nothing
+            raise ValueError(
+                f"negated property set not supported here: {p!r} "
+                "(use '!p1|p2' as the whole pattern path)"
+            )
         mode = ""
         if len(core) > 1 and core[-1] in "+*?":
             mode, core = core[-1], core[:-1]

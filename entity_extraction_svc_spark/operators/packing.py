@@ -197,6 +197,11 @@ def temperature_sample(docs: DataFrame, source_col: str = "source",
     """
     if alpha < 0:
         raise ValueError(f"alpha must be >= 0, got {alpha}")
+    if target_total is not None and target_total <= 0:
+        raise ValueError(
+            f"target_total must be positive, got {target_total} "
+            "(0 or negative would silently empty the corpus)"
+        )
     counts = docs.groupBy(source_col).agg(F.count("*").alias("_n_src"))
     wsum = counts.agg(
         F.sum(F.pow(F.col("_n_src"), F.lit(float(alpha)))).alias("_wsum"),

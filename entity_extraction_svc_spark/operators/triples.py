@@ -178,7 +178,13 @@ def negative_triples(triples: DataFrame, k: int = 2,
     pfx = F.conv(F.substring(h, 1, 2), 16, 10).cast("long")
     eb = ents.select("e", h.alias("_h"), pfx.alias("_pfx"))
     w_local = Window.partitionBy("_pfx").orderBy("_h", "e")
-    local = eb.withColumn("_rn", F.row_number().over(w_local)).persist()
+    # localCheckpoint (eager), NOT persist/unpersist: the function returns
+    # a lazy frame, so an unpersist before the caller's action would be a
+    # dead cache and the numbered entity set would recompute per consumer
+    # (totals, the substitute join, the grand total)
+    local = eb.withColumn("_rn", F.row_number().over(w_local)).localCheckpoint(
+        eager=True
+    )
     w_tot = (
         Window.orderBy("_pfx")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -193,9 +199,8 @@ def negative_triples(triples: DataFrame, k: int = 2,
     )
     n_ents = F.broadcast(totals.agg(F.sum("_cnt").alias("n")))
 
-    h64 = lambda c: F.conv(  # noqa: E731
-        F.substring(F.md5(c), 1, 15), 16, 10
-    ).cast("long")
+    # the shared md5-derived 60-bit hash (bit-reproducible in any engine)
+    from .dedup import _h64 as h64
     cand = (
         t.join(n_ents)
         .select(
@@ -224,7 +229,6 @@ def negative_triples(triples: DataFrame, k: int = 2,
         # entity) or another TRUE triple: the filtered setting drops both
         .join(t, ["subj", "pred", "obj"], "anti")
     )
-    local.unpersist()
     return corrupted
 
 

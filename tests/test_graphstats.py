@@ -200,3 +200,16 @@ def test_kcore_rejects_bad_k(spark):
     df = spark.createDataFrame([("a", "b")], "src string, dst string")
     with _pt.raises(ValueError):
         kcore(df, k=0)
+
+
+def test_kcore_raises_when_rounds_exhausted(spark):
+    import pytest as _pt
+
+    # a path peels one layer per round: 12 nodes, k=2, max_rounds=2 must
+    # NOT return the partially-peeled middle as a fake core
+    edges = [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(11)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    with _pt.raises(RuntimeError, match="did not converge"):
+        kcore(df, k=2, max_rounds=2)
+    # with enough rounds the same graph converges to the empty core
+    assert kcore(df, k=2, max_rounds=10).count() == 0

@@ -405,6 +405,14 @@ def test_bgp_negated_property_set(spark):
     # negating a path/closure has no single-scan meaning -> refused
     with pytest.raises(ValueError, match="negated property sets"):
         match_bgp(tr, [("a", "!P106+", "?o")], select=["o"])
+    # negation INSIDE a sequence step is refused too — before the fix it
+    # fell through to a literal predicate named '!P131' and silently
+    # matched nothing (review finding)
+    with pytest.raises(ValueError, match="negated property set"):
+        match_bgp(tr, [("?s", "P19/!P131", "?o")], select=["s", "o"])
+    # ...and under inverse
+    with pytest.raises(ValueError, match="negated property set"):
+        match_bgp(tr, [("?s", "^!P19", "?o")], select=["s", "o"])
 
 
 def test_bgp_values_and_filter(spark):

@@ -193,3 +193,9 @@ def test_runner_rejects_missing_mixture_col(tmp_path):
         "--mixture-col", "nope",
     ])
     assert rc == 2
+
+
+def test_mixture_rejects_nonpositive_target(spark):
+    df = _mix_docs(spark, {"a": 5})
+    with pytest.raises(ValueError, match="target_total"):
+        temperature_sample(df, alpha=0.5, target_total=0)

@@ -155,3 +155,28 @@ def test_empty_docs_excluded(spark):
     assert substring_dup_windows(docs, k=4).count() == 0
     assert substring_dup_spans(docs, k=4).count() == 0
     assert {r.doc_id for r in winnow_fingerprints(docs, k=4, w=4).collect()} == {4}
+
+
+def test_strip_protects_keepers_under_overlap(spark):
+    # review counterexample: occurrences of two DIFFERENT duplicated
+    # windows overlap so that one window's removable occurrence covers
+    # the other window's keeper tokens.  k=2; '0' = "q r", 'a' = "p q r",
+    # 'b' = "p q": window (p,q)'s keeper is ('a',1) but window (q,r)'s
+    # keeper is ('0',1), making ('a',2) removable — without keeper
+    # protection that removal deletes the q of ('a',1) and NO verbatim
+    # copy of "p q" survives anywhere
+    docs = spark.createDataFrame(
+        [("0", "q r"), ("a", "p q r"), ("b", "p q")],
+        "doc_id string, text string",
+    )
+    out = {r.doc_id: r.text_stripped
+           for r in strip_dup_spans(docs, k=2).collect()}
+    # the keeper copies survive verbatim...
+    assert "p q" in out["a"]
+    assert out["0"] == "q r"
+    # ...and the non-keeper copies are removed
+    assert out["b"] == ""
+    # doc a's own "q r" copy is a NON-keeper of window (q,r): its
+    # unprotected token r is removed (the documented partial removal),
+    # leaving exactly the protected keeper block
+    assert out["a"] == "p q"
