@@ -385,6 +385,30 @@ def closure_delta(closure: DataFrame, new_edges: DataFrame,
             spark.conf.set(_EXCL, prev_excluded)
 
 
+def _compose_pairs(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Min-plus path join: (x,y,d1) ∘ (y,z,d2) -> (x,z,d1+d2) — the one
+    compose both maintenance paths (semi-naive insert, DRed delete) use;
+    shared so a future change cannot drift them apart (review finding)."""
+    return a.alias("x").join(
+        b.alias("y"), F.col("x.dst") == F.col("y.src")
+    ).select(
+        F.col("x.src").alias("src"), F.col("y.dst").alias("dst"),
+        (F.col("x.dist") + F.col("y.dist")).alias("dist"),
+    )
+
+
+def _min_merge_pairs(*dfs: DataFrame) -> DataFrame:
+    """Union then per-(src,dst) min dist, checkpointed (the maintenance
+    loops' merge step — shared, see _compose_pairs)."""
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return (
+        out.groupBy("src", "dst").agg(F.min("dist").alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+
+
 def _delta_small(pdf, seed_pairs, max_iter: int, max_depth: int) -> dict:
     """Driver-side semi-naive fixpoint over the COLLECTED affected-region
     slices (the adaptive fast path; same recurrence as the distributed
@@ -560,14 +584,7 @@ def _closure_delta_inner(closure: DataFrame, new_edges: DataFrame,
     base_right = _slice("_src_in_r")
     base_prev = _slice("_in_sxr")
 
-    def _min_merge(*dfs: DataFrame) -> DataFrame:
-        out = dfs[0]
-        for d in dfs[1:]:
-            out = out.unionByName(d)
-        return (
-            out.groupBy("src", "dst").agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=True)
-        )
+    _min_merge = _min_merge_pairs
 
     def _prev_slice(keys: DataFrame) -> DataFrame:
         return base_prev.join(
@@ -589,13 +606,7 @@ def _closure_delta_inner(closure: DataFrame, new_edges: DataFrame,
             .localCheckpoint(eager=True)
         )
 
-    def _compose(a: DataFrame, b: DataFrame) -> DataFrame:
-        return a.alias("x").join(
-            b.alias("y"), F.col("x.dst") == F.col("y.src")
-        ).select(
-            F.col("x.src").alias("src"), F.col("y.dst").alias("dst"),
-            (F.col("x.dist") + F.col("y.dist")).alias("dist"),
-        )
+    _compose = _compose_pairs
 
     prev_best0 = _prev_slice(seed)
     overlay = _min_merge(seed, prev_best0)
@@ -737,22 +748,9 @@ def closure_delete(closure: DataFrame, deleted_edges: DataFrame,
     t_right = trusted.join(F.broadcast(aff_dsts), "dst", "left_semi") \
         .localCheckpoint(eager=True)
 
-    def _compose(a: DataFrame, b: DataFrame) -> DataFrame:
-        return a.alias("x").join(
-            b.alias("y"), F.col("x.dst") == F.col("y.src")
-        ).select(
-            F.col("x.src").alias("src"), F.col("y.dst").alias("dst"),
-            (F.col("x.dist") + F.col("y.dist")).alias("dist"),
-        )
+    _compose = _compose_pairs
 
-    def _min_merge(*dfs: DataFrame) -> DataFrame:
-        out = dfs[0]
-        for d in dfs[1:]:
-            out = out.unionByName(d)
-        return (
-            out.groupBy("src", "dst").agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=True)
-        )
+    _min_merge = _min_merge_pairs
 
     def _on_affected(df: DataFrame) -> DataFrame:
         return df.join(F.broadcast(aff_keys), ["src", "dst"], "left_semi") \

@@ -325,7 +325,11 @@ def match_bgp(triples: DataFrame, patterns: list[tuple[str, str, str]],
         others: ``^p+`` is the inverse of the closure, and
         ``p1|p2+`` parses as ``(p1|p2)+`` (the ``+`` binds the whole
         alternation — one closure over the union edge set, which is how
-        SPARQL's ``(p1|p2)+`` evaluates).
+        SPARQL's ``(p1|p2)+`` evaluates).  ``^`` binds the whole
+        alternation too: ``^p1|p2`` means ``^(p1|p2)``, NOT SPARQL's
+        ``(^p1)|p2`` — the uniform whole-binding rule of this
+        unparenthesized mini-grammar (author separate legs for the
+        per-alternative reading).
       * ``p*`` / ``p?`` — zero-or-more / zero-or-one: the closure (resp.
         raw scan) unioned with the identity pairs over the graph's terms
         (SPARQL's zero-length-path semantics), distinct because a length-1
@@ -378,20 +382,38 @@ def match_bgp(triples: DataFrame, patterns: list[tuple[str, str, str]],
     if pred_counts is None:
         # the predicate dimension is ontology-sized (10^3), and constant
         # predicates are the norm in BGPs — one tiny agg buys the
-        # cardinality-ordered join tree below
-        pred_counts = {
-            r["pred"]: r["n"]
-            for r in triples.groupBy("pred").agg(
-                F.count("*").alias("n")
-            ).collect()
-        }
+        # cardinality-ordered join tree below.  SKIPPED when no group has
+        # two legs to order: a single-leg pattern derives nothing from
+        # the stats, and paying a full-table aggregation per call for it
+        # is a corpus-scale scan wasted (review finding — the driver row
+        # alone makes several single-leg match_bgp calls)
+        needs_ordering = len(patterns) >= 2 or any(
+            len(g) >= 2 for g in (optional or []) + (minus or [])
+        )
+        if needs_ordering:
+            pred_counts = {
+                r["pred"]: r["n"]
+                for r in triples.groupBy("pred").agg(
+                    F.count("*").alias("n")
+                ).collect()
+            }
+        else:
+            pred_counts = {}
     total_rows = sum(pred_counts.values()) or 1
 
     def _parse_path(p: str) -> tuple[bool, str, list[str]]:
         """'^p1|p2+' -> (inverse, mode, [p1, p2]) with mode one of
         '' (raw scan), '+' (one-or-more), '*' (zero-or-more),
-        '?' (zero-or-one) — the quantifier binds the whole alternation,
-        matching SPARQL's (p1|p2)+ reading."""
+        '?' (zero-or-one).
+
+        Grammar note (deliberate, uniform): BOTH the quantifier and a
+        leading '^' bind the WHOLE alternation — '^p1|p2+' means
+        ^((p1|p2)+).  This diverges from SPARQL 1.1's precedence, where
+        postfix and '^' bind tighter than '|' ((^p1)|(p2+)); the
+        whole-binding rule keeps the unparenthesized mini-grammar
+        unambiguous.  For SPARQL's per-alternative reading, author the
+        alternatives as separate legs (they union) or separate sequence
+        steps."""
         inv = p.startswith("^")
         core = p[1:] if inv else p
         if core.startswith("!"):

@@ -185,7 +185,17 @@ def maintain_closure(spark: SparkSession, out_dir: str, pred: str) -> dict:
     n_added, n_removed = added.count(), removed.count()
     clo = existing
     if n_removed:
-        clo = closure_delete(clo, removed, _pred_edges(current, pred))
+        # remaining_edges must be the PRE-addition survivors (old minus
+        # removed), NOT the post-addition head: closure_delete re-derives
+        # only AFFECTED keys, so an added edge present in its seed set
+        # enters the result at dist 1 WITHOUT its consequences on
+        # unaffected keys — and closure_delta below then sees the edge as
+        # already-known (no improvement) and never propagates it.  Found
+        # in review; pinned by a combined remove+add counterexample where
+        # the composed result kept a stale distance the recompute oracle
+        # shortens (test_maintain_combined_remove_add_propagates).
+        survivors = old_edges.join(removed, ["src", "dst"], "left_anti")
+        clo = closure_delete(clo, removed, survivors)
     if n_added:
         clo = closure_delta(clo, added)
     if n_added or n_removed:

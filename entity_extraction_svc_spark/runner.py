@@ -62,9 +62,9 @@ def main(argv: list[str] | None = None) -> int:
             or args.retract) and not args.resume:
         # validate BEFORE any work: failing after an hours-long run (with
         # triples already written) would report rc=2 on a completed job
-        print("--compact/--vacuum/--maintain-closure/--diff maintain the "
-              "checkpointed (append) store; use them with --resume",
-              file=sys.stderr)
+        print("--compact/--vacuum/--maintain-closure/--diff/--retract "
+              "maintain the checkpointed (append) store; use them with "
+              "--resume", file=sys.stderr)
         return 2
 
     from entity_extraction_svc_spark.session import get_spark

@@ -373,3 +373,39 @@ def test_closure_delta_small_equals_distributed(spark):
         small = _pairs(closure_delta(base, new_df))
         dist = _pairs(closure_delta(base, new_df, small_region_limit=0))
         assert small == dist == _full(spark, old + new), (old, new)
+
+
+def test_maintain_combined_remove_add_propagates(spark):
+    # review finding: maintain_closure's remove+add interval must run
+    # closure_delete with the PRE-addition survivors.  With the
+    # post-addition head instead, the added edge (a,b) enters the delete
+    # result at dist 1 on an affected key WITHOUT its consequences on
+    # unaffected keys, and closure_delta then sees it as already-known
+    # (no improvement -> no propagation): (x,z) keeps its stale dist.
+    def tr(edges):
+        return spark.createDataFrame(
+            [(s, "P", d) for s, d in edges],
+            "subj string, pred string, obj string",
+        )
+
+    old = [("a", "m"), ("m", "u"), ("u", "b"), ("b", "c"), ("c", "z"),
+           ("x", "a"), ("x", "q1"), ("q1", "q2"), ("q2", "q3"),
+           ("q3", "q4"), ("q4", "z")]
+    new = [e for e in old if e != ("u", "b")] + [("a", "b")]
+
+    clo_old = transitive_closure(tr(old))
+    removed = spark.createDataFrame([("u", "b")], "src string, dst string")
+    added = spark.createDataFrame([("a", "b")], "src string, dst string")
+    survivors = spark.createDataFrame(
+        [e for e in old if e != ("u", "b")], "src string, dst string"
+    )
+    # the exact composition plans/maintain.maintain_closure runs
+    stepped = closure_delta(
+        closure_delete(clo_old, removed, survivors), added
+    )
+    got = {(r.src, r.dst): r.dist for r in stepped.collect()}
+    want = {(r.src, r.dst): r.dist
+            for r in transitive_closure(tr(new)).collect()}
+    assert got == want
+    # the new shortcut must have propagated to the UNAFFECTED pair
+    assert got[("x", "z")] == 4
