@@ -53,13 +53,17 @@ def _order_key(id_col: str) -> Column:
 
 def pack_sequences(docs: DataFrame, seq_len: int, id_col: str = "doc_id",
                    text_col: str = "text", count_col: str | None = None,
-                   drop_last: bool = False) -> DataFrame:
+                   drop_last: bool = False,
+                   order_col: str | None = None) -> DataFrame:
     """Concat-and-chunk packing: assign every token of every document to
     exactly one fixed-length training sequence.
 
     Documents are laid out in ``(md5(id), id)`` order — a deterministic
-    global shuffle — and the concatenated token stream is cut every
-    ``seq_len`` tokens.  Returns one row per (document, sequence) overlap:
+    global shuffle — or, with ``order_col``, in ``(order_col, id)`` order
+    (curriculum packing: feed easy/high-quality documents first by
+    passing a quality or perplexity column); the concatenated token
+    stream is cut every ``seq_len`` tokens.  Returns one row per
+    (document, sequence) overlap:
 
     * ``seq_id``    — 0-based sequence number in the global stream,
     * ``doc_id``    — the document,
@@ -92,17 +96,38 @@ def pack_sequences(docs: DataFrame, seq_len: int, id_col: str = "doc_id",
         if count_col
         else F.size(_tokens(F.coalesce(F.col(text_col), F.lit("")))).cast("long")
     )
-    h = _order_key(id_col)
-    pfx = F.conv(F.substring(h, 1, 2), 16, 10).cast("long")
-    base = (
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            n.alias("n_tokens"),
-            h.alias("_h"),
-            pfx.alias("_pfx"),
+    if order_col is None:
+        # hash-shuffle order: the 256-way bucket is the md5's first byte,
+        # a PREFIX of the order key, so per-bucket cumsums + bucket
+        # offsets equal the flat global prefix sum exactly
+        h = _order_key(id_col)
+        pfx = F.conv(F.substring(h, 1, 2), 16, 10).cast("long")
+        base = (
+            docs.select(
+                F.col(id_col).alias("doc_id"),
+                n.alias("n_tokens"),
+                h.alias("_h"),
+                pfx.alias("_pfx"),
+            )
+            .filter(F.col("n_tokens") > 0)
         )
-        .filter(F.col("n_tokens") > 0)
-    )
+    else:
+        # curriculum order: range-repartition on (order_col, id) and use
+        # the partition id as the bucket — range boundaries are sampled
+        # (non-deterministic placement), but ANY split of a total order
+        # yields the same global offsets, so the OUTPUT is still a pure
+        # function of the data; ties across boundaries are broken by the
+        # id in the range key itself
+        base = (
+            docs.select(
+                F.col(id_col).alias("doc_id"),
+                n.alias("n_tokens"),
+                F.col(order_col).alias("_h"),
+            )
+            .filter(F.col("n_tokens") > 0)
+            .repartitionByRange(_PFX_BUCKETS, F.col("_h"), F.col("doc_id"))
+            .withColumn("_pfx", F.spark_partition_id().cast("long"))
+        )
 
     # level 1: inclusive cumsum inside each order-prefix bucket (parallel)
     w_local = (

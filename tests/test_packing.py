@@ -199,3 +199,59 @@ def test_mixture_rejects_nonpositive_target(spark):
     df = _mix_docs(spark, {"a": 5})
     with pytest.raises(ValueError, match="target_total"):
         temperature_sample(df, alpha=0.5, target_total=0)
+
+
+def test_curriculum_order_matches_flat_oracle(spark):
+    import duckdb
+
+    # curriculum packing: global order = (difficulty, id); the range-split
+    # two-level sum must equal a flat window in that order exactly
+    rows = [(i, "w " * ((i * 7) % 13 + 1), float((i * 37) % 10))
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, diff double")
+    got = sorted(map(tuple, pack_sequences(
+        df, seq_len=16, order_col="diff"
+    ).collect()))
+    vals = ", ".join(f"({i}, {len(t.split())}, {d})" for i, t, d in rows)
+    want = sorted(map(tuple, duckdb.sql(f"""
+        WITH nz AS (SELECT * FROM (VALUES {vals}) t(doc_id, n, diff)
+                    WHERE n > 0),
+        offs AS (SELECT doc_id, n,
+                        coalesce(sum(n) OVER (ORDER BY diff, doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                          0) AS off
+                 FROM nz),
+        chunks AS (SELECT doc_id, n, off,
+                          unnest(generate_series((off // 16)::BIGINT,
+                                 ((off + n - 1) // 16)::BIGINT)) AS seq_id
+                   FROM offs)
+        SELECT seq_id, doc_id,
+               greatest(0, seq_id * 16 - off) AS tok_start,
+               least(n, (seq_id + 1) * 16 - off) AS tok_end,
+               greatest(0, off - seq_id * 16) AS seq_pos, n AS n_tokens
+        FROM chunks
+    """).fetchall()))
+    assert got == want
+
+
+def test_curriculum_order_is_partitioning_invariant(spark):
+    rows = [(i, "w " * (i % 9 + 1), float(i % 5)) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, diff double")
+    a = sorted(map(tuple,
+                   pack_sequences(df, 8, order_col="diff").collect()))
+    b = sorted(map(tuple,
+                   pack_sequences(df.repartition(17), 8,
+                                  order_col="diff").collect()))
+    assert a == b
+
+
+def test_curriculum_puts_easy_docs_in_early_sequences(spark):
+    # two difficulty tiers; every tier-0 token must precede every tier-1
+    # token in the stream
+    rows = [(i, "w " * 8, 0.0) for i in range(10)] + \
+           [(100 + i, "w " * 8, 1.0) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, diff double")
+    out = pack_sequences(df, seq_len=16, order_col="diff").collect()
+    max_easy_seq = max(r.seq_id for r in out if r.doc_id < 100)
+    min_hard_seq = min(r.seq_id for r in out if r.doc_id >= 100)
+    assert max_easy_seq <= min_hard_seq
