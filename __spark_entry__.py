@@ -356,6 +356,38 @@ def _kg_connection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kg_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data emission for KG embeddings, the other half of
+    kg_negatives' TransE story: a deterministic DeepWalk corpus
+    (part=walk: a=start, b packs walk:step:node — next hop = md5-argmin
+    over out-neighbors, dead ends truncate) and a GraphSAGE-style
+    bounded fan-out sample (part=fanout: a=src, b packs dst:rank — the
+    k md5-smallest neighbors per node, run through the SALTED exact
+    two-stage cut so the driver row pins salted == the plain-window
+    oracle).  Both are pure functions of the edge set: re-runs,
+    repartitioning, and executor count never change the corpus."""
+    from entity_extraction_svc_spark.fixtures import ensure_fixtures
+    from entity_extraction_svc_spark.operators.walks import (
+        random_walks,
+        sample_neighbors,
+    )
+
+    ensure_fixtures(FIXTURES)
+    kb = spark.read.parquet(f"{FIXTURES}/kb_triples.parquet")
+    ee = kb.filter(F.col("obj").rlike("^Q[0-9]+$"))
+    w = random_walks(ee, num_walks=2, walk_length=3).select(
+        F.lit("walk").alias("part"),
+        F.col("start").alias("a"),
+        F.concat_ws(":", F.col("walk"), F.col("step"), F.col("node")).alias("b"),
+    )
+    fo = sample_neighbors(ee, k=3, salt=4).select(
+        F.lit("fanout").alias("part"),
+        F.col("src").alias("a"),
+        F.concat_ws(":", F.col("dst"), F.col("rank")).alias("b"),
+    )
+    return w.unionByName(fo)
+
+
 def _kg_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KG-embedding negative sampling (filtered TransE corruption) over
     the fixture KB's entity->entity triples: k=2 md5-deterministic
@@ -1785,6 +1817,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_connection": _kg_connection,
         "kg_salience": _kg_salience,  # per-doc entity aboutness ranking
         "kg_negatives": _kg_negatives,  # filtered TransE negative sampling
+        "kg_walks": _kg_walks,  # DeepWalk corpus + GraphSAGE fan-out sample
         "kg_date_format": _kg_date_format,  # + scalar-function surface
         "kg_pagerank": _kg_pagerank,  # iterative entity importance
         # dedup family
@@ -3251,6 +3284,30 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT subj, pred, obj FROM read_parquet('{fx}/kb_triples.parquet')",
         k=2,
     )
+
+    # kg_walks: the walk loop unrolled (one CTE per step, row_number
+    # argmin over the same md5 choice key) + the fan-out sample's plain
+    # one-window total order (the Spark side runs the SALTED cut, so this
+    # row pins salted == plain across engines)
+    from entity_extraction_svc_spark.operators.walks import (
+        fanout_oracle_sql,
+        walks_oracle_sql,
+    )
+
+    ee_sql = (
+        f"SELECT subj, pred, obj FROM read_parquet('{fx}/kb_triples.parquet') "
+        "WHERE regexp_matches(obj, '^Q[0-9]+$')"
+    )
+    sql["kg_walks"] = f"""
+        WITH w AS ({walks_oracle_sql(ee_sql, 2, 3)}),
+        f AS ({fanout_oracle_sql(ee_sql, 3)})
+        SELECT 'walk' AS part, start AS a,
+               CAST(walk AS VARCHAR) || ':' || CAST(step AS VARCHAR)
+                 || ':' || node AS b
+        FROM w
+        UNION ALL
+        SELECT 'fanout', src, dst || ':' || CAST(rank AS VARCHAR) FROM f
+    """
 
     # kg_salience: tf-share x idf x rational position boost over the golden
     # linked mentions; rank window ordered by the ROUNDED score (both sides)
