@@ -639,9 +639,32 @@ def _kg_find_rels(spark: SparkSession, sf_dir: str) -> DataFrame:
         "subj", "pred", F.col("new_obj").alias("obj"),
         F.col("old_obj").alias("expected"),
     )
+    # part=schema: domain/range INDUCED from the merged store (the inverse
+    # of part=violation's declared-ontology check) — subj carries the modal
+    # domain type, obj the modal range type, expected packs
+    # n_triples:n_dom_typed:dom_cover:n_rng_typed:rng_cover (covers in
+    # micros, -1 = no typed rows on that side)
+    from entity_extraction_svc_spark.operators.kgqa import induce_schema
+
+    def _micros(c):
+        return F.coalesce(
+            F.round(F.col(c) * 1e6).cast("long"), F.lit(-1)
+        ).cast("string")
+
+    schema = induce_schema(merged).select(
+        F.lit("schema").alias("part"), F.lit("induced").alias("kind"),
+        F.coalesce("domain", blank).alias("subj"), "pred",
+        F.coalesce("rng", blank).alias("obj"),
+        F.concat_ws(
+            ":", F.col("n_triples").cast("string"),
+            F.col("n_dom_typed").cast("string"), _micros("dom_cover"),
+            F.col("n_rng_typed").cast("string"), _micros("rng_cover"),
+        ).alias("expected"),
+    )
     return (
         rels.unionByName(viol).unionByName(func).unionByName(dang)
         .unionByName(stats).unionByName(diff).unionByName(chg)
+        .unionByName(schema)
     )
 
 
@@ -1946,6 +1969,14 @@ def _functional_preds_sql() -> str:
     return ", ".join(f"'{p}'" for p in FUNCTIONAL_PREDS)
 
 
+def _induce_schema_oracle_sql(triples_sql: str) -> str:
+    from entity_extraction_svc_spark.operators.kgqa import (
+        induce_schema_oracle_sql,
+    )
+
+    return induce_schema_oracle_sql(triples_sql)
+
+
 def _minhash_sql_mins() -> str:
     from entity_extraction_svc_spark.operators.dedup import MERSENNE_P, _coeffs
 
@@ -2166,7 +2197,17 @@ def oracle_sql() -> dict[str, str]:
             "      SELECT subj, pred, obj FROM t WHERE subj <> 'Q19675' "
             f"     UNION ALL SELECT * FROM (VALUES {_second_source_values_sql()}) n5(subj, pred, obj))) "
             f"  WHERE pred IN ({_functional_preds_sql()})) r "
-            "ON a.subj = r.subj AND a.pred = r.pred"
+            "ON a.subj = r.subj AND a.pred = r.pred "
+            "UNION ALL "
+            "SELECT 'schema', 'induced', coalesce(domain, ''), pred, "
+            "       coalesce(rng, ''), "
+            "       n_triples::VARCHAR || ':' || n_dom_typed::VARCHAR || ':' "
+            "       || coalesce(CAST(round(dom_cover * 1e6) AS BIGINT), -1)::VARCHAR "
+            "       || ':' || n_rng_typed::VARCHAR || ':' "
+            "       || coalesce(CAST(round(rng_cover * 1e6) AS BIGINT), -1)::VARCHAR "
+            "FROM ("
+            + _induce_schema_oracle_sql("SELECT subj, pred, obj FROM m")
+            + ") sc"
         ),
         "kg_find_objects": (
             f"SELECT subj AS value FROM read_parquet('{fx}/kb_triples.parquet') "

@@ -136,3 +136,102 @@ def functional_changes(old: DataFrame, new: DataFrame,
     return a.join(r, ["subj", "pred"]).select(
         "subj", "pred", "old_obj", "new_obj"
     )
+
+
+def induce_schema(triples: DataFrame, type_pred: str = "P31") -> DataFrame:
+    """Domain/range INDUCTION — the inverse of kgquery.validate_triples:
+    instead of checking triples against a declared ontology, derive the
+    ontology the data implies.  Per predicate: the modal subject type
+    (induced domain) and modal object type (induced range), each with the
+    fraction of typed rows it covers, so a schema owner reads
+    ``(P36, domain=Q6256 0.97, range=Q515 1.0)`` and declares the
+    constraint (or investigates the 3%).
+
+    Each entity contributes ONE canonical type — its minimal ``type_pred``
+    object — so a multi-typed subject doesn't multi-vote and the modal
+    count has a total, engine-independent definition.  Predicates whose
+    objects are untyped literals (dates, names) come back with a null
+    range and ``n_rng_typed = 0``; open-world, untyped ≠ wrong.
+
+    Returns (pred, n_triples, domain, n_dom_typed, dom_cover,
+    rng, n_rng_typed, rng_cover); covers are round(·, 6) doubles.
+
+    Scale shape: the canonical-type frame is one groupBy(subj).min over
+    the type predicate's rows (entity-dimension sized, NOT broadcast —
+    10^8 entities at corpus scale — so both type joins are plain hash
+    joins that co-locate with a subject-hash-partitioned store on the
+    domain side); vote counting is groupBy(pred, type) with map-side
+    partial aggregation, and the per-predicate argmax is min-of-struct
+    ((-votes, type) — count desc, type asc tie), partial-agg-safe, so no
+    predicate's vote list ever sorts in one task."""
+    etype = (
+        triples.filter(F.col("pred") == type_pred)
+        .groupBy("subj")
+        .agg(F.min("obj").alias("etype"))
+    )
+    totals = triples.groupBy("pred").agg(F.count("*").alias("n_triples"))
+
+    def _modal(side: str) -> DataFrame:
+        votes = (
+            triples.select("pred", F.col(side).alias("ent"))
+            .join(etype.withColumnRenamed("subj", "ent"), "ent")
+            .groupBy("pred", "etype")
+            .agg(F.count("*").alias("n"))
+        )
+        return votes.groupBy("pred").agg(
+            F.min(F.struct((-F.col("n")).alias("neg"), F.col("etype").alias("t")))
+            .alias("top"),
+            F.sum("n").alias("n_typed"),
+        ).select(
+            "pred",
+            F.col("top.t").alias(f"_{side}_type"),
+            F.col("n_typed").alias(f"_{side}_typed"),
+            F.round((-F.col("top.neg")) / F.col("n_typed"), 6)
+            .alias(f"_{side}_cover"),
+        )
+    return (
+        totals.join(_modal("subj"), "pred", "left")
+        .join(_modal("obj"), "pred", "left")
+        .select(
+            "pred", "n_triples",
+            F.col("_subj_type").alias("domain"),
+            F.coalesce("_subj_typed", F.lit(0)).alias("n_dom_typed"),
+            F.col("_subj_cover").alias("dom_cover"),
+            F.col("_obj_type").alias("rng"),
+            F.coalesce("_obj_typed", F.lit(0)).alias("n_rng_typed"),
+            F.col("_obj_cover").alias("rng_cover"),
+        )
+    )
+
+
+def induce_schema_oracle_sql(triples_sql: str, type_pred: str = "P31") -> str:
+    """DuckDB rendition of the same induction (canonical type = min
+    type-pred object per entity; modal vote = row_number over
+    (votes desc, type asc)); generated here so both engines share one
+    definition of "the induced schema"."""
+    def _side(side: str) -> str:
+        return f"""
+        SELECT pred, etype, n, n_typed, row_number() OVER (
+                   PARTITION BY pred ORDER BY n DESC, etype ASC) AS r
+        FROM (SELECT t.pred, e.etype, count(*) AS n,
+                     sum(count(*)) OVER (PARTITION BY t.pred) AS n_typed
+              FROM t JOIN etype e ON t.{side} = e.subj
+              GROUP BY t.pred, e.etype)"""
+    return f"""
+        WITH t AS ({triples_sql}),
+        etype AS (SELECT subj, min(obj) AS etype FROM t
+                  WHERE pred = '{type_pred}' GROUP BY subj),
+        totals AS (SELECT pred, count(*) AS n_triples FROM t GROUP BY pred),
+        dom AS ({_side('subj')}),
+        rng AS ({_side('obj')})
+        SELECT totals.pred, n_triples,
+               dom.etype AS domain,
+               CAST(coalesce(dom.n_typed, 0) AS BIGINT) AS n_dom_typed,
+               round(dom.n / dom.n_typed, 6) AS dom_cover,
+               rng.etype AS rng,
+               CAST(coalesce(rng.n_typed, 0) AS BIGINT) AS n_rng_typed,
+               round(rng.n / rng.n_typed, 6) AS rng_cover
+        FROM totals
+        LEFT JOIN dom ON dom.pred = totals.pred AND dom.r = 1
+        LEFT JOIN rng ON rng.pred = totals.pred AND rng.r = 1
+    """
