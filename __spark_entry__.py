@@ -388,6 +388,23 @@ def _kg_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.unionByName(fo)
 
 
+def _kg_entity_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural entity-resolution candidates over the fixture KB:
+    Jaccard over undirected neighbor sets, inverted-index pair
+    generation (only entities sharing a neighbor are compared), exact
+    (uncapped) so the row certifies values; the hub cap is pinned by
+    tests instead.  jaccard is round(·,6) in BOTH engines."""
+    from entity_extraction_svc_spark.fixtures import ensure_fixtures
+    from entity_extraction_svc_spark.operators.graphstats import neighbor_jaccard
+
+    ensure_fixtures(FIXTURES)
+    kb = spark.read.parquet(f"{FIXTURES}/kb_triples.parquet")
+    ee = kb.filter(F.col("obj").rlike("^Q[0-9]+$")).select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    return neighbor_jaccard(ee, min_shared=1, threshold=0.2)
+
+
 def _kg_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KG-embedding negative sampling (filtered TransE corruption) over
     the fixture KB's entity->entity triples: k=2 md5-deterministic
@@ -1841,6 +1858,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_salience": _kg_salience,  # per-doc entity aboutness ranking
         "kg_negatives": _kg_negatives,  # filtered TransE negative sampling
         "kg_walks": _kg_walks,  # DeepWalk corpus + GraphSAGE fan-out sample
+        "kg_entity_sim": _kg_entity_sim,  # neighbor-Jaccard ER candidates
         "kg_date_format": _kg_date_format,  # + scalar-function surface
         "kg_pagerank": _kg_pagerank,  # iterative entity importance
         # dedup family
@@ -3339,6 +3357,18 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT subj, pred, obj FROM read_parquet('{fx}/kb_triples.parquet') "
         "WHERE regexp_matches(obj, '^Q[0-9]+$')"
     )
+
+    # kg_entity_sim: exact neighbor-Jaccard (module-generated SQL, shared
+    # definition of the undirected neighbor set)
+    from entity_extraction_svc_spark.operators.graphstats import (
+        neighbor_jaccard_oracle_sql,
+    )
+
+    sql["kg_entity_sim"] = neighbor_jaccard_oracle_sql(
+        f"SELECT subj AS src, obj AS dst FROM ({ee_sql})",
+        min_shared=1, threshold=0.2,
+    )
+
     sql["kg_walks"] = f"""
         WITH w AS ({walks_oracle_sql(ee_sql, 2, 3)}),
         f AS ({fanout_oracle_sql(ee_sql, 3)})

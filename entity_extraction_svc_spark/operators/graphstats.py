@@ -474,3 +474,102 @@ def hits_oracle_sql(edges_sql: str, iterations: int = HITS_ITERATIONS) -> str:
         f"round(a{iterations}.auth, 6) AS auth "
         f"FROM h{iterations} JOIN a{iterations} USING (node)"
     )
+
+
+def neighbor_jaccard(edges: DataFrame, min_shared: int = 1,
+                     threshold: float = 0.0,
+                     max_neighbor_degree: int | None = None,
+                     src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """Structural entity similarity: Jaccard over undirected neighbor
+    sets — the entity-RESOLUTION candidate scorer (two QIDs describing
+    the same thing share birthplace/occupation/country edges even when
+    their labels disagree; the alias-clustering CC in canonicalize.py
+    needs a label bridge, this needs none).
+
+    Candidate pairs come from an inverted index on the SHARED neighbor
+    (self-join of the adjacency on the neighbor column, lo < hi), so only
+    entities with >= 1 common neighbor are ever compared — the same
+    never-materialize-n^2 shape as dedup.ngram_jaccard_pairs, with the
+    same knob for its known hot spot: a hub neighbor of degree d
+    contributes d-choose-2 candidate pairs while carrying almost no
+    resolution signal (everyone is near the USA), so
+    ``max_neighbor_degree`` drops hub CONNECTORS above the cap before the
+    self-join (their edges still count toward each endpoint's degree —
+    only pair GENERATION skips them, which makes the reported jaccard a
+    lower bound for pairs that only shared hubs would have connected, and
+    exact for every pair the index does emit... except shared-hub
+    overlap is excluded from n_shared too; the cap therefore changes the
+    metric's definition, which is why it defaults OFF and the contract
+    row runs exact).
+
+    Returns (ent_a, ent_b, n_shared, deg_a, deg_b, jaccard) with
+    ent_a < ent_b, jaccard = shared / (deg_a + deg_b - shared),
+    filtered to n_shared >= min_shared and jaccard >= threshold.
+
+    Scale: adjacency built once (distinct symmetric pairs); degrees are a
+    partial-agg groupBy; the self-join keys on the neighbor, so skew ==
+    hub degree and the cap bounds fan-out at sum(min(deg, cap)^2);
+    the pair aggregation groupBy(ent_a, ent_b) is map-side combinable.
+    """
+    if min_shared < 1:
+        raise ValueError("min_shared must be >= 1")
+    und = _undirected(edges, src_col, dst_col)
+    adj = und.select(
+        F.col("lo").alias("ent"), F.col("hi").alias("nbr")
+    ).union(und.select(F.col("hi").alias("ent"), F.col("lo").alias("nbr")))
+    deg = adj.groupBy("ent").agg(F.count("*").alias("deg"))
+    connectors = adj
+    if max_neighbor_degree is not None:
+        hubs = deg.filter(F.col("deg") > max_neighbor_degree).select(
+            F.col("ent").alias("nbr")
+        )
+        connectors = adj.join(F.broadcast(hubs), "nbr", "left_anti")
+    a = connectors.select(F.col("ent").alias("ent_a"), "nbr")
+    b = connectors.select(F.col("ent").alias("ent_b"), "nbr")
+    shared = (
+        a.join(b, "nbr")
+        .filter(F.col("ent_a") < F.col("ent_b"))
+        .groupBy("ent_a", "ent_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    return (
+        shared
+        .join(deg.select(F.col("ent").alias("ent_a"), F.col("deg").alias("deg_a")), "ent_a")
+        .join(deg.select(F.col("ent").alias("ent_b"), F.col("deg").alias("deg_b")), "ent_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_shared")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("n_shared")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("ent_a", "ent_b", "n_shared", "deg_a", "deg_b", "jaccard")
+    )
+
+
+def neighbor_jaccard_oracle_sql(edges_sql: str, min_shared: int = 1,
+                                threshold: float = 0.0) -> str:
+    """DuckDB rendition of the exact (uncapped) neighbor-Jaccard —
+    generated beside the operator so both engines share one definition
+    of the neighbor set (undirected, deduped, self-loops dropped)."""
+    return f"""
+        WITH e AS ({edges_sql}),
+        und AS (SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+                FROM e WHERE src <> dst),
+        adj AS (SELECT lo AS ent, hi AS nbr FROM und
+                UNION ALL SELECT hi, lo FROM und),
+        deg AS (SELECT ent, count(*) AS deg FROM adj GROUP BY ent),
+        shared AS (
+            SELECT a.ent AS ent_a, b.ent AS ent_b, count(*) AS n_shared
+            FROM adj a JOIN adj b ON a.nbr = b.nbr AND a.ent < b.ent
+            GROUP BY a.ent, b.ent HAVING count(*) >= {min_shared})
+        SELECT ent_a, ent_b, n_shared, da.deg AS deg_a, db.deg AS deg_b,
+               round(n_shared / (da.deg + db.deg - n_shared), 6) AS jaccard
+        FROM shared
+        JOIN deg da ON da.ent = ent_a
+        JOIN deg db ON db.ent = ent_b
+        WHERE round(n_shared / (da.deg + db.deg - n_shared), 6) >= {threshold}
+    """

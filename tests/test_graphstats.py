@@ -213,3 +213,80 @@ def test_kcore_raises_when_rounds_exhausted(spark):
         kcore(df, k=2, max_rounds=2)
     # with enough rounds the same graph converges to the empty core
     assert kcore(df, k=2, max_rounds=10).count() == 0
+
+
+# --- neighbor-Jaccard structural similarity ---------------------------------
+
+from entity_extraction_svc_spark.operators.graphstats import (  # noqa: E402
+    neighbor_jaccard,
+    neighbor_jaccard_oracle_sql,
+)
+
+_NJ_EDGES = [
+    # q1 and q2 are near-duplicates: both touch p1, p2, p3; q1 also p4
+    ("q1", "p1"), ("q1", "p2"), ("q1", "p3"), ("q1", "p4"),
+    ("q2", "p1"), ("q2", "p2"), ("q2", "p3"),
+    # q3 shares only the hub p1
+    ("q3", "p1"),
+]
+
+
+def _nj_df(spark, edges=_NJ_EDGES):
+    return spark.createDataFrame(edges, "src string, dst string")
+
+
+def test_neighbor_jaccard_hand_computed(spark):
+    got = {
+        (r.ent_a, r.ent_b): r
+        for r in neighbor_jaccard(_nj_df(spark)).collect()
+    }
+    r = got[("q1", "q2")]
+    # neighbors(q1) = {p1..p4} (deg 4), neighbors(q2) = {p1,p2,p3} (deg 3),
+    # shared 3 -> jaccard 3/4
+    assert (r.n_shared, r.deg_a, r.deg_b) == (3, 4, 3)
+    assert abs(r.jaccard - 0.75) < 1e-9
+    # p-side entities pair up too (p1/p2 share q1 and q2, etc.); q1-q3
+    # share only p1 -> jaccard 1/(4+1-1) = 0.25
+    assert abs(got[("q1", "q3")].jaccard - 0.25) < 1e-9
+
+
+def test_neighbor_jaccard_matches_oracle_and_thresholds(spark):
+    import duckdb
+
+    rows = ", ".join(f"('{s}', '{d}')" for s, d in _NJ_EDGES)
+    sql = neighbor_jaccard_oracle_sql(
+        f"SELECT * FROM (VALUES {rows}) t(src, dst)", min_shared=1,
+        threshold=0.3,
+    )
+    want = sorted(map(tuple, duckdb.sql(sql).fetchall()))
+    got = sorted(
+        map(tuple, neighbor_jaccard(_nj_df(spark), threshold=0.3).collect())
+    )
+    assert got == want and len(got) > 0
+
+
+def test_neighbor_jaccard_hub_cap_drops_hub_only_pairs(spark):
+    # p1 is the hub (degree 3). With the cap at 2, q1-q3 (connected ONLY
+    # through p1) disappears; q1-q2 survives via p2/p3 with n_shared
+    # counting only non-hub connectors, degrees unchanged.
+    got = {
+        (r.ent_a, r.ent_b): r
+        for r in neighbor_jaccard(
+            _nj_df(spark), max_neighbor_degree=2
+        ).collect()
+    }
+    assert ("q1", "q3") not in got
+    r = got[("q1", "q2")]
+    assert r.n_shared == 2 and (r.deg_a, r.deg_b) == (4, 3)
+
+
+def test_neighbor_jaccard_undirected_dedup_and_validation(spark):
+    import pytest
+
+    # reversed + duplicate edges collapse; self-loop ignored
+    df = _nj_df(spark, [("a", "b"), ("b", "a"), ("a", "b"), ("a", "a"),
+                        ("c", "b")])
+    got = sorted(map(tuple, neighbor_jaccard(df).collect()))
+    assert got == [("a", "c", 1, 1, 1, 1.0)]
+    with pytest.raises(ValueError):
+        neighbor_jaccard(df, min_shared=0)
