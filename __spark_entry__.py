@@ -559,11 +559,29 @@ def _kg_pattern_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pred").alias("b"), F.col("obj").alias("c"),
         F.lit("").alias("d"),
     )
+    # r5 aggregate SELECT: top occupations among humans — GROUP BY +
+    # COUNT/COUNT DISTINCT + deterministic ORDER/LIMIT (ties broken by
+    # the group key, same rule both engines)
+    from entity_extraction_svc_spark.operators.kgquery import aggregate_bgp
+
+    agg = aggregate_bgp(
+        kb,
+        [("?p", "P106", "?occ"), ("?p", "P31", "Q5")],
+        group_by=["?occ"],
+        aggregates=[("count", "*", "n"), ("count_distinct", "?p", "np")],
+        having="n >= 1",
+        order_by=[("n", "desc")],
+        limit=5,
+    ).select(
+        F.lit("agg").alias("part"), F.col("occ").alias("a"),
+        F.col("n").cast("string").alias("b"),
+        F.col("np").cast("string").alias("c"), F.lit("").alias("d"),
+    )
     return (
         w1.unionByName(bgp).unionByName(alt).unionByName(inv)
         .unionByName(altpath).unionByName(opt).unionByName(neg)
         .unionByName(seq).unionByName(npset).unionByName(valfil)
-        .unionByName(star).unionByName(constr)
+        .unionByName(star).unionByName(constr).unionByName(agg)
     )
 
 
@@ -2149,7 +2167,16 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL "
             "SELECT DISTINCT 'constr', x.subj, 'bornin_region', y.obj, '' "
             "FROM t x JOIN t y ON x.obj = y.subj "
-            "WHERE x.pred = 'P19' AND y.pred = 'P131'"
+            "WHERE x.pred = 'P19' AND y.pred = 'P131' "
+            "UNION ALL "
+            "SELECT 'agg', occ, CAST(n AS VARCHAR), CAST(np AS VARCHAR), '' "
+            "FROM ("
+            "  SELECT a.obj AS occ, count(*) AS n, "
+            "         count(DISTINCT a.subj) AS np "
+            "  FROM t a JOIN t b ON a.subj = b.subj "
+            "  WHERE a.pred = 'P106' AND b.pred = 'P31' AND b.obj = 'Q5' "
+            "  GROUP BY a.obj HAVING count(*) >= 1 "
+            "  ORDER BY n DESC, occ ASC LIMIT 5)"
         ),
         "kg_find_rels": (
             f"WITH t AS (SELECT * FROM read_parquet('{fx}/kb_triples.parquet')), "

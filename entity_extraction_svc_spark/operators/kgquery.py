@@ -690,3 +690,81 @@ def construct_triples(triples: DataFrame, patterns: list[tuple[str, str, str]],
     return bind.select(
         term(s).alias("subj"), term(p).alias("pred"), term(o).alias("obj")
     ).distinct()
+
+
+_BGP_AGG_FUNCS = {
+    "count": F.count,
+    "count_distinct": F.countDistinct,
+    "min": F.min,
+    "max": F.max,
+    "sum": F.sum,
+    "avg": F.avg,
+}
+
+
+def aggregate_bgp(triples: DataFrame, patterns: list[tuple[str, str, str]],
+                  group_by: list[str],
+                  aggregates: list[tuple[str, str, str]],
+                  having: str | None = None,
+                  order_by: list[tuple[str, str]] | None = None,
+                  limit: int | None = None,
+                  **bgp_kwargs) -> DataFrame:
+    """SPARQL aggregate SELECT over :func:`match_bgp`'s solution bag:
+    ``GROUP BY ?vars`` + COUNT / COUNT DISTINCT / MIN / MAX / SUM / AVG,
+    HAVING, and deterministic ``ORDER BY ... LIMIT`` — the analytics form
+    of the query surface ("top occupations among humans", "entities per
+    type"), which the reference's wiki-parser approximates with
+    client-side counting over find_* results.
+
+    ``aggregates``: (fn, var, alias) triples; ``("count", "*", alias)``
+    counts solutions.  ``group_by`` may be empty (one global row).
+    ``order_by``: (alias_or_var, 'asc'|'desc') keys; the grouping
+    variables are ALWAYS appended ascending as the final tie-break, so an
+    ordered cut is a pure function of the data (SPARQL leaves tie order
+    implementation-defined; determinism is this engine's contract —
+    same rule as every top-k in the repo).  ``limit`` requires
+    ``order_by``.  Extra keyword arguments (optional/minus/values/
+    filters/pred_counts/materialized_closures) pass through to
+    match_bgp, so aggregates compose with the full pattern grammar.
+
+    Scale: the groupBy keys are the grouping variables — partial
+    aggregation collapses each executor's slice before the one exchange
+    (count/sum/min/max/avg are all map-side combinable; count_distinct
+    expands to the standard two-phase plan); ORDER BY + LIMIT compiles to
+    TakeOrderedAndProject (per-partition top-k, k-sized merge), never a
+    global sort of the group table."""
+    sols = match_bgp(triples, patterns, **bgp_kwargs)
+    keys = [v.lstrip("?") for v in group_by]
+    aggs = []
+    for fn, var, alias in aggregates:
+        if fn not in _BGP_AGG_FUNCS:
+            raise ValueError(
+                f"unknown aggregate {fn!r}; supported: "
+                f"{sorted(_BGP_AGG_FUNCS)}"
+            )
+        if var == "*":
+            if fn != "count":
+                raise ValueError(f"'*' only aggregates with count, got {fn!r}")
+            col = F.lit(1)
+        else:
+            col = F.col(var.lstrip("?"))
+        aggs.append(_BGP_AGG_FUNCS[fn](col).alias(alias))
+    if not aggs:
+        raise ValueError("aggregate_bgp needs at least one aggregate")
+    out = sols.groupBy(*keys).agg(*aggs) if keys else sols.agg(*aggs)
+    if having is not None:
+        out = out.filter(F.expr(having) if isinstance(having, str) else having)
+    if order_by:
+        order = [
+            F.col(name.lstrip("?")).desc() if str(direction).lower() == "desc"
+            else F.col(name.lstrip("?")).asc()
+            for name, direction in order_by
+        ]
+        order += [F.col(k).asc() for k in keys]
+        out = out.orderBy(*order)
+        if limit is not None:
+            out = out.limit(limit)
+    elif limit is not None:
+        raise ValueError("limit without order_by is nondeterministic; "
+                         "pass order_by")
+    return out

@@ -459,3 +459,88 @@ def test_bgp_star_and_optional_quantifiers(spark):
     # the canonical SPARQL idiom: instance-of including the class itself
     got = match_bgp(tr, [("x", "P31/P279*", "?t")], select=["t"])
     assert sorted(r.t for r in got.collect()) == ["a", "b", "c"]
+
+
+# --- aggregate_bgp (SPARQL GROUP BY / HAVING / ORDER / LIMIT) ----------------
+
+from entity_extraction_svc_spark.operators.kgquery import (  # noqa: E402
+    aggregate_bgp,
+)
+
+
+def test_aggregate_bgp_matches_manual_groupby(spark, kb):
+    got = aggregate_bgp(
+        kb,
+        [("?p", "P106", "?occ"), ("?p", "P31", "Q5")],
+        group_by=["?occ"],
+        aggregates=[("count", "*", "n"), ("count_distinct", "?p", "n_people")],
+    )
+    occ = kb.filter(F.col("pred") == "P106").select(
+        F.col("subj").alias("p"), F.col("obj").alias("occ"))
+    hum = kb.filter((F.col("pred") == "P31") & (F.col("obj") == "Q5")).select(
+        F.col("subj").alias("p"))
+    want = occ.join(hum, "p").groupBy("occ").agg(
+        F.count("*").alias("n"), F.countDistinct("p").alias("n_people"))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert got.count() > 0
+
+
+def test_aggregate_bgp_order_limit_deterministic_and_having(spark):
+    tr = spark.createDataFrame(
+        [("a", "P1", "x"), ("b", "P1", "x"), ("c", "P1", "y"),
+         ("d", "P1", "z"), ("e", "P1", "z")],
+        "subj string, pred string, obj string",
+    )
+    got = aggregate_bgp(
+        tr, [("?s", "P1", "?o")], group_by=["?o"],
+        aggregates=[("count", "*", "n")],
+        order_by=[("n", "desc")], limit=2,
+    ).collect()
+    # x and z tie at 2; tie-break on the group key asc keeps x then z
+    assert [(r.o, r.n) for r in got] == [("x", 2), ("z", 2)]
+    had = aggregate_bgp(
+        tr, [("?s", "P1", "?o")], group_by=["?o"],
+        aggregates=[("count", "*", "n")], having="n >= 2",
+    )
+    assert {r.o for r in had.collect()} == {"x", "z"}
+
+
+def test_aggregate_bgp_global_row_numeric_aggs_and_validation(spark):
+    tr = spark.createDataFrame(
+        [("a", "P1", "1"), ("b", "P1", "3"), ("c", "P1", "5")],
+        "subj string, pred string, obj string",
+    )
+    row = aggregate_bgp(
+        tr, [("?s", "P1", "?v")], group_by=[],
+        aggregates=[("min", "?v", "lo"), ("max", "?v", "hi"),
+                    ("count", "*", "n")],
+    ).first()
+    assert (row.lo, row.hi, row.n) == ("1", "5", 3)
+    with pytest.raises(ValueError):
+        aggregate_bgp(tr, [("?s", "P1", "?v")], ["?v"],
+                      [("median", "?v", "m")])
+    with pytest.raises(ValueError):
+        aggregate_bgp(tr, [("?s", "P1", "?v")], ["?v"],
+                      [("sum", "*", "m")])
+    with pytest.raises(ValueError):
+        aggregate_bgp(tr, [("?s", "P1", "?v")], ["?v"],
+                      [("count", "*", "n")], limit=1)
+    with pytest.raises(ValueError):
+        aggregate_bgp(tr, [("?s", "P1", "?v")], ["?v"], [])
+
+
+def test_aggregate_bgp_composes_with_grammar(spark, kb):
+    # aggregate over an OPTIONAL-carrying pattern: humans per occupation
+    # counting only those WITH a birthplace (filter sees optional nulls)
+    got = aggregate_bgp(
+        kb, [("?p", "P106", "?occ")],
+        optional=[[("?p", "P19", "?city")]],
+        filters=["city is not null"],
+        group_by=["?occ"], aggregates=[("count_distinct", "?p", "n")],
+    )
+    occ = kb.filter(F.col("pred") == "P106").select(
+        F.col("subj").alias("p"), F.col("obj").alias("occ"))
+    bp = kb.filter(F.col("pred") == "P19").select(
+        F.col("subj").alias("p")).distinct()
+    want = occ.join(bp, "p").groupBy("occ").agg(F.countDistinct("p").alias("n"))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
