@@ -405,6 +405,41 @@ def _kg_entity_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neighbor_jaccard(ee, min_shared=1, threshold=0.2)
 
 
+def _kg_knn_gnn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN graph + one GraphSAGE-style message-passing layer over the
+    driver's embeddings table (part=knn: per-vector top-5 cosine
+    neighbors above floor 0.3, exact tiled-matmul candidates; part=feat:
+    per-node elementwise MEAN of its kNN neighbors' vectors, posexploded
+    to (node, dim, value) so the hash compares every coordinate).  The
+    layer compiles to dim partial-agg-safe avg columns — no vector
+    collect_list — so a hub's messages combine map-side."""
+    from entity_extraction_svc_spark.operators.gnn import (
+        knn_graph,
+        neighbor_feature_agg,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    edges = knn_graph(emb, k=5, floor=0.3)
+    knn = edges.select(
+        F.lit("knn").alias("part"),
+        F.col("src").alias("a"),
+        F.col("dst").alias("b"),
+        F.col("rank").cast("long").alias("r"),
+        F.col("cos_sim").alias("v"),
+    )
+    feat = neighbor_feature_agg(edges, emb, dim=64)
+    fe = feat.select(
+        "vec_id", "n_nbr", F.posexplode("feat").alias("i", "val")
+    ).select(
+        F.lit("feat").alias("part"),
+        F.col("vec_id").alias("a"),
+        F.col("i").cast("long").alias("b"),
+        F.col("n_nbr").cast("long").alias("r"),
+        F.col("val").alias("v"),
+    )
+    return knn.unionByName(fe)
+
+
 def _kg_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KG-embedding negative sampling (filtered TransE corruption) over
     the fixture KB's entity->entity triples: k=2 md5-deterministic
@@ -1877,6 +1912,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_negatives": _kg_negatives,  # filtered TransE negative sampling
         "kg_walks": _kg_walks,  # DeepWalk corpus + GraphSAGE fan-out sample
         "kg_entity_sim": _kg_entity_sim,  # neighbor-Jaccard ER candidates
+        "kg_knn_gnn": _kg_knn_gnn,  # kNN graph + neighbor feature agg
         "kg_date_format": _kg_date_format,  # + scalar-function surface
         "kg_pagerank": _kg_pagerank,  # iterative entity importance
         # dedup family
@@ -3395,6 +3431,45 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT subj AS src, obj AS dst FROM ({ee_sql})",
         min_shared=1, threshold=0.2,
     )
+
+    # kg_knn_gnn: exact kNN graph (unrounded-cosine floor, round-6 rank
+    # order with dst tie-break — knn_graph's exact semantics) + the mean
+    # message-passing layer exploded to (node, dim, value)
+    sql["kg_knn_gnn"] = """
+        WITH e AS (
+          SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+          FROM embeddings
+        ), pairs AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 list_sum(list_transform(generate_series(1, len(a.v)),
+                                         i -> a.v[i] * b.v[i]))
+                 / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                    * sqrt(list_sum(list_transform(b.v, x -> x * x)))) AS c
+          FROM e a JOIN e b ON a.vec_id < b.vec_id
+        ), sym AS (
+          SELECT id_a AS src, id_b AS dst, round(c, 6) AS cos_sim
+          FROM pairs WHERE c >= 0.3
+          UNION ALL
+          SELECT id_b, id_a, round(c, 6) FROM pairs WHERE c >= 0.3
+        ), knn AS (
+          SELECT src, dst, cos_sim, rank FROM (
+            SELECT src, dst, cos_sim, row_number() OVER (
+              PARTITION BY src ORDER BY cos_sim DESC, dst ASC) AS rank
+            FROM sym
+          ) WHERE rank <= 5
+        ), feat AS (
+          SELECT k.src AS vec_id, g.i - 1 AS dim_idx,
+                 count(*) AS n_nbr, round(avg(f.v[g.i]), 6) AS val
+          FROM knn k JOIN e f ON k.dst = f.vec_id
+               CROSS JOIN generate_series(1, 64) g(i)
+          GROUP BY k.src, g.i
+        )
+        SELECT 'knn' AS part, src AS a, dst AS b,
+               rank::BIGINT AS r, cos_sim AS v
+        FROM knn
+        UNION ALL
+        SELECT 'feat', vec_id, dim_idx, n_nbr, val FROM feat
+    """
 
     sql["kg_walks"] = f"""
         WITH w AS ({walks_oracle_sql(ee_sql, 2, 3)}),
