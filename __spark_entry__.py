@@ -1123,6 +1123,34 @@ def _doc_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _doc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style paragraph-level exact dedup over the documents table.
+    The flat word-stream docs are first reshaped into 3-word lines (the
+    same fixed non-overlapping chunking in BOTH engines — with the
+    driver's ~30-word vocabulary that construction yields real cross-doc
+    duplicate lines, standing in for repeated web boilerplate); then
+    each normalized line keeps only its corpus-wide first occurrence
+    ((doc_id, idx)-least), docs reassemble in order, and fully-deduped
+    docs disappear."""
+    from entity_extraction_svc_spark.operators.dedup import line_dedup
+
+    toks = F.split(F.col("text"), " ")
+    nlines = F.ceil(F.size(toks) / F.lit(3.0)).cast("int")
+    reshaped = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.sequence(F.lit(1), nlines),
+                lambda i: F.concat_ws(
+                    " ", F.slice(toks, (i - F.lit(1)) * 3 + 1, 3)
+                ),
+            ),
+        ).alias("text"),
+    )
+    return line_dedup(reshaped)
+
+
 def _doc_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-weighted language mixture (alpha=0.5, T=corpus size):
     per-language keep fraction min(1, T * n_l**alpha / sum(n**alpha) / n_l)
@@ -1941,6 +1969,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pii": _doc_pii,  # PII scan + typed redaction
         "doc_split": _doc_split,  # deterministic md5-bucket train/val/test
         "doc_pack": _doc_pack,  # concat-and-chunk sequence packing
+        "doc_line_dedup": _doc_line_dedup,  # CCNet paragraph-level dedup
         "doc_bpe": _doc_bpe,  # BPE merge learning + subword token counts
         "doc_mixture": _doc_mixture,  # temperature source re-weighting
         "doc_decontam": _doc_decontam,  # eval-set n-gram overlap audit
@@ -3144,6 +3173,22 @@ def oracle_sql() -> dict[str, str]:
                     ELSE 'test' END AS split
         FROM b
     """
+
+    # doc_line_dedup: the 3-word reshape shared with the Spark side, then
+    # the module-generated CCNet line-dedup rendition (first-occurrence
+    # winner, ordered reassembly)
+    from entity_extraction_svc_spark.operators.dedup import line_dedup_oracle_sql
+
+    sql["doc_line_dedup"] = line_dedup_oracle_sql(
+        """
+        SELECT doc_id, array_to_string(
+                 list_transform(
+                   generate_series(1, ceil(len(parts) / 3.0)::INT),
+                   i -> array_to_string(parts[(i-1)*3+1:(i-1)*3+3], ' ')),
+                 chr(10)) AS text
+        FROM (SELECT doc_id, string_split(text, ' ') AS parts FROM documents)
+        """
+    )
 
     # doc_pack: same definition as packing.pack_sequences but with ONE flat
     # cumulative window over (md5, id) order — the two-level Spark plan must

@@ -1167,3 +1167,109 @@ def winnow_dup_groups(docs: DataFrame, text_col: str = "text",
             F.col("_kp.p").alias("keeper_pos"),
         )
     )
+
+
+def line_dedup(docs: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", sep: str = "\n") -> DataFrame:
+    """CCNet-style paragraph-level exact dedup: split every document on
+    ``sep``, hash each line's normalized form (lower, whitespace
+    collapsed, trimmed), keep ONLY the corpus-wide first occurrence —
+    the lexicographically least (id, line_idx) — and reassemble the
+    survivors in original order.  Kills cross-page boilerplate (nav,
+    footer, cookie banners) the way CCNet's paragraph dedup does, and
+    within-doc repeats with the same rule.  Lines that normalize to
+    empty are removed outright (not dedup candidates).  Docs whose every
+    line was dropped disappear.
+
+    Returns (id_col, text, n_kept, n_dropped) where n_dropped counts the
+    doc's non-empty lines that lost their group plus its empty lines.
+
+    Scale shape: one narrow posexplode, a groupBy on the normalized-line
+    key whose min-of-struct winner PARTIAL-AGGREGATES map-side (a
+    boilerplate line duplicated 10^9 times combines before the
+    shuffle), a hash join back on the same key (hot keys are AQE
+    skew-join territory; output is one row per line either way), and a
+    per-doc groupBy to reassemble — collect_list is bounded by one
+    document's lines, the same bound the chunker already relies on.
+    Determinism: winner choice and reassembly order are pure functions
+    of the data; repartitioning never changes the output.
+
+    Reference anchor: boilerplate stripping in the reference is per-page
+    (agent/server.py H1); this is the corpus-level complement its
+    single-page view cannot express.
+    """
+    # \Q..\E so sep is literal (F.split takes a Java regex; DuckDB's
+    # string_split is literal — the two sides must agree on '.' etc.)
+    lines = docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            F.split(F.col(text_col), "\\Q" + sep + "\\E")
+        ).alias("_idx", "_line"),
+    ).withColumn(
+        "_norm",
+        F.trim(F.regexp_replace(F.lower(F.col("_line")), r"\s+", " ")),
+    )
+    n_all = lines.groupBy("_id").agg(F.count("*").alias("_n_all"))
+    ne = lines.filter(F.length("_norm") > 0)
+    winners = ne.groupBy("_norm").agg(
+        F.min(F.struct(F.col("_id").alias("i"), F.col("_idx").alias("x"))).alias("_w")
+    )
+    kept = (
+        ne.join(winners, "_norm")
+        .filter((F.col("_id") == F.col("_w.i")) & (F.col("_idx") == F.col("_w.x")))
+        .select("_id", "_idx", "_line")
+    )
+    out = (
+        kept.groupBy("_id")
+        .agg(
+            F.concat_ws(
+                sep,
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_idx", "_line"))),
+                    lambda s: s["_line"],
+                ),
+            ).alias("text"),
+            F.count("*").alias("n_kept"),
+        )
+        .join(n_all, "_id")
+        .select(
+            F.col("_id").alias(id_col),
+            "text",
+            "n_kept",
+            (F.col("_n_all") - F.col("n_kept")).alias("n_dropped"),
+        )
+    )
+    return out
+
+
+def line_dedup_oracle_sql(docs_sql: str, id_col: str = "doc_id",
+                          sep: str = "\n") -> str:
+    """DuckDB rendition of :func:`line_dedup` — same normalization, same
+    (id, idx) winner rule, same ordered reassembly.  ``docs_sql`` must
+    yield (<id_col>, text)."""
+    sq = sep.replace("'", "''")
+    return f"""
+        WITH ld_docs AS ({docs_sql}),
+        l AS (
+          SELECT {id_col} AS id, g.i - 1 AS idx, parts[g.i] AS line,
+                 trim(regexp_replace(lower(parts[g.i]), '\\s+', ' ', 'g'))
+                   AS norm
+          FROM (SELECT {id_col}, string_split(text, '{sq}') AS parts
+                FROM ld_docs) t,
+               unnest(generate_series(1, len(parts))) AS g(i)
+        ),
+        n_all AS (SELECT id, count(*) AS n_all FROM l GROUP BY id),
+        kept AS (
+          SELECT id, idx, line FROM (
+            SELECT id, idx, line, row_number() OVER (
+              PARTITION BY norm ORDER BY id, idx) AS rn
+            FROM l WHERE len(norm) > 0
+          ) WHERE rn = 1
+        )
+        SELECT k.id AS {id_col},
+               string_agg(k.line, '{sq}' ORDER BY k.idx) AS text,
+               count(*) AS n_kept,
+               any_value(n_all.n_all) - count(*) AS n_dropped
+        FROM kept k JOIN n_all ON k.id = n_all.id
+        GROUP BY k.id
+    """
