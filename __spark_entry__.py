@@ -469,6 +469,20 @@ def _kg_salience(spark: SparkSession, sf_dir: str) -> DataFrame:
     return entity_salience(links)
 
 
+def _kg_ner_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distant-supervision NER training-data emission over the fixture
+    corpus: golden mention spans projected back onto the extracted text
+    as per-token BIO rows — the weak-supervision loop that regenerates
+    the tagger's training corpus from the pipeline's own output."""
+    from entity_extraction_svc_spark.fixtures import ensure_fixtures
+    from entity_extraction_svc_spark.operators.ner import bio_training_rows
+
+    ensure_fixtures(FIXTURES)
+    docs = spark.read.parquet(f"{FIXTURES}/pages.parquet").select("url", "text")
+    m = spark.read.parquet(f"{FIXTURES}/golden_mentions.parquet")
+    return bio_training_rows(docs, m)
+
+
 def _kg_date_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W2 date prettifier + the scalar-function surface (regex, datetime,
     concat) in one per-event projection — one driver row covers both."""
@@ -1941,6 +1955,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_walks": _kg_walks,  # DeepWalk corpus + GraphSAGE fan-out sample
         "kg_entity_sim": _kg_entity_sim,  # neighbor-Jaccard ER candidates
         "kg_knn_gnn": _kg_knn_gnn,  # kNN graph + neighbor feature agg
+        "kg_ner_training": _kg_ner_training,  # BIO distant supervision
         "kg_date_format": _kg_date_format,  # + scalar-function surface
         "kg_pagerank": _kg_pagerank,  # iterative entity importance
         # dedup family
@@ -3475,6 +3490,16 @@ def oracle_sql() -> dict[str, str]:
     sql["kg_entity_sim"] = neighbor_jaccard_oracle_sql(
         f"SELECT subj AS src, obj AS dst FROM ({ee_sql})",
         min_shared=1, threshold=0.2,
+    )
+
+    # kg_ner_training: module-generated BIO rendition over the same
+    # fixture parquets (shared tokenization/overlap/first-token rules)
+    from entity_extraction_svc_spark.operators.ner import bio_training_oracle_sql
+
+    sql["kg_ner_training"] = bio_training_oracle_sql(
+        f"SELECT url, text FROM read_parquet('{fx}/pages.parquet')",
+        f"SELECT url, start AS m_start, \"end\" AS m_end, tag AS m_tag "
+        f"FROM read_parquet('{fx}/golden_mentions.parquet')",
     )
 
     # kg_knn_gnn: exact kNN graph (unrounded-cosine floor, round-6 rank

@@ -257,3 +257,132 @@ def detect_mentions(chunks_with_shift: DataFrame, tagger_bc) -> DataFrame:
         ["lang"] if "lang" in chunks_with_shift.columns else []
     )
     return chunks_with_shift.select(*cols).mapInPandas(_ner_batches, MENTION_SCHEMA)
+
+
+def bio_training_rows(docs: DataFrame, mentions: DataFrame,
+                      text_col: str = "text", id_col: str = "url",
+                      start_col: str = "start", end_col: str = "end",
+                      tag_col: str = "tag") -> DataFrame:
+    """Distant-supervision NER training-data emission — the inverse of
+    the N1-N5 decode direction: given documents and their (linked or
+    golden) mention spans, emit one row per whitespace token with its
+    character offsets and a BIO label, the exact input shape a token
+    tagger (N3) trains on.  This closes the KG-construction loop: the
+    pipeline's own linked output regenerates its model's training
+    corpus (weak supervision / self-training).
+
+    Label rule (deterministic, engine-shared): a token OVERLAPS a
+    mention iff tok_start < m_end and tok_end > m_start (handles spans
+    that start or end mid-token, e.g. trailing punctuation glued to the
+    word); the mention's first overlapping token is B-<tag>, later ones
+    I-<tag>; a token overlapped by several mentions takes the
+    (start, end, tag)-least; everything else is O.  Tokens that are
+    empty strings (consecutive separators) participate in offset
+    accounting but are not emitted.
+
+    Scale shape: one posexplode (narrow), a per-document offset window
+    and the mention join BOTH keyed on the document id — one exchange,
+    reused; the B/I windows are per-(doc, mention)/(doc, token), bounded
+    by a single document's mentions.  No Python in the plan.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("tok_idx", "token"),
+    )
+    w = (
+        Window.partitionBy("_id")
+        .orderBy("tok_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    toks = (
+        toks.withColumn(
+            "tok_start",
+            F.coalesce(
+                F.sum(F.length("token") + F.lit(1)).over(w), F.lit(0)
+            ).cast("long"),
+        )
+        .withColumn("tok_end", F.col("tok_start") + F.length("token"))
+        .filter(F.col("token") != "")
+    )
+    m = mentions.select(
+        F.col(id_col).alias("_id"),
+        F.col(start_col).cast("long").alias("m_start"),
+        F.col(end_col).cast("long").alias("m_end"),
+        F.col(tag_col).alias("m_tag"),
+    )
+    ov = toks.join(m, "_id").filter(
+        (F.col("tok_start") < F.col("m_end"))
+        & (F.col("tok_end") > F.col("m_start"))
+    )
+    w_first = Window.partitionBy("_id", "m_start", "m_end", "m_tag")
+    w_best = Window.partitionBy("_id", "tok_idx").orderBy(
+        "m_start", "m_end", "m_tag"
+    )
+    lab = (
+        ov.withColumn("_first", F.min("tok_idx").over(w_first))
+        .withColumn("_rn", F.row_number().over(w_best))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "_id",
+            "tok_idx",
+            F.concat(
+                F.when(F.col("tok_idx") == F.col("_first"), F.lit("B-"))
+                .otherwise(F.lit("I-")),
+                F.col("m_tag"),
+            ).alias("bio"),
+        )
+    )
+    return toks.join(lab, ["_id", "tok_idx"], "left").select(
+        F.col("_id").alias(id_col),
+        "tok_idx",
+        "token",
+        "tok_start",
+        "tok_end",
+        F.coalesce("bio", F.lit("O")).alias("bio"),
+    )
+
+
+def bio_training_oracle_sql(docs_sql: str, mentions_sql: str,
+                            id_col: str = "url") -> str:
+    """DuckDB rendition of :func:`bio_training_rows` — same whitespace
+    tokenization, offset accounting, overlap rule, B/I-first rule, and
+    (start, end, tag)-least mention choice.  ``docs_sql`` must yield
+    (<id_col>, text); ``mentions_sql`` (<id_col>, m_start, m_end, m_tag)."""
+    return f"""
+        WITH bio_docs AS ({docs_sql}), bio_m AS ({mentions_sql}),
+        tok0 AS (
+          SELECT id, g.i - 1 AS tok_idx, parts[g.i] AS token
+          FROM (SELECT {id_col} AS id, string_split(text, ' ') AS parts
+                FROM bio_docs) t,
+               unnest(generate_series(1, len(parts))) AS g(i)
+        ),
+        tok AS (
+          SELECT id, tok_idx, token,
+                 coalesce(sum(len(token) + 1) OVER (
+                   PARTITION BY id ORDER BY tok_idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0)::BIGINT AS tok_start
+          FROM tok0
+        ),
+        tok2 AS (
+          SELECT *, tok_start + len(token) AS tok_end
+          FROM tok WHERE token != ''
+        ),
+        ov AS (
+          SELECT t.id, t.tok_idx, m.m_start, m.m_end, m.m_tag,
+                 min(t.tok_idx) OVER (
+                   PARTITION BY t.id, m.m_start, m.m_end, m.m_tag)
+                   AS first_idx,
+                 row_number() OVER (PARTITION BY t.id, t.tok_idx
+                   ORDER BY m.m_start, m.m_end, m.m_tag) AS rn
+          FROM tok2 t JOIN bio_m m
+            ON t.id = m.{id_col}
+           AND t.tok_start < m.m_end AND t.tok_end > m.m_start
+        )
+        SELECT t.id AS {id_col}, t.tok_idx, t.token, t.tok_start, t.tok_end,
+               coalesce(
+                 (CASE WHEN o.tok_idx = o.first_idx THEN 'B-' ELSE 'I-' END)
+                   || o.m_tag, 'O') AS bio
+        FROM tok2 t LEFT JOIN (SELECT * FROM ov WHERE rn = 1) o
+          ON t.id = o.id AND t.tok_idx = o.tok_idx
+    """
