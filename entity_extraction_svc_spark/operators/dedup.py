@@ -1209,37 +1209,59 @@ def line_dedup(docs: DataFrame, text_col: str = "text",
         "_norm",
         F.trim(F.regexp_replace(F.lower(F.col("_line")), r"\s+", " ")),
     )
-    n_all = lines.groupBy("_id").agg(F.count("*").alias("_n_all"))
-    ne = lines.filter(F.length("_norm") > 0)
-    winners = ne.groupBy("_norm").agg(
-        F.min(F.struct(F.col("_id").alias("i"), F.col("_idx").alias("x"))).alias("_w")
+    # Winners over non-empty lines only; empty lines never dedup, they
+    # just count as dropped.  The LEFT join keeps every line so ONE
+    # per-doc groupBy yields text, n_kept AND n_dropped together (the
+    # earlier shape needed a third scan for per-doc totals).  Two
+    # consumers of `lines` remain — winners and the probe side — i.e.
+    # two corpus scans; a window-min would need only one but puts a
+    # hub line's every copy in one task, and at web scale the
+    # 10^9-copy boilerplate line is the binding constraint, so the
+    # partial-aggregating groupBy wins.
+    winners = (
+        lines.filter(F.length("_norm") > 0)
+        .groupBy("_norm")
+        .agg(
+            F.min(
+                F.struct(F.col("_id").alias("i"), F.col("_idx").alias("x"))
+            ).alias("_w")
+        )
     )
-    kept = (
-        ne.join(winners, "_norm")
-        .filter((F.col("_id") == F.col("_w.i")) & (F.col("_idx") == F.col("_w.x")))
-        .select("_id", "_idx", "_line")
+    flagged = lines.join(winners, "_norm", "left").withColumn(
+        "_keep",
+        (F.col("_id") == F.col("_w.i")) & (F.col("_idx") == F.col("_w.x")),
     )
-    out = (
-        kept.groupBy("_id")
+    return (
+        flagged.groupBy("_id")
         .agg(
             F.concat_ws(
                 sep,
                 F.transform(
-                    F.array_sort(F.collect_list(F.struct("_idx", "_line"))),
+                    F.filter(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    "_idx",
+                                    "_line",
+                                    F.coalesce("_keep", F.lit(False)).alias(
+                                        "_k"
+                                    ),
+                                )
+                            )
+                        ),
+                        lambda s: s["_k"],
+                    ),
                     lambda s: s["_line"],
                 ),
             ).alias("text"),
-            F.count("*").alias("n_kept"),
+            F.sum(F.col("_keep").cast("long")).alias("n_kept"),
+            F.sum(
+                (~F.coalesce("_keep", F.lit(False))).cast("long")
+            ).alias("n_dropped"),
         )
-        .join(n_all, "_id")
-        .select(
-            F.col("_id").alias(id_col),
-            "text",
-            "n_kept",
-            (F.col("_n_all") - F.col("n_kept")).alias("n_dropped"),
-        )
+        .filter(F.col("n_kept") > 0)
+        .select(F.col("_id").alias(id_col), "text", "n_kept", "n_dropped")
     )
-    return out
 
 
 def line_dedup_oracle_sql(docs_sql: str, id_col: str = "doc_id",
