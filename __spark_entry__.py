@@ -483,6 +483,24 @@ def _kg_ner_training(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bio_training_rows(docs, m)
 
 
+def _kg_rel_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distant-supervision relation-extraction pairs over the fixture
+    corpus: ordered same-document linked-mention pairs labelled by the
+    KB relation between their entities (least (pred, direction) when
+    several) or NO_REL — the relation twin of kg_ner_training."""
+    from entity_extraction_svc_spark.fixtures import ensure_fixtures
+    from entity_extraction_svc_spark.operators.triples import (
+        relation_training_pairs,
+    )
+
+    ensure_fixtures(FIXTURES)
+    links = spark.read.parquet(f"{FIXTURES}/golden_links.parquet").select(
+        "url", "start", "end", "qid"
+    )
+    kb = spark.read.parquet(f"{FIXTURES}/kb_triples.parquet")
+    return relation_training_pairs(links, kb)
+
+
 def _kg_date_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W2 date prettifier + the scalar-function surface (regex, datetime,
     concat) in one per-event projection — one driver row covers both."""
@@ -1956,6 +1974,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_sim": _kg_entity_sim,  # neighbor-Jaccard ER candidates
         "kg_knn_gnn": _kg_knn_gnn,  # kNN graph + neighbor feature agg
         "kg_ner_training": _kg_ner_training,  # BIO distant supervision
+        "kg_rel_training": _kg_rel_training,  # relation distant supervision
         "kg_date_format": _kg_date_format,  # + scalar-function surface
         "kg_pagerank": _kg_pagerank,  # iterative entity importance
         # dedup family
@@ -3500,6 +3519,18 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT url, text FROM read_parquet('{fx}/pages.parquet')",
         f"SELECT url, start AS m_start, \"end\" AS m_end, tag AS m_tag "
         f"FROM read_parquet('{fx}/golden_mentions.parquet')",
+    )
+
+    # kg_rel_training: module-generated rendition over the same fixture
+    # parquets (shared pair/gap/least-label rules)
+    from entity_extraction_svc_spark.operators.triples import (
+        relation_training_oracle_sql,
+    )
+
+    sql["kg_rel_training"] = relation_training_oracle_sql(
+        f"SELECT url, start, \"end\", qid "
+        f"FROM read_parquet('{fx}/golden_links.parquet')",
+        f"SELECT subj, pred, obj FROM read_parquet('{fx}/kb_triples.parquet')",
     )
 
     # kg_knn_gnn: exact kNN graph (unrounded-cosine floor, round-6 rank

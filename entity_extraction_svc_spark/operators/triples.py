@@ -266,3 +266,114 @@ def negative_triples_oracle_sql(triples_sql: str, k: int = 2) -> str:
     SELECT co.subj, co.pred, co.obj, co.neg_rank FROM corrupted co
     ANTI JOIN t ON co.subj = t.subj AND co.pred = t.pred AND co.obj = t.obj
     """
+
+
+def relation_training_pairs(links: DataFrame, kb_triples: DataFrame,
+                            max_gap: int = 200,
+                            id_col: str = "url") -> DataFrame:
+    """Distant-supervision RELATION training pairs — the relation twin
+    of ner.bio_training_rows: every ordered pair of linked mentions in
+    the same document (first span strictly before the second, at most
+    ``max_gap`` chars between them, distinct QIDs) labelled by the KB
+    relation between the two entities, or NO_REL when the KB has none
+    (the closed-world negative class every RE trainer needs).  When the
+    KB holds several relations for a pair, the (pred, direction)-least
+    wins so the label is a pure function of (links, kb); direction is
+    'fwd' (subj=left mention) / 'rev' (subj=right) / 'none'.
+
+    Scale shape: the mention pairing is a self-join keyed on the
+    document id — per-doc work is quadratic in that doc's mention
+    count, which is bounded by document length (the same bound the
+    linker's per-doc passes rely on), and the gap filter prunes the
+    output, not the bound.  The label lookup groups the KB's
+    entity-entity edges once per (qid_a, qid_b) (partial-agg-safe
+    min-of-struct) and hash-joins to the pairs — AQE broadcasts it
+    when the KB dimension is small.
+
+    Reference anchor: the reference's triples come from the KB given
+    linked entities (wiki_parser); this emits the training view of the
+    same signal so a relation-extraction model can learn to produce
+    triples where the KB is silent.
+    """
+    if max_gap < 0:
+        raise ValueError("max_gap must be >= 0")
+    a = links.select(
+        F.col(id_col).alias("_id"),
+        F.col("start").alias("start_a"),
+        F.col("end").alias("end_a"),
+        F.col("qid").alias("qid_a"),
+    )
+    b = links.select(
+        F.col(id_col).alias("_id"),
+        F.col("start").alias("start_b"),
+        F.col("end").alias("end_b"),
+        F.col("qid").alias("qid_b"),
+    )
+    pairs = a.join(b, "_id").filter(
+        (F.col("end_a") <= F.col("start_b"))
+        & (F.col("start_b") - F.col("end_a") <= max_gap)
+        & (F.col("qid_a") != F.col("qid_b"))
+    )
+    ee = kb_triples.filter(F.col("obj").rlike("^Q[0-9]+$"))
+    rels = (
+        ee.select(
+            F.col("subj").alias("qid_a"),
+            F.col("obj").alias("qid_b"),
+            "pred",
+            F.lit("fwd").alias("direction"),
+        )
+        .unionByName(
+            ee.select(
+                F.col("obj").alias("qid_a"),
+                F.col("subj").alias("qid_b"),
+                "pred",
+                F.lit("rev").alias("direction"),
+            )
+        )
+        .groupBy("qid_a", "qid_b")
+        .agg(F.min(F.struct("pred", "direction")).alias("_m"))
+    )
+    return pairs.join(rels, ["qid_a", "qid_b"], "left").select(
+        F.col("_id").alias(id_col),
+        "start_a", "end_a", "qid_a",
+        "start_b", "end_b", "qid_b",
+        F.coalesce(F.col("_m.pred"), F.lit("NO_REL")).alias("label"),
+        F.coalesce(F.col("_m.direction"), F.lit("none")).alias("direction"),
+    )
+
+
+def relation_training_oracle_sql(links_sql: str, kb_sql: str,
+                                 max_gap: int = 200,
+                                 id_col: str = "url") -> str:
+    """DuckDB rendition of :func:`relation_training_pairs` — same pair
+    rule, same (pred, direction)-least label.  ``links_sql`` must yield
+    (<id_col>, start, "end", qid); ``kb_sql`` (subj, pred, obj)."""
+    return f"""
+        WITH rl AS ({links_sql}), rkb AS ({kb_sql}),
+        ee AS (SELECT subj, pred, obj FROM rkb
+               WHERE regexp_matches(obj, '^Q[0-9]+$')),
+        rels AS (
+          SELECT qid_a, qid_b,
+                 min({{'pred': pred, 'direction': direction}}) AS m
+          FROM (
+            SELECT subj AS qid_a, obj AS qid_b, pred, 'fwd' AS direction
+            FROM ee
+            UNION ALL
+            SELECT obj, subj, pred, 'rev' FROM ee
+          ) GROUP BY qid_a, qid_b
+        ),
+        pairs AS (
+          SELECT a.{id_col}, a.start AS start_a, a."end" AS end_a,
+                 a.qid AS qid_a, b.start AS start_b, b."end" AS end_b,
+                 b.qid AS qid_b
+          FROM rl a JOIN rl b ON a.{id_col} = b.{id_col}
+          WHERE a."end" <= b.start AND b.start - a."end" <= {max_gap}
+                AND a.qid != b.qid
+        )
+        SELECT p.{id_col}, p.start_a, p.end_a, p.qid_a,
+               p.start_b, p.end_b, p.qid_b,
+               coalesce(r.m.pred, 'NO_REL') AS label,
+               coalesce(r.m.direction, 'none') AS direction
+        FROM pairs p LEFT JOIN rels r
+          ON p.qid_a = r.qid_a AND p.qid_b = r.qid_b
+    """
