@@ -55,6 +55,13 @@ def main(argv: list[str] | None = None) -> int:
                          "compaction snapshot — the Iceberg-DELETE "
                          "stand-in); follow with --maintain-closure to "
                          "reconcile materialized closures via DRed")
+    ap.add_argument("--emit-training", action="store_true",
+                    help="after the batch run: emit distant-supervision "
+                         "training data from the run's own linked output "
+                         "— per-token BIO rows ({out}/training/ner) and "
+                         "KB-labelled relation pairs ({out}/training/rel) "
+                         "(batch mode only; --resume keeps no linked "
+                         "frame to supervise from)")
     ap.add_argument("--max-docs", type=int, default=None)
     ap.add_argument("--master", default=None, help="override spark master (local dev)")
     args = ap.parse_args(argv)
@@ -65,6 +72,10 @@ def main(argv: list[str] | None = None) -> int:
         print("--compact/--vacuum/--maintain-closure/--diff/--retract "
               "maintain the checkpointed (append) store; use them with "
               "--resume", file=sys.stderr)
+        return 2
+    if args.emit_training and args.resume:
+        print("--emit-training needs the batch run's linked frame; "
+              "it is not available under --resume", file=sys.stderr)
         return 2
 
     from entity_extraction_svc_spark.session import get_spark
@@ -98,6 +109,38 @@ def main(argv: list[str] | None = None) -> int:
         write_triples(triples, f"{args.out}/triples")
         stats = {"n_linked": n_linked,
                  "n_triples": spark.read.parquet(f"{args.out}/triples").count()}
+        if args.emit_training:
+            from entity_extraction_svc_spark.operators.extract import (
+                extract_text,
+            )
+            from entity_extraction_svc_spark.operators.ner import (
+                bio_training_rows,
+            )
+            from entity_extraction_svc_spark.operators.triples import (
+                relation_training_pairs,
+            )
+
+            top1 = linked.filter(
+                (F.col("rank") == 0) & F.col("qid").isNotNull()
+            ).select("url", "start", "end", "qid", "ent_tag")
+            docs = extract_text(pages, source=args.source).select("url", "text")
+            bio = bio_training_rows(
+                docs, top1.withColumnRenamed("ent_tag", "tag")
+            )
+            bio.write.mode("overwrite").parquet(f"{args.out}/training/ner")
+            rel = relation_training_pairs(
+                top1.select("url", "start", "end", "qid"),
+                spark.read.parquet(f"{args.kb}/kb_triples.parquet"),
+            )
+            rel.write.mode("overwrite").parquet(f"{args.out}/training/rel")
+            nerdf = spark.read.parquet(f"{args.out}/training/ner")
+            reldf = spark.read.parquet(f"{args.out}/training/rel")
+            stats["training"] = {
+                "ner_tokens": nerdf.count(),
+                "ner_entity_tokens": nerdf.filter("bio != 'O'").count(),
+                "rel_pairs": reldf.count(),
+                "rel_labelled": reldf.filter("label != 'NO_REL'").count(),
+            }
     if args.vacuum or args.compact:
         from entity_extraction_svc_spark.plans import lineage as L
 
