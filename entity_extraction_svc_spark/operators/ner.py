@@ -305,40 +305,47 @@ def bio_training_rows(docs: DataFrame, mentions: DataFrame,
         .filter(F.col("token") != "")
     )
     m = mentions.select(
-        F.col(id_col).alias("_id"),
+        F.col(id_col).alias("_mid"),
         F.col(start_col).cast("long").alias("m_start"),
         F.col(end_col).cast("long").alias("m_end"),
         F.col(tag_col).alias("m_tag"),
     )
-    ov = toks.join(m, "_id").filter(
-        (F.col("tok_start") < F.col("m_end"))
-        & (F.col("tok_end") > F.col("m_start"))
+    # ONE left join carrying the overlap predicate: a token with no
+    # overlapping mention keeps exactly one null-mention row (its O
+    # case), so no second pass over the token set and no final
+    # join-back — the token frame is computed once, and this join's
+    # _id key reuses the offset window's partitioning
+    ov = toks.join(
+        m,
+        (F.col("_id") == F.col("_mid"))
+        & (F.col("tok_start") < F.col("m_end"))
+        & (F.col("tok_end") > F.col("m_start")),
+        "left",
     )
     w_first = Window.partitionBy("_id", "m_start", "m_end", "m_tag")
     w_best = Window.partitionBy("_id", "tok_idx").orderBy(
         "m_start", "m_end", "m_tag"
     )
-    lab = (
+    return (
         ov.withColumn("_first", F.min("tok_idx").over(w_first))
         .withColumn("_rn", F.row_number().over(w_best))
         .filter(F.col("_rn") == 1)
         .select(
-            "_id",
+            F.col("_id").alias(id_col),
             "tok_idx",
-            F.concat(
-                F.when(F.col("tok_idx") == F.col("_first"), F.lit("B-"))
-                .otherwise(F.lit("I-")),
-                F.col("m_tag"),
+            "token",
+            "tok_start",
+            "tok_end",
+            F.coalesce(
+                F.concat(
+                    F.when(
+                        F.col("tok_idx") == F.col("_first"), F.lit("B-")
+                    ).otherwise(F.lit("I-")),
+                    F.col("m_tag"),
+                ),
+                F.lit("O"),
             ).alias("bio"),
         )
-    )
-    return toks.join(lab, ["_id", "tok_idx"], "left").select(
-        F.col("_id").alias(id_col),
-        "tok_idx",
-        "token",
-        "tok_start",
-        "tok_end",
-        F.coalesce("bio", F.lit("O")).alias("bio"),
     )
 
 
