@@ -501,6 +501,24 @@ def _kg_rel_training(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relation_training_pairs(links, kb)
 
 
+def _kg_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min head-key telemetry over the fixture KB's subjects: the
+    bounded-memory (d x w counters) frequency sketch every skew decision
+    (salting, two-stage top-k, bucket caps) consumes at corpus scale;
+    every distinct subject probed, one-sided error (est >= true)."""
+    from entity_extraction_svc_spark.fixtures import ensure_fixtures
+    from entity_extraction_svc_spark.operators.sketch import (
+        countmin_build,
+        countmin_estimate,
+    )
+
+    ensure_fixtures(FIXTURES)
+    kb = spark.read.parquet(f"{FIXTURES}/kb_triples.parquet")
+    stream = kb.select(F.col("subj").alias("k"))
+    counters = countmin_build(stream, "k", w=128, d=4)
+    return countmin_estimate(counters, stream, "k", w=128, d=4)
+
+
 def _kg_date_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W2 date prettifier + the scalar-function surface (regex, datetime,
     concat) in one per-event projection — one driver row covers both."""
@@ -1975,6 +1993,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_knn_gnn": _kg_knn_gnn,  # kNN graph + neighbor feature agg
         "kg_ner_training": _kg_ner_training,  # BIO distant supervision
         "kg_rel_training": _kg_rel_training,  # relation distant supervision
+        "kg_sketch": _kg_sketch,  # count-min head-key telemetry
         "kg_date_format": _kg_date_format,  # + scalar-function surface
         "kg_pagerank": _kg_pagerank,  # iterative entity importance
         # dedup family
@@ -3520,6 +3539,14 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT url, start AS m_start, \"end\" AS m_end, tag AS m_tag "
         f"FROM read_parquet('{fx}/golden_mentions.parquet')",
     )
+
+    # kg_sketch: module-generated build+estimate rendition, same md5
+    # bucket definition, same (w, d)
+    from entity_extraction_svc_spark.operators.sketch import countmin_oracle_sql
+
+    _subj = (f"SELECT subj AS k "
+             f"FROM read_parquet('{fx}/kb_triples.parquet')")
+    sql["kg_sketch"] = countmin_oracle_sql(_subj, _subj, w=128, d=4)
 
     # kg_rel_training: module-generated rendition over the same fixture
     # parquets (shared pair/gap/least-label rules)
