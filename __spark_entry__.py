@@ -419,7 +419,9 @@ def _kg_knn_gnn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    edges = knn_graph(emb, k=5, floor=0.3)
+    # both parts consume the kNN edge set; localCheckpoint so the
+    # O(n^2) candidate scan runs once, not once per union branch
+    edges = knn_graph(emb, k=5, floor=0.3).localCheckpoint()
     knn = edges.select(
         F.lit("knn").alias("part"),
         F.col("src").alias("a"),
@@ -3560,37 +3562,24 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT subj, pred, obj FROM read_parquet('{fx}/kb_triples.parquet')",
     )
 
-    # kg_knn_gnn: exact kNN graph (unrounded-cosine floor, round-6 rank
-    # order with dst tie-break — knn_graph's exact semantics) + the mean
-    # message-passing layer exploded to (node, dim, value)
-    sql["kg_knn_gnn"] = """
-        WITH e AS (
-          SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
-          FROM embeddings
-        ), pairs AS (
-          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                 list_sum(list_transform(generate_series(1, len(a.v)),
-                                         i -> a.v[i] * b.v[i]))
-                 / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
-                    * sqrt(list_sum(list_transform(b.v, x -> x * x)))) AS c
-          FROM e a JOIN e b ON a.vec_id < b.vec_id
-        ), sym AS (
-          SELECT id_a AS src, id_b AS dst, round(c, 6) AS cos_sim
-          FROM pairs WHERE c >= 0.3
-          UNION ALL
-          SELECT id_b, id_a, round(c, 6) FROM pairs WHERE c >= 0.3
-        ), knn AS (
-          SELECT src, dst, cos_sim, rank FROM (
-            SELECT src, dst, cos_sim, row_number() OVER (
-              PARTITION BY src ORDER BY cos_sim DESC, dst ASC) AS rank
-            FROM sym
-          ) WHERE rank <= 5
-        ), feat AS (
-          SELECT k.src AS vec_id, g.i - 1 AS dim_idx,
-                 count(*) AS n_nbr, round(avg(f.v[g.i]), 6) AS val
-          FROM knn k JOIN e f ON k.dst = f.vec_id
-               CROSS JOIN generate_series(1, 64) g(i)
-          GROUP BY k.src, g.i
+    # kg_knn_gnn: COMPOSED from the module-generated oracles (one
+    # definition per operator — a semantics change updates tests and
+    # this row together), with the feat list unnested to (node, dim,
+    # value) for the hash compare
+    from entity_extraction_svc_spark.operators.gnn import (
+        knn_graph_oracle_sql,
+        neighbor_feature_agg_oracle_sql,
+    )
+
+    sql["kg_knn_gnn"] = f"""
+        WITH knn AS ({knn_graph_oracle_sql(k=5, floor=0.3)}),
+        feat0 AS (
+          {neighbor_feature_agg_oracle_sql("SELECT src, dst FROM knn",
+                                           dim=64)}
+        ),
+        feat AS (
+          SELECT vec_id, g.i - 1 AS dim_idx, n_nbr, feat[g.i] AS val
+          FROM feat0, unnest(generate_series(1, 64)) AS g(i)
         )
         SELECT 'knn' AS part, src AS a, dst AS b,
                rank::BIGINT AS r, cos_sim AS v

@@ -1205,10 +1205,7 @@ def line_dedup(docs: DataFrame, text_col: str = "text",
         F.posexplode(
             F.split(F.col(text_col), "\\Q" + sep + "\\E")
         ).alias("_idx", "_line"),
-    ).withColumn(
-        "_norm",
-        F.trim(F.regexp_replace(F.lower(F.col("_line")), r"\s+", " ")),
-    )
+    ).withColumn("_norm", _norm_text("_line"))
     # Winners over non-empty lines only; empty lines never dedup, they
     # just count as dropped.  The LEFT join keeps every line so ONE
     # per-doc groupBy yields text, n_kept AND n_dropped together (the

@@ -52,13 +52,26 @@ def knn_graph(embeddings: DataFrame, k: int = 5, floor: float = 0.3,
         embeddings, threshold=floor, id_col=id_col, vec_col=vec_col,
         n_blocks=n_blocks,
     )
+    # symmetrize by EXPLODING each pair into both directions rather
+    # than a self-union — a union references the pairs subplan twice,
+    # which re-executes the tiled matmul (review-pass find); explode
+    # scans it once
     sym = pairs.select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst"), "cos_sim"
-    ).unionByName(
-        pairs.select(
-            F.col("id_b").alias("src"), F.col("id_a").alias("dst"), "cos_sim"
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("src"),
+                    F.col("id_b").alias("dst"),
+                    F.col("cos_sim"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("src"),
+                    F.col("id_a").alias("dst"),
+                    F.col("cos_sim"),
+                ),
+            )
+        ).alias("_e")
+    ).select("_e.src", "_e.dst", "_e.cos_sim")
     from pyspark.sql.window import Window
 
     order = [F.desc("cos_sim"), F.asc("dst")]

@@ -274,11 +274,18 @@ def bio_training_rows(docs: DataFrame, mentions: DataFrame,
     Label rule (deterministic, engine-shared): a token OVERLAPS a
     mention iff tok_start < m_end and tok_end > m_start (handles spans
     that start or end mid-token, e.g. trailing punctuation glued to the
-    word); the mention's first overlapping token is B-<tag>, later ones
-    I-<tag>; a token overlapped by several mentions takes the
-    (start, end, tag)-least; everything else is O.  Tokens that are
-    empty strings (consecutive separators) participate in offset
-    accounting but are not emitted.
+    word); a token overlapped by several mentions takes the
+    (start, end, tag)-least; B vs I is decided on the CHOSEN sequence —
+    a token is B-<tag> iff the previous emitted token does not carry
+    the same chosen mention, I-<tag> otherwise; everything else is O.
+    The run-start rule (rather than "the mention's first overlapping
+    token is B") makes the output well-formed BIO by construction:
+    when two partially-overlapping mentions interleave, the losing
+    mention's tail tokens RESTART as B instead of emitting an I- run
+    with no B- (which seqeval/CRF consumers reject) — a review-pass
+    find, pinned by test_interleaved_overlaps_stay_well_formed.
+    Tokens that are empty strings (consecutive separators) participate
+    in offset accounting but are not emitted.
 
     Scale shape: one posexplode (narrow), a per-document offset window
     and the mention join BOTH keyed on the document id — one exchange,
@@ -322,29 +329,40 @@ def bio_training_rows(docs: DataFrame, mentions: DataFrame,
         & (F.col("tok_end") > F.col("m_start")),
         "left",
     )
-    w_first = Window.partitionBy("_id", "m_start", "m_end", "m_tag")
     w_best = Window.partitionBy("_id", "tok_idx").orderBy(
         "m_start", "m_end", "m_tag"
     )
+    # chosen-mention identity per token ('' for O tokens — a real
+    # mention key is never empty); B iff the previous emitted token's
+    # key differs (run start), so I- always follows its own B-
+    w_seq = Window.partitionBy("_id").orderBy("tok_idx")
+    key = F.concat_ws(
+        ":",
+        F.col("m_start").cast("string"),
+        F.col("m_end").cast("string"),
+        F.col("m_tag"),
+    )
     return (
-        ov.withColumn("_first", F.min("tok_idx").over(w_first))
-        .withColumn("_rn", F.row_number().over(w_best))
+        ov.withColumn("_rn", F.row_number().over(w_best))
         .filter(F.col("_rn") == 1)
+        .withColumn("_key", key)
+        .withColumn("_prev", F.coalesce(F.lag("_key").over(w_seq), F.lit("")))
         .select(
             F.col("_id").alias(id_col),
             "tok_idx",
             "token",
             "tok_start",
             "tok_end",
-            F.coalesce(
+            F.when(F.col("_key") == "", F.lit("O"))
+            .otherwise(
                 F.concat(
                     F.when(
-                        F.col("tok_idx") == F.col("_first"), F.lit("B-")
+                        F.col("_key") != F.col("_prev"), F.lit("B-")
                     ).otherwise(F.lit("I-")),
                     F.col("m_tag"),
-                ),
-                F.lit("O"),
-            ).alias("bio"),
+                )
+            )
+            .alias("bio"),
         )
     )
 
@@ -352,9 +370,10 @@ def bio_training_rows(docs: DataFrame, mentions: DataFrame,
 def bio_training_oracle_sql(docs_sql: str, mentions_sql: str,
                             id_col: str = "url") -> str:
     """DuckDB rendition of :func:`bio_training_rows` — same whitespace
-    tokenization, offset accounting, overlap rule, B/I-first rule, and
-    (start, end, tag)-least mention choice.  ``docs_sql`` must yield
-    (<id_col>, text); ``mentions_sql`` (<id_col>, m_start, m_end, m_tag)."""
+    tokenization, offset accounting, overlap rule, (start, end,
+    tag)-least mention choice, and run-start B rule.  ``docs_sql`` must
+    yield (<id_col>, text); ``mentions_sql`` (<id_col>, m_start, m_end,
+    m_tag)."""
     return f"""
         WITH bio_docs AS ({docs_sql}), bio_m AS ({mentions_sql}),
         tok0 AS (
@@ -376,20 +395,27 @@ def bio_training_oracle_sql(docs_sql: str, mentions_sql: str,
           FROM tok WHERE token != ''
         ),
         ov AS (
-          SELECT t.id, t.tok_idx, m.m_start, m.m_end, m.m_tag,
-                 min(t.tok_idx) OVER (
-                   PARTITION BY t.id, m.m_start, m.m_end, m.m_tag)
-                   AS first_idx,
+          SELECT t.id, t.tok_idx, t.token, t.tok_start, t.tok_end,
+                 m.m_start, m.m_end, m.m_tag,
                  row_number() OVER (PARTITION BY t.id, t.tok_idx
                    ORDER BY m.m_start, m.m_end, m.m_tag) AS rn
-          FROM tok2 t JOIN bio_m m
+          FROM tok2 t LEFT JOIN bio_m m
             ON t.id = m.{id_col}
            AND t.tok_start < m.m_end AND t.tok_end > m.m_start
+        ),
+        seq AS (
+          SELECT *,
+                 concat_ws(':', CAST(m_start AS VARCHAR),
+                           CAST(m_end AS VARCHAR), m_tag) AS key,
+                 coalesce(lag(concat_ws(':', CAST(m_start AS VARCHAR),
+                                        CAST(m_end AS VARCHAR), m_tag))
+                          OVER (PARTITION BY id ORDER BY tok_idx),
+                          '') AS prev
+          FROM ov WHERE rn = 1
         )
-        SELECT t.id AS {id_col}, t.tok_idx, t.token, t.tok_start, t.tok_end,
-               coalesce(
-                 (CASE WHEN o.tok_idx = o.first_idx THEN 'B-' ELSE 'I-' END)
-                   || o.m_tag, 'O') AS bio
-        FROM tok2 t LEFT JOIN (SELECT * FROM ov WHERE rn = 1) o
-          ON t.id = o.id AND t.tok_idx = o.tok_idx
+        SELECT id AS {id_col}, tok_idx, token, tok_start, tok_end,
+               CASE WHEN key = '' THEN 'O'
+                    WHEN key != prev THEN 'B-' || m_tag
+                    ELSE 'I-' || m_tag END AS bio
+        FROM seq
     """

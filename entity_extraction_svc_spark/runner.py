@@ -61,7 +61,11 @@ def main(argv: list[str] | None = None) -> int:
                          "— per-token BIO rows ({out}/training/ner) and "
                          "KB-labelled relation pairs ({out}/training/rel) "
                          "(batch mode only; --resume keeps no linked "
-                         "frame to supervise from)")
+                         "frame to supervise from). Costs one extra "
+                         "extraction pass over the corpus: the fused "
+                         "plan keeps text internal to its Arrow batches "
+                         "by design, so the emitter re-derives (url, "
+                         "text) — narrow, scan-bound")
     ap.add_argument("--max-docs", type=int, default=None)
     ap.add_argument("--master", default=None, help="override spark master (local dev)")
     args = ap.parse_args(argv)

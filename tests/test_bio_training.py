@@ -71,6 +71,31 @@ def test_overlapping_mentions_least_wins(spark):
     assert got[1] == "B-ART" and got[2] == "I-ART"
 
 
+def test_interleaved_overlaps_stay_well_formed(spark):
+    """Review-pass find: with the old first-overlapping-token B rule,
+    two partially-overlapping mentions could emit an I- run with no B-
+    (here: the ORG mention's first overlapping token loses to PER, so
+    the next ORG token used to come out I-ORG).  The run-start rule
+    restarts it as B-ORG — every I- follows its own B-."""
+    #        0123456789012345
+    docs = spark.createDataFrame(
+        [("d1", "Aaaa bbbb cccc")], "url string, text string")
+    m = spark.createDataFrame(
+        [("d1", 0, 8, "PER"), ("d1", 4, 13, "ORG")],
+        "url string, start long, end long, tag string",
+    )
+    got = [r.bio for r in bio_training_rows(docs, m)
+           .orderBy("tok_idx").collect()]
+    assert got == ["B-PER", "I-PER", "B-ORG"]
+    # well-formedness over the whole output: every I-x preceded by
+    # B-x or I-x of the same tag
+    prev = "O"
+    for b in got:
+        if b.startswith("I-"):
+            assert prev.endswith(b[2:]) and prev != "O"
+        prev = b
+
+
 def test_matches_oracle_and_partitioning_invariance(spark):
     docs, m = _frames(spark)
     got = sorted(map(tuple, bio_training_rows(docs, m).collect()))

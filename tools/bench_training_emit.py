@@ -54,10 +54,15 @@ def main() -> None:
     docs = extract_text(pages).select("url", "text").persist()
     n_pages = docs.count()
 
+    # ONE action per emitter — a second filtered count would re-run the
+    # whole unpersisted plan and double the booked wall (review find)
     t0 = time.time()
     bio = bio_training_rows(docs, top1)
-    n_tok = bio.count()
-    n_ent = bio.filter("bio != 'O'").count()
+    r = bio.agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("bio") != "O").cast("long")).alias("e"),
+    ).collect()[0]
+    n_tok, n_ent = r.n, r.e
     bio_sec = round(time.time() - t0, 2)
 
     t0 = time.time()
@@ -65,8 +70,11 @@ def main() -> None:
         top1.select("url", "start", "end", "qid"),
         spark.read.parquet(f"{d}/kb_triples.parquet"),
     )
-    n_pairs = rel.count()
-    n_lab = rel.filter("label != 'NO_REL'").count()
+    r = rel.agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("label") != "NO_REL").cast("long")).alias("l"),
+    ).collect()[0]
+    n_pairs, n_lab = r.n, r.l
     rel_sec = round(time.time() - t0, 2)
 
     print(json.dumps({
