@@ -504,21 +504,35 @@ def _kg_rel_training(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _kg_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Count-min head-key telemetry over the fixture KB's subjects: the
-    bounded-memory (d x w counters) frequency sketch every skew decision
-    (salting, two-stage top-k, bucket caps) consumes at corpus scale;
-    every distinct subject probed, one-sided error (est >= true)."""
+    """Bounded-memory skew telemetry over the fixture KB, both questions
+    a salting/top-k/bucket-cap decision asks at corpus scale: part=cm is
+    the count-min FREQUENCY sketch over subjects (d x w counters, every
+    distinct subject probed, one-sided est >= true); part=hll is the
+    HyperLogLog DISTINCT-cardinality sketch, per-predicate distinct
+    objects (2^p registers/key, integer harmonic sum so the estimate is
+    bit-stable under any partitioning) — the selectivity input BGP leg
+    ordering and domain/range induction consume."""
     from entity_extraction_svc_spark.fixtures import ensure_fixtures
     from entity_extraction_svc_spark.operators.sketch import (
         countmin_build,
         countmin_estimate,
+        hll_distinct,
     )
 
     ensure_fixtures(FIXTURES)
     kb = spark.read.parquet(f"{FIXTURES}/kb_triples.parquet")
     stream = kb.select(F.col("subj").alias("k"))
     counters = countmin_build(stream, "k", w=128, d=4)
-    return countmin_estimate(counters, stream, "k", w=128, d=4)
+    cm = countmin_estimate(counters, stream, "k", w=128, d=4).select(
+        F.lit("cm").alias("part"), "k",
+        F.lit(None).cast("long").alias("n_reg"),
+        F.col("est").cast("double").alias("est"),
+    )
+    hll = hll_distinct(
+        kb.select(F.col("pred").alias("k"), F.col("obj").alias("v")),
+        "k", "v", p=6,
+    ).select(F.lit("hll").alias("part"), "k", "n_reg", "est")
+    return cm.unionByName(hll)
 
 
 def _kg_date_format(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3542,13 +3556,26 @@ def oracle_sql() -> dict[str, str]:
         f"FROM read_parquet('{fx}/golden_mentions.parquet')",
     )
 
-    # kg_sketch: module-generated build+estimate rendition, same md5
-    # bucket definition, same (w, d)
-    from entity_extraction_svc_spark.operators.sketch import countmin_oracle_sql
+    # kg_sketch: module-generated renditions of both sketches — count-min
+    # (same md5 bucket definition, same (w, d)) unioned with the HLL
+    # distinct sketch (same md5 register math, same (p), same injected
+    # alpha constant)
+    from entity_extraction_svc_spark.operators.sketch import (
+        countmin_oracle_sql,
+        hll_oracle_sql,
+    )
 
     _subj = (f"SELECT subj AS k "
              f"FROM read_parquet('{fx}/kb_triples.parquet')")
-    sql["kg_sketch"] = countmin_oracle_sql(_subj, _subj, w=128, d=4)
+    _po = (f"SELECT pred AS k, obj AS v "
+           f"FROM read_parquet('{fx}/kb_triples.parquet')")
+    sql["kg_sketch"] = f"""
+        SELECT 'cm' AS part, k, NULL::BIGINT AS n_reg, CAST(est AS DOUBLE) AS est
+        FROM ({countmin_oracle_sql(_subj, _subj, w=128, d=4)})
+        UNION ALL
+        SELECT 'hll' AS part, k, n_reg, est
+        FROM ({hll_oracle_sql(_po, p=6)})
+    """
 
     # kg_rel_training: module-generated rendition over the same fixture
     # parquets (shared pair/gap/least-label rules)

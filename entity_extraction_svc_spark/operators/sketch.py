@@ -93,6 +93,130 @@ def heavy_hitters(df: DataFrame, key_col: str, threshold: int,
     return est.filter(F.col("est") >= threshold)
 
 
+# ---------------------------------------------------------------------------
+# HyperLogLog: bounded-memory DISTINCT cardinality per key
+# ---------------------------------------------------------------------------
+#
+# The companion question to count-min's "how often does this key appear"
+# is "how many DISTINCT partners does this key have" — the input to
+# per-predicate selectivity (BGP leg ordering), domain/range induction
+# coverage, and neighbor-set sizing, none of which can afford an exact
+# count(distinct) shuffle per key at 10^12 triples.  A Flajolet et al.
+# 2007 HyperLogLog keeps m = 2^p registers per key (max leading-zero rank
+# of the hashed value routed to each register); max() combines map-side,
+# so the shuffle moves (key, register) rows — at most m per key — not
+# values.
+#
+# Determinism is the design constraint: the registers are pure integer
+# functions of md5 (the repo's shared _h64), the harmonic sum is computed
+# in INTEGER arithmetic (each 2^-M term scaled by 2^(W+1) is an exact
+# BIGINT, so the sum is order-independent — no float-accumulation drift
+# between Spark and DuckDB), and the only float ops are one division by
+# a Python-precomputed constant injected as the SAME literal into both
+# engines, plus the standard small-range linear-counting correction
+# (m*ln(m/V)) whose inputs are identical small integers.  Estimates are
+# therefore bit-stable across partitionings, executor counts, and
+# engines (round(.,4) guards the last-ulp libm difference on ln).
+
+_HLL_ALPHA = {4: 0.673, 5: 0.697, 6: 0.709}
+
+
+def _hll_alpha(p: int) -> float:
+    m = 1 << p
+    return _HLL_ALPHA.get(p, 0.7213 / (1 + 1.079 / m))
+
+
+def hll_registers(df: DataFrame, key_col: str, val_col: str,
+                  p: int = 6) -> DataFrame:
+    """Per-key HLL register table (k, j, mx): the hashed value's low p
+    bits pick register j, mx is the max over values of (leading zeros of
+    the remaining W = 60-p bits) + 1.  At most 2^p rows per key; max()
+    partial-aggregates map-side, so the shuffle is register-sized."""
+    if not 4 <= p <= 16:
+        raise ValueError("p must be in [4, 16]")
+    m, big_w = 1 << p, 60 - p
+    rows = df.select(
+        F.col(key_col).cast("string").alias("k"),
+        F.col(val_col).cast("string").alias("_v"),
+    ).filter(F.col("k").isNotNull() & F.col("_v").isNotNull())
+    h = _h64(F.col("_v"))
+    w = F.shiftright(h, p)
+    # exact leading-zero rank via the binary-digit count (integer ops
+    # only — floor(log2) on a 54-bit int is not float-safe)
+    binlen = F.length(F.conv(w.cast("string"), 10, 2))
+    mx = F.when(w == 0, F.lit(big_w + 1)).otherwise(F.lit(big_w) + 1 - binlen)
+    return (
+        rows.select("k", (h % m).alias("j"), mx.alias("_mx"))
+        .groupBy("k", "j")
+        .agg(F.max("_mx").alias("mx"))
+    )
+
+
+def hll_estimate(regs: DataFrame, p: int = 6) -> DataFrame:
+    """(k, n_reg, est) distinct-count estimates from a register table.
+    The harmonic sum is integer (each 2^-mx term scaled by 2^(W+1) is an
+    exact BIGINT), so it is independent of aggregation order; V = 2^p -
+    n_reg empty registers contribute 2^0 each.  Small-range correction
+    (raw <= 2.5m with empty registers) switches to linear counting
+    m*ln(m/V), the standard HLL regime rule."""
+    if not 4 <= p <= 16:
+        raise ValueError("p must be in [4, 16]")
+    m, big_w = 1 << p, 60 - p
+    num = _hll_alpha(p) * m * m * float(1 << (big_w + 1))
+    term = F.expr(f"shiftleft(CAST(1 AS BIGINT), {big_w + 1} - mx)")
+    agg = regs.groupBy("k").agg(
+        F.count("*").alias("n_reg"), F.sum(term).alias("_s")
+    )
+    s_full = F.col("_s") + (F.lit(m) - F.col("n_reg")) * F.lit(1 << (big_w + 1))
+    raw = F.lit(num) / s_full
+    v = F.lit(m) - F.col("n_reg")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (v > 0),
+        F.round(F.lit(m) * F.log(F.lit(float(m)) / v), 4),
+    ).otherwise(F.round(raw, 4))
+    return agg.select("k", "n_reg", est.alias("est"))
+
+
+def hll_distinct(df: DataFrame, key_col: str, val_col: str,
+                 p: int = 6) -> DataFrame:
+    """Per-key approximate count(distinct val): build + estimate."""
+    return hll_estimate(hll_registers(df, key_col, val_col, p), p)
+
+
+def hll_oracle_sql(stream_sql: str, p: int = 6) -> str:
+    """DuckDB rendition of hll_distinct over a (k, v) stream — same md5
+    hash, same integer register/sum arithmetic, same injected alpha
+    constant, same correction rule.  Returns (k, n_reg, est)."""
+    m, big_w = 1 << p, 60 - p
+    num = repr(_hll_alpha(p) * m * m * float(1 << (big_w + 1)))
+    sc = 1 << (big_w + 1)
+    h = "(('0x' || substr(md5(v), 1, 15))::BIGINT)"
+    return f"""
+        WITH hll_stream AS ({stream_sql}),
+        hashed AS (
+          SELECT k, {h} % {m} AS j, ({h} >> {p}) AS w
+          FROM hll_stream WHERE k IS NOT NULL AND v IS NOT NULL
+        ),
+        regs AS (
+          SELECT k, j,
+                 max(CASE WHEN w = 0 THEN {big_w + 1}
+                     ELSE {big_w} + 1 - length(to_base(w, 2)) END) AS mx
+          FROM hashed GROUP BY k, j
+        ),
+        agg AS (
+          SELECT k, count(*) AS n_reg,
+                 sum((1::BIGINT << ({big_w + 1} - mx)))
+                   + ({m} - count(*)) * {sc}::BIGINT AS s
+          FROM regs GROUP BY k
+        )
+        SELECT k, n_reg,
+               CASE WHEN ({num} / s) <= {2.5 * m} AND ({m} - n_reg) > 0
+                    THEN round({m} * ln({m} * 1.0 / ({m} - n_reg)), 4)
+                    ELSE round({num} / s, 4) END AS est
+        FROM agg
+    """
+
+
 def countmin_oracle_sql(stream_sql: str, probe_sql: str, w: int = 1024,
                         d: int = 4) -> str:
     """DuckDB rendition of build+estimate with the SAME md5 bucket

@@ -77,3 +77,69 @@ def test_nulls_excluded_and_validation(spark):
         countmin_build(df, "k", w=0)
     with pytest.raises(ValueError):
         countmin_estimate(c, df, "k", d=0)
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct sketch
+# ---------------------------------------------------------------------------
+
+from entity_extraction_svc_spark.operators.sketch import (  # noqa: E402
+    hll_distinct,
+    hll_estimate,
+    hll_oracle_sql,
+    hll_registers,
+)
+
+_PAIRS = (
+    [("a", f"v{i}") for i in range(500)]
+    + [("a", f"v{i}") for i in range(200)]   # repeats must not inflate
+    + [("b", f"x{i}") for i in range(37)]
+    + [("c", f"y{i}") for i in range(3)]
+)
+
+
+def _kv(spark, pairs=_PAIRS):
+    return spark.createDataFrame(pairs, "k string, v string")
+
+
+def test_hll_registers_bounded_and_duplicate_insensitive(spark):
+    regs = hll_registers(_kv(spark), "k", "v", p=5)
+    rows = regs.collect()
+    assert len(rows) <= 3 * 32
+    # the register table of the deduplicated stream is identical —
+    # distinct-counting means repeats are free
+    dedup = hll_registers(_kv(spark).distinct(), "k", "v", p=5)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, dedup.collect()))
+
+
+def test_hll_estimate_accuracy(spark):
+    est = {r.k: r.est for r in hll_distinct(_kv(spark), "k", "v", p=6).collect()}
+    # standard error ~ 1.04/sqrt(64) = 13%; assert a loose 2-sigma band
+    assert abs(est["a"] - 500) / 500 < 0.26
+    assert abs(est["b"] - 37) / 37 < 0.30      # linear-counting regime
+    assert abs(est["c"] - 3) / 3 < 0.35
+
+
+def test_hll_matches_oracle_and_partitioning_invariance(spark):
+    got = sorted(map(tuple, hll_distinct(_kv(spark), "k", "v", p=6).collect()))
+    con = duckdb.connect()
+    con.register("hll_in", pd.DataFrame(_PAIRS, columns=["k", "v"]))
+    want = sorted((k, int(n), float(e)) for k, n, e in con.sql(
+        hll_oracle_sql("SELECT k, v FROM hll_in", p=6)).fetchall())
+    assert got == want
+    # order/partitioning invariance: the harmonic sum is integer, so a
+    # different physical layout is bit-identical, not just close
+    re = sorted(map(tuple, hll_distinct(
+        _kv(spark).repartition(7), "k", "v", p=6).collect()))
+    assert re == got
+
+
+def test_hll_nulls_excluded_and_validation(spark):
+    df = spark.createDataFrame(
+        [("a", "v"), ("a", None), (None, "v")], "k string, v string")
+    out = hll_distinct(df, "k", "v", p=6).collect()
+    assert [(r.k, r.n_reg) for r in out] == [("a", 1)]
+    with pytest.raises(ValueError):
+        hll_registers(df, "k", "v", p=2)
+    with pytest.raises(ValueError):
+        hll_estimate(hll_registers(df, "k", "v"), p=20)
