@@ -350,9 +350,22 @@ def _kg_connection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("a"),
         F.col("degree").cast("string").alias("b"),
     )
+    # part=wcc: weakly-connected components over the same edge set — the
+    # alias-clustering primitive (canonicalize.connected_components)
+    # pinned DIRECTLY against a reachability-min oracle, not just through
+    # the kg_canonical row's composed use
+    from entity_extraction_svc_spark.operators.canonicalize import (
+        connected_components,
+    )
+
+    wcc = connected_components(ee).select(
+        F.lit("wcc").alias("part"),
+        F.col("node").alias("a"),
+        F.col("comp").alias("b"),
+    )
     return (
         conn.unionByName(bfs).unionByName(tri).unionByName(path)
-        .unionByName(lpa).unionByName(core)
+        .unionByName(lpa).unionByName(core).unionByName(wcc)
     )
 
 
@@ -3372,6 +3385,7 @@ def oracle_sql() -> dict[str, str]:
     # mining module's own rendition over the same golden links + alias dim
     from entity_extraction_svc_spark.operators.canonicalize import (
         mine_aliases_oracle_sql,
+        wcc_oracle_sql,
     )
 
     sql["kg_canonical"] = (
@@ -3498,6 +3512,10 @@ def oracle_sql() -> dict[str, str]:
         " UNION ALL "
         "SELECT 'kcore' AS part, node AS a, degree::VARCHAR AS b FROM ("
         + kcore_oracle_sql(_pr_edges, k=2)
+        + ")"
+        " UNION ALL "
+        "SELECT 'wcc' AS part, node AS a, comp AS b FROM ("
+        + wcc_oracle_sql(_pr_edges)
         + ")"
     )
 

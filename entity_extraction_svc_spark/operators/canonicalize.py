@@ -161,6 +161,26 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
     return labels
 
 
+def wcc_oracle_sql(edges_sql: str) -> str:
+    """DuckDB recursive-CTE rendition of ``connected_components``'s
+    DEFINITION (comp = min node label over the undirected reachable
+    set), independent of both the union-find fast path and the
+    hash-min/pointer-jump distributed plan.  Returns (node, comp)."""
+    return f"""
+        WITH RECURSIVE wcc_e AS (
+          SELECT src, dst FROM ({edges_sql})
+          UNION SELECT dst AS src, src AS dst FROM ({edges_sql})
+        ),
+        wcc_reach(node, r) AS (
+          SELECT src, src FROM wcc_e
+          UNION
+          SELECT wcc_reach.node, wcc_e.dst
+          FROM wcc_reach JOIN wcc_e ON wcc_reach.r = wcc_e.src
+        )
+        SELECT node, min(r) AS comp FROM wcc_reach GROUP BY node
+    """
+
+
 def canonical_qids(kb_entities: DataFrame, kb_aliases: DataFrame,
                    max_iter: int = 20) -> DataFrame:
     """(qid, canonical_qid): the min QID of each alias-connected component."""

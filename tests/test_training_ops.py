@@ -728,6 +728,31 @@ def test_connected_components_paths_agree(spark):
     assert local[200] == 200 and local[300] == 300 and local[301] == 300
 
 
+def test_connected_components_matches_reachability_oracle(spark):
+    """Both CC paths pinned against the recursive-CTE DEFINITION (comp =
+    min label over the undirected reachable set) — the same generator the
+    kg_connection part=wcc driver row runs."""
+    import duckdb
+    import pandas as pd
+
+    from entity_extraction_svc_spark.operators.canonicalize import (
+        connected_components,
+        wcc_oracle_sql,
+    )
+
+    edges = [("a", "b"), ("b", "c"), ("d", "e"), ("f", "f"), ("e", "a2")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = sorted((r.node, r.comp) for r in connected_components(df).collect())
+    con = duckdb.connect()
+    con.register("wcc_in", pd.DataFrame(edges, columns=["src", "dst"]))
+    want = sorted(con.sql(
+        wcc_oracle_sql("SELECT src, dst FROM wcc_in")).fetchall())
+    assert got == want
+    forced = sorted((r.node, r.comp) for r in connected_components(
+        df, local_max_edges=0).collect())
+    assert forced == want
+
+
 def test_resize_and_frames_plumbing(spark):
     """Multimodal resize + frame sampling: real Spark plumbing (schemas,
     1->N explosion, null path, determinism) with the labelled fake codec
