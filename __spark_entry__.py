@@ -1438,6 +1438,132 @@ def _rel_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# part-union plumbing for merged driver rows
+# ---------------------------------------------------------------------------
+#
+# The driver's correctness gate checks the FIRST 50 queries() entries in
+# dict order (see _raw_queries docstring); round 5 grew the surface past
+# 50, so — exactly as round 3 did — overlapping rows are merged into one
+# driver row per family: each constituent still runs in full, tagged by a
+# `part` value, over the UNION of the constituents' columns (NULL-padded;
+# NULLs are engine-stable in the compare, proven since the r3 cube row).
+
+def _part_union(parts, schema):
+    """Union constituent DataFrames into one (part, <superset>) frame.
+    ``parts``: list of (tag, df) — tag None keeps the df's own part
+    column (for constituents that are themselves part-tagged).
+    ``schema``: ordered (name, sparktype) pairs for the superset."""
+    outs = []
+    for tag, df in parts:
+        have = set(df.columns)
+        cols = [(F.col("part") if tag is None else F.lit(tag))
+                .cast("string").alias("part")]
+        for name, typ in schema:
+            src = F.col(name) if name in have else F.lit(None)
+            cols.append(src.cast(typ).alias(name))
+        outs.append(df.select(*cols))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+_SQL_TYPES = {"string": "VARCHAR", "long": "BIGINT", "int": "INTEGER",
+              "double": "DOUBLE", "boolean": "BOOLEAN"}
+
+
+def _sql_part_union(parts, schema):
+    """DuckDB rendition of _part_union.  ``parts``: list of
+    (tag_or_None, sql, present_cols)."""
+    selects = []
+    for tag, sql_text, present in parts:
+        cols = ["part" if tag is None else f"'{tag}' AS part"]
+        for name, typ in schema:
+            if name in present:
+                cols.append(f'CAST("{name}" AS {_SQL_TYPES[typ]}) AS "{name}"')
+            else:
+                cols.append(f'NULL::{_SQL_TYPES[typ]} AS "{name}"')
+        selects.append(f"SELECT {', '.join(cols)} FROM ({sql_text})")
+    return " UNION ALL ".join(selects)
+
+
+_REL_AGG_SCHEMA = [
+    ("l_orderkey", "long"), ("l_linenumber", "int"), ("rk", "int"),
+    ("offset_shift", "double"), ("l_returnflag", "string"),
+    ("l_linestatus", "string"), ("sum_qty", "double"),
+    ("sum_price", "double"), ("n_rows", "long"), ("p50", "double"),
+    ("p95", "double"),
+]
+
+
+def _rel_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window functions (part=win: top-k rank + running prefix sum) and
+    grouped aggregation with percentiles (part=agg) — the r5 part merge
+    of rel_windows + rel_grouped_agg."""
+    return _part_union(
+        [("win", _rel_windows(spark, sf_dir)),
+         ("agg", _rel_grouped_agg(spark, sf_dir))],
+        _REL_AGG_SCHEMA,
+    )
+
+
+_REL_JOINS_SCHEMA = [
+    ("name", "string"), ("n", "long"), ("sum_price", "double"),
+    ("event_id", "long"), ("user_id", "long"), ("click_event_id", "long"),
+    ("click_value", "double"), ("a", "string"), ("b", "string"),
+]
+
+
+def _rel_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The join-strategy surface in one row: broadcast dim + two-hop dim
+    chain (parts from rel_broadcast_join), AS-OF join (part=asof), and
+    the interval/range-join family incl. set-valued fact versioning
+    (parts from rel_range_join) — the r5 merge of rel_broadcast_join +
+    rel_asof_join + rel_range_join."""
+    return _part_union(
+        [(None, _rel_broadcast_join(spark, sf_dir)),
+         ("asof", _rel_asof_join(spark, sf_dir)),
+         (None, _rel_range_join(spark, sf_dir))],
+        _REL_JOINS_SCHEMA,
+    )
+
+
+_REL_SHAPES_SCHEMA = [
+    ("lang", "string"), ("source", "string"), ("n_docs", "long"),
+    ("sum_chars", "long"), ("l_linestatus", "string"), ("A", "double"),
+    ("N", "double"), ("R", "double"),
+]
+
+
+def _rel_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-set shapes: cube + rollup (parts from rel_cube_stats) and
+    pivot (part=pivot) — the r5 merge of rel_cube_stats + rel_pivot."""
+    return _part_union(
+        [(None, _rel_cube_stats(spark, sf_dir)),
+         ("pivot", _rel_pivot(spark, sf_dir))],
+        _REL_SHAPES_SCHEMA,
+    )
+
+
+_REL_EVENTS_SCHEMA = [
+    ("user_id", "long"), ("key", "string"), ("n_events", "long"),
+    ("sum_value", "double"), ("event_type", "string"), ("n", "long"),
+    ("sum_k", "long"), ("avg_k", "double"),
+]
+
+
+def _rel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-stream shapes: per-type aggregation + session windows (parts
+    from rel_events_agg) and JSON payload extraction (part=json) — the
+    r5 merge of rel_events_agg + rel_json_extract."""
+    return _part_union(
+        [(None, _rel_events_agg(spark, sf_dir)),
+         ("json", _rel_json_extract(spark, sf_dir))],
+        _REL_EVENTS_SCHEMA,
+    )
+
+
 def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup through both surfaces in one row: real dup GROUPS on the
     fixture corpus, whose repeated payload bodies make >1-member groups
@@ -2057,16 +2183,12 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_decontam": _doc_decontam,  # eval-set n-gram overlap audit
         "doc_perplexity": _doc_perplexity,  # bigram-LM cross-entropy
         "web_hygiene": _web_hygiene,  # url_parts + per-domain cap
-        # relational skeletons (SURVEY §2.10) on the driver's tables
-        "rel_windows": _rel_windows,  # top-k rank + running prefix sum
-        "rel_grouped_agg": _rel_grouped_agg,  # + per-group percentiles
-        "rel_broadcast_join": _rel_broadcast_join,  # + two-hop dim chain
-        "rel_events_agg": _rel_events_agg,  # per-type + session windows
-        "rel_cube_stats": _rel_cube_stats,  # cube + rollup
-        "rel_pivot": _rel_pivot,
-        "rel_asof_join": _rel_asof_join,
-        "rel_range_join": _rel_range_join,
-        "rel_json_extract": _rel_json_extract,
+        # relational skeletons (SURVEY §2.10) on the driver's tables —
+        # merged to four family rows in r5 (see _part_union note)
+        "rel_agg": _rel_agg,  # windows + grouped agg/percentiles
+        "rel_joins": _rel_joins,  # broadcast/two-hop + asof + range/setfacts
+        "rel_shapes": _rel_shapes,  # cube + rollup + pivot
+        "rel_events": _rel_events,  # per-type/session windows + json
     }
 
 
@@ -3749,4 +3871,40 @@ def oracle_sql() -> dict[str, str]:
         FROM documents d LEFT JOIN per USING (doc_id)
         LEFT JOIN per3 USING (doc_id)
     """
+
+    # -----------------------------------------------------------------
+    # r5 part merges — MUST run after every constituent's post-processing
+    # above; each merged key is the NULL-padded UNION the Spark wrapper
+    # (_part_union) produces, composed by the same schema lists
+    # -----------------------------------------------------------------
+    sql["rel_agg"] = _sql_part_union(
+        [("win", sql.pop("rel_windows"),
+          {"l_orderkey", "l_linenumber", "rk", "offset_shift"}),
+         ("agg", sql.pop("rel_grouped_agg"),
+          {"l_returnflag", "l_linestatus", "sum_qty", "sum_price",
+           "n_rows", "p50", "p95"})],
+        _REL_AGG_SCHEMA,
+    )
+    sql["rel_joins"] = _sql_part_union(
+        [(None, sql.pop("rel_broadcast_join"),
+          {"name", "n", "sum_price"}),
+         ("asof", sql.pop("rel_asof_join"),
+          {"event_id", "user_id", "click_event_id", "click_value"}),
+         (None, sql.pop("rel_range_join"), {"a", "b"})],
+        _REL_JOINS_SCHEMA,
+    )
+    sql["rel_shapes"] = _sql_part_union(
+        [(None, sql.pop("rel_cube_stats"),
+          {"lang", "source", "n_docs", "sum_chars"}),
+         ("pivot", sql.pop("rel_pivot"),
+          {"l_linestatus", "A", "N", "R"})],
+        _REL_SHAPES_SCHEMA,
+    )
+    sql["rel_events"] = _sql_part_union(
+        [(None, sql.pop("rel_events_agg"),
+          {"user_id", "key", "n_events", "sum_value"}),
+         ("json", sql.pop("rel_json_extract"),
+          {"event_type", "n", "sum_k", "avg_k"})],
+        _REL_EVENTS_SCHEMA,
+    )
     return sql

@@ -13,7 +13,7 @@ import __spark_entry__ as entry_mod
 SF_DIR = "/root/testdata/sf0.01"
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 FAST = [
-    "rel_windows", "rel_grouped_agg", "rel_broadcast_join",
+    "rel_agg", "rel_joins",
     "kg_intersection", "doc_profile", "doc_pii", "doc_split",
     "dedup_simhash", "sim_cosine_topk", "kb_ingest",
 ]
