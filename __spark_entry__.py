@@ -1564,6 +1564,106 @@ def _rel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DEDUP_MINHASH_SCHEMA = [
+    ("doc_id", "long"), ("sig_str", "string"), ("a", "long"), ("b", "long"),
+    ("score", "double"),
+]
+
+
+def _dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash both halves in one row: per-doc signatures (part=sig) and
+    the LSH-banded candidate pairs (parts from dedup_minhash_pairs) — the
+    r5 merge of dedup_minhash_sig + dedup_minhash_pairs."""
+    return _part_union(
+        [("sig", _dedup_minhash_sig(spark, sf_dir)),
+         (None, _dedup_minhash_pairs(spark, sf_dir))],
+        _DEDUP_MINHASH_SCHEMA,
+    )
+
+
+_DOC_SPLIT_SCHEMA = [
+    ("doc_id", "long"), ("bucket", "long"), ("split", "string"),
+    ("source", "string"), ("keep_frac", "double"),
+]
+
+
+def _doc_split_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic membership family: md5-bucket train/val/test split
+    (part=split) and temperature source re-weighting (part=mixture) —
+    the r5 merge of doc_split + doc_mixture."""
+    return _part_union(
+        [("split", _doc_split(spark, sf_dir)),
+         ("mixture", _doc_mixture(spark, sf_dir))],
+        _DOC_SPLIT_SCHEMA,
+    )
+
+
+_DOC_PPL_SCHEMA = [
+    ("doc_id", "long"), ("n_bigrams", "long"), ("cross_entropy", "double"),
+    ("n_trigrams", "long"), ("cross_entropy3", "double"),
+    ("n_overlap", "long"), ("contaminated", "long"),
+]
+
+
+def _doc_perplexity_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-protection family: corpus-trained bigram+trigram LM
+    cross-entropy (part=ppl) and eval-set n-gram decontamination
+    (part=decontam) — the r5 merge of doc_perplexity + doc_decontam."""
+    return _part_union(
+        [("ppl", _doc_perplexity(spark, sf_dir)),
+         ("decontam", _doc_decontam(spark, sf_dir))],
+        _DOC_PPL_SCHEMA,
+    )
+
+
+_DOC_PII_SCHEMA = [
+    ("doc_id", "long"), ("n_email", "int"), ("n_ssn", "int"),
+    ("n_ipv4", "int"), ("n_iban", "int"), ("n_card", "int"),
+    ("n_phone", "int"), ("has_pii", "long"), ("redacted", "string"),
+    ("url", "string"), ("host", "string"), ("domain", "string"),
+    ("path", "string"), ("domain_rank", "int"),
+]
+
+
+def _doc_pii_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-local hygiene family: PII scan + typed redaction (part=pii)
+    and URL decomposition + per-domain crawl-balance cap (part=web) —
+    the r5 merge of doc_pii + web_hygiene."""
+    return _part_union(
+        [("pii", _doc_pii(spark, sf_dir)),
+         ("web", _web_hygiene(spark, sf_dir))],
+        _DOC_PII_SCHEMA,
+    )
+
+
+_DOC_QF_SCHEMA = [
+    ("doc_id", "long"), ("keep", "long"), ("reasons_csv", "string"),
+    ("k", "string"), ("v", "long"), ("y", "long"), ("pred", "long"),
+]
+
+
+def _doc_quality_filter_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality family: the heuristic keep/drop gate with reason codes
+    (part=gate) PLUS its distillation into a linear model trained ON the
+    cluster in exact fixed-point arithmetic — part=w pins the learned
+    weight vector bit-for-bit against the unrolled-CTE training oracle
+    (bit-reproducible across partitionings/executor counts by
+    construction), part=score the per-doc calibrated scores."""
+    from entity_extraction_svc_spark.operators.classifier import (
+        FEATURES,
+        train_quality_model,
+    )
+
+    gate = _doc_quality_filter(spark, sf_dir)
+    w, scored = train_quality_model(_docs(spark, sf_dir))
+    wdf = spark.createDataFrame(
+        [(k, int(v)) for k, v in zip(FEATURES, w)], "k string, v long")
+    scores = scored.select(
+        F.col("id").alias("doc_id"), F.col("score").alias("v"), "y", "pred")
+    return _part_union(
+        [("gate", gate), ("w", wdf), ("score", scores)], _DOC_QF_SCHEMA)
+
+
 def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup through both surfaces in one row: real dup GROUPS on the
     fixture corpus, whose repeated payload bodies make >1-member groups
@@ -2153,8 +2253,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pagerank": _kg_pagerank,  # iterative entity importance
         # dedup family
         "dedup_exact": _dedup_exact,  # pages groups + docs keys
-        "dedup_minhash_sig": _dedup_minhash_sig,
-        "dedup_minhash_pairs": _dedup_minhash_pairs,
+        "dedup_minhash": _dedup_minhash,  # signatures + LSH pairs (r5 merge)
         "dedup_simhash": _dedup_simhash,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "dedup_embedding_pairs": _dedup_embedding_pairs,
@@ -2171,18 +2270,15 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_pipeline": _mm_pipeline,
         # training-data pipeline operators
         "doc_profile": _doc_profile,  # stats + lang-id + fingerprint joined
-        "doc_quality_filter": _doc_quality_filter,
+        "doc_quality_filter": _doc_quality_filter_merged,  # gate + distilled model
         "doc_repetition": _doc_repetition,  # Gopher repetition stats
         "doc_embed": _doc_embed,  # feature-hash embedder (docs -> vectors)
-        "doc_pii": _doc_pii,  # PII scan + typed redaction
-        "doc_split": _doc_split,  # deterministic md5-bucket train/val/test
+        "doc_pii": _doc_pii_merged,  # PII scan/redaction + web hygiene
+        "doc_split": _doc_split_merged,  # md5 split + temperature mixture
         "doc_pack": _doc_pack,  # concat-and-chunk sequence packing
         "doc_line_dedup": _doc_line_dedup,  # CCNet paragraph-level dedup
         "doc_bpe": _doc_bpe,  # BPE merge learning + subword token counts
-        "doc_mixture": _doc_mixture,  # temperature source re-weighting
-        "doc_decontam": _doc_decontam,  # eval-set n-gram overlap audit
-        "doc_perplexity": _doc_perplexity,  # bigram-LM cross-entropy
-        "web_hygiene": _web_hygiene,  # url_parts + per-domain cap
+        "doc_perplexity": _doc_perplexity_merged,  # LM x-entropy + decontam
         # relational skeletons (SURVEY §2.10) on the driver's tables —
         # merged to four family rows in r5 (see _part_union note)
         "rel_agg": _rel_agg,  # windows + grouped agg/percentiles
@@ -3335,9 +3431,10 @@ def oracle_sql() -> dict[str, str]:
     # doc_profile = the three per-doc profilers joined on doc_id (DuckDB
     # allows a WITH inside a parenthesized subquery, so each component SQL
     # embeds unchanged — same texts the standalone rows used through r2)
+    _doc_stats_sql = sql.pop('doc_stats')
     sql["doc_profile"] = (
         f"SELECT s.*, l.lang_pred, f.fp_md5, f.fp_int64 "
-        f"FROM ({sql.pop('doc_stats')}) s "
+        f"FROM ({_doc_stats_sql}) s "
         f"JOIN ({sql.pop('doc_lang_id')}) l USING (doc_id) "
         f"JOIN ({sql.pop('doc_fingerprint')}) f USING (doc_id)"
     )
@@ -3877,6 +3974,53 @@ def oracle_sql() -> dict[str, str]:
     # above; each merged key is the NULL-padded UNION the Spark wrapper
     # (_part_union) produces, composed by the same schema lists
     # -----------------------------------------------------------------
+    sql["dedup_minhash"] = _sql_part_union(
+        [("sig", sql.pop("dedup_minhash_sig"), {"doc_id", "sig_str"}),
+         (None, sql.pop("dedup_minhash_pairs"), {"a", "b", "score"})],
+        _DEDUP_MINHASH_SCHEMA,
+    )
+    sql["doc_split"] = _sql_part_union(
+        [("split", sql.pop("doc_split"), {"doc_id", "bucket", "split"}),
+         ("mixture", sql.pop("doc_mixture"),
+          {"doc_id", "source", "keep_frac"})],
+        _DOC_SPLIT_SCHEMA,
+    )
+    sql["doc_perplexity"] = _sql_part_union(
+        [("ppl", sql.pop("doc_perplexity"),
+          {"doc_id", "n_bigrams", "cross_entropy", "n_trigrams",
+           "cross_entropy3"}),
+         ("decontam", sql.pop("doc_decontam"),
+          {"doc_id", "n_overlap", "contaminated"})],
+        _DOC_PPL_SCHEMA,
+    )
+    sql["doc_pii"] = _sql_part_union(
+        [("pii", sql.pop("doc_pii"),
+          {"doc_id", "n_email", "n_ssn", "n_ipv4", "n_iban", "n_card",
+           "n_phone", "has_pii", "redacted"}),
+         ("web", sql.pop("web_hygiene"),
+          {"url", "host", "domain", "path", "domain_rank"})],
+        _DOC_PII_SCHEMA,
+    )
+    # doc_quality_filter: gate + the fixed-point classifier (module-
+    # generated training recurrence over the SAME stats SQL doc_profile
+    # uses; score rows carry doc_id, weight rows the feature name)
+    from entity_extraction_svc_spark.operators.classifier import (
+        features_oracle_sql,
+        train_oracle_sql,
+    )
+
+    _clf_sql = (
+        "SELECT part, CASE WHEN part = 'w' THEN k END AS k, "
+        "CASE WHEN part = 'score' THEN CAST(k AS BIGINT) END AS doc_id, "
+        "v, y, pred FROM ("
+        + train_oracle_sql(features_oracle_sql(_doc_stats_sql)) + ")"
+    )
+    sql["doc_quality_filter"] = _sql_part_union(
+        [("gate", sql.pop("doc_quality_filter"),
+          {"doc_id", "keep", "reasons_csv"}),
+         (None, _clf_sql, {"doc_id", "k", "v", "y", "pred"})],
+        _DOC_QF_SCHEMA,
+    )
     sql["rel_agg"] = _sql_part_union(
         [("win", sql.pop("rel_windows"),
           {"l_orderkey", "l_linenumber", "rk", "offset_shift"}),
