@@ -1664,6 +1664,76 @@ def _doc_quality_filter_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("gate", gate), ("w", wdf), ("score", scores)], _DOC_QF_SCHEMA)
 
 
+_KG_TRAINING_SCHEMA = [
+    ("url", "string"), ("tok_idx", "int"), ("token", "string"),
+    ("tok_start", "long"), ("tok_end", "long"), ("bio", "string"),
+    ("start_a", "long"), ("end_a", "long"), ("qid_a", "string"),
+    ("start_b", "long"), ("end_b", "long"), ("qid_b", "string"),
+    ("label", "string"), ("direction", "string"),
+]
+
+
+def _kg_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both directions of the distant-supervision loop in one row:
+    per-token BIO rows (part=ner) and KB-labelled relation pairs
+    (part=rel) — the r5 merge of kg_ner_training + kg_rel_training."""
+    return _part_union(
+        [("ner", _kg_ner_training(spark, sf_dir)),
+         ("rel", _kg_rel_training(spark, sf_dir))],
+        _KG_TRAINING_SCHEMA,
+    )
+
+
+def _kg_walks_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG-embedding training data, all three emitters: DeepWalk corpus
+    (part=walk), GraphSAGE fan-out sample (part=fanout), and filtered
+    TransE negatives (part=neg, b packs pred:obj:rank) — the r5 merge of
+    kg_walks + kg_negatives."""
+    neg = _kg_negatives(spark, sf_dir).select(
+        F.lit("neg").alias("part"),
+        F.col("subj").alias("a"),
+        F.concat_ws(":", "pred", "obj",
+                    F.col("neg_rank").cast("string")).alias("b"),
+    )
+    return _kg_walks(spark, sf_dir).unionByName(neg)
+
+
+_KG_SALIENCE_SCHEMA = [
+    ("url", "string"), ("qid", "string"), ("tf", "long"),
+    ("first_pos", "long"), ("salience", "double"), ("sal_rank", "int"),
+    ("ent_a", "string"), ("ent_b", "string"), ("n_shared", "long"),
+    ("deg_a", "long"), ("deg_b", "long"), ("jaccard", "double"),
+]
+
+
+def _kg_salience_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity ranking surfaces: per-doc aboutness salience (part=sal)
+    and structural neighbor-Jaccard ER candidates (part=njac) — the r5
+    merge of kg_salience + kg_entity_sim."""
+    return _part_union(
+        [("sal", _kg_salience(spark, sf_dir)),
+         ("njac", _kg_entity_sim(spark, sf_dir))],
+        _KG_SALIENCE_SCHEMA,
+    )
+
+
+_SIM_COSINE_SCHEMA = [
+    ("vec_id", "long"), ("cos_sim", "double"), ("a", "long"),
+    ("b", "long"), ("r", "long"), ("v", "double"),
+]
+
+
+def _sim_cosine_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense-similarity family: brute-force cosine top-k (part=topk)
+    plus the kNN graph + GraphSAGE-style neighbor feature aggregation
+    (parts knn/feat) — the r5 merge of sim_cosine_topk + kg_knn_gnn."""
+    return _part_union(
+        [("topk", _sim_cosine_topk(spark, sf_dir)),
+         (None, _kg_knn_gnn(spark, sf_dir))],
+        _SIM_COSINE_SCHEMA,
+    )
+
+
 def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup through both surfaces in one row: real dup GROUPS on the
     fixture corpus, whose repeated payload bodies make >1-member groups
@@ -2222,7 +2292,23 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Round-4 part merges (same both-run + unioned-oracle rule): kg_connection
     += tri (triangles/clustering), kg_pagerank += hits_hub/hits_auth,
     kg_find_rels += QA audits, kg_pattern_search += bgp, kg_types_2hop
-    += closure/tax (path-doubled taxonomy closure)."""
+    += closure/tax (path-doubled taxonomy closure).
+    Round-5 part merges (dict grew to 63; re-compressed to exactly 50 via
+    _part_union NULL-padded supersets — see that helper's note):
+      kg_ner_training + kg_rel_training     -> kg_training (ner/rel)
+      kg_walks + kg_negatives               -> kg_walks (+part=neg)
+      kg_salience + kg_entity_sim           -> kg_salience (sal/njac)
+      sim_cosine_topk + kg_knn_gnn          -> sim_cosine_topk (topk/knn/feat)
+      dedup_minhash_sig + dedup_minhash_pairs -> dedup_minhash (sig/+)
+      doc_split + doc_mixture               -> doc_split (split/mixture)
+      doc_perplexity + doc_decontam         -> doc_perplexity (ppl/decontam)
+      doc_pii + web_hygiene                 -> doc_pii (pii/web)
+      doc_quality_filter + fixed-point classifier -> doc_quality_filter
+                                               (gate/w/score)
+      rel_windows + rel_grouped_agg         -> rel_agg (win/agg)
+      rel_broadcast_join + rel_asof_join + rel_range_join -> rel_joins
+      rel_cube_stats + rel_pivot            -> rel_shapes (+part=pivot)
+      rel_events_agg + rel_json_extract     -> rel_events (+part=json)"""
     return {
         # KG pipeline (SURVEY §2.2-2.9) on the deterministic fixture corpus
         "kg_extract_text": _kg_extract_text,
@@ -2241,13 +2327,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_annotations": _kg_annotations,  # + unlisted_annotations
         "kg_canonical_triples": _kg_canonical_triples,
         "kg_connection": _kg_connection,
-        "kg_salience": _kg_salience,  # per-doc entity aboutness ranking
-        "kg_negatives": _kg_negatives,  # filtered TransE negative sampling
-        "kg_walks": _kg_walks,  # DeepWalk corpus + GraphSAGE fan-out sample
-        "kg_entity_sim": _kg_entity_sim,  # neighbor-Jaccard ER candidates
-        "kg_knn_gnn": _kg_knn_gnn,  # kNN graph + neighbor feature agg
-        "kg_ner_training": _kg_ner_training,  # BIO distant supervision
-        "kg_rel_training": _kg_rel_training,  # relation distant supervision
+        "kg_salience": _kg_salience_merged,  # aboutness + neighbor-Jaccard ER
+        "kg_walks": _kg_walks_merged,  # walks + fan-out + TransE negatives
+        "kg_training": _kg_training,  # BIO + relation distant supervision
         "kg_sketch": _kg_sketch,  # count-min head-key telemetry
         "kg_date_format": _kg_date_format,  # + scalar-function surface
         "kg_pagerank": _kg_pagerank,  # iterative entity importance
@@ -2261,7 +2343,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic": _dedup_semantic,  # SemDeDup recall contract
         "dedup_substring": _dedup_substring,  # Lee et al. windows + winnow
         # similarity search / ANN
-        "sim_cosine_topk": _sim_cosine_topk,
+        "sim_cosine_topk": _sim_cosine_merged,  # + kNN graph/GNN agg (r5 merge)
         "sim_lsh_ann": _sim_lsh_ann,  # prebuilt-index recall contract
         "sim_ivf_topk": _sim_ivf_topk,  # prebuilt-index recall contract
         "sim_ivf_clustered": _sim_ivf_clustered,  # tau 0.9 on clustered data
@@ -3974,6 +4056,32 @@ def oracle_sql() -> dict[str, str]:
     # above; each merged key is the NULL-padded UNION the Spark wrapper
     # (_part_union) produces, composed by the same schema lists
     # -----------------------------------------------------------------
+    sql["kg_training"] = _sql_part_union(
+        [("ner", sql.pop("kg_ner_training"),
+          {"url", "tok_idx", "token", "tok_start", "tok_end", "bio"}),
+         ("rel", sql.pop("kg_rel_training"),
+          {"url", "start_a", "end_a", "qid_a", "start_b", "end_b",
+           "qid_b", "label", "direction"})],
+        _KG_TRAINING_SCHEMA,
+    )
+    sql["kg_walks"] = (
+        f"SELECT * FROM ({sql['kg_walks']}) UNION ALL "
+        "SELECT 'neg' AS part, subj AS a, "
+        "pred || ':' || obj || ':' || CAST(neg_rank AS VARCHAR) AS b "
+        f"FROM ({sql.pop('kg_negatives')})"
+    )
+    sql["kg_salience"] = _sql_part_union(
+        [("sal", sql.pop("kg_salience"),
+          {"url", "qid", "tf", "first_pos", "salience", "sal_rank"}),
+         ("njac", sql.pop("kg_entity_sim"),
+          {"ent_a", "ent_b", "n_shared", "deg_a", "deg_b", "jaccard"})],
+        _KG_SALIENCE_SCHEMA,
+    )
+    sql["sim_cosine_topk"] = _sql_part_union(
+        [("topk", sql.pop("sim_cosine_topk"), {"vec_id", "cos_sim"}),
+         (None, sql.pop("kg_knn_gnn"), {"a", "b", "r", "v"})],
+        _SIM_COSINE_SCHEMA,
+    )
     sql["dedup_minhash"] = _sql_part_union(
         [("sig", sql.pop("dedup_minhash_sig"), {"doc_id", "sig_str"}),
          (None, sql.pop("dedup_minhash_pairs"), {"a", "b", "score"})],
