@@ -168,6 +168,21 @@ def main() -> None:
         return bpe_token_counts(docs, vocab).count()
 
     timed("bpe_train10_count", bpe_run)
+
+    from entity_extraction_svc_spark.operators.classifier import (
+        quality_features,
+        score_linear,
+        train_linear,
+    )
+
+    def clf_run():
+        # the full fixed-point training loop (16 scans of the persisted
+        # 7-int-column feature frame + 16 five-value reduces) + scoring
+        feats = quality_features(docs)
+        w = train_linear(feats, iters=16, lr_den=2)
+        return score_linear(quality_features(docs), w).filter("pred = 1").count()
+
+    timed("quality_model_train16", clf_run)
     timed(
         "curation_report",
         lambda: curation_report(docs, ev).filter("keep").count(),
