@@ -17,6 +17,11 @@ Outputs under ``--out``:
     sequences.parquet  (with --pack N) concat-and-chunk packing manifest:
                        which token slice of which doc lands in which
                        fixed-length training sequence
+    quality_model.parquet / quality_scores.parquet
+                       (with --quality-model) the fixed-point linear
+                       quality scorer trained ON this run's documents
+                       (weak labels = the gate) and its per-doc scores;
+                       weights are bit-reproducible at any cluster size
 and ONE JSON stats line on stdout (counts per gate — the numbers an
 operator pastes into a run log).
 
@@ -62,6 +67,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--pack", type=int, default=None, metavar="SEQ_LEN",
                     help="write sequences.parquet: concat-and-chunk packing "
                          "of the curated corpus into SEQ_LEN-token sequences")
+    ap.add_argument("--quality-model", action="store_true",
+                    help="train the fixed-point linear quality scorer on "
+                         "this run's documents (weak labels = the gate) and "
+                         "write quality_model.parquet (feature, weight "
+                         "micros) + quality_scores.parquet (id, score, y, "
+                         "pred); bit-reproducible across cluster sizes")
     args = ap.parse_args(argv)
     if args.pack is not None and args.pack <= 0:
         ap.error(f"--pack must be positive, got {args.pack}")
@@ -175,6 +186,38 @@ def main(argv: list[str] | None = None) -> int:
         stats["n_tokens"] = sq.agg(
             F.sum(F.col("tok_end") - F.col("tok_start"))
         ).first()[0]
+    if args.quality_model:
+        # trained on the PRE-gate document set (the gate provides the weak
+        # labels), so the scorer sees the same distribution it will score;
+        # fixed-point training makes the weights a pure function of the
+        # input multiset — the same corpus trains the same model at any
+        # cluster size
+        from entity_extraction_svc_spark.operators.classifier import (
+            FEATURES,
+            quality_features,
+            score_linear,
+            train_linear,
+        )
+
+        feats = quality_features(docs, args.text_col, args.id_col)
+        w = train_linear(feats)
+        wdf = spark.createDataFrame(
+            [(k, int(v)) for k, v in zip(FEATURES, w)],
+            "feature string, weight_micros long",
+        )
+        wdf.coalesce(1).write.mode("overwrite").parquet(
+            f"{args.out}/quality_model.parquet")
+        score_linear(
+            quality_features(docs, args.text_col, args.id_col), w
+        ).withColumnRenamed("id", args.id_col).write.mode(
+            "overwrite").parquet(f"{args.out}/quality_scores.parquet")
+        spark.catalog.refreshByPath(f"{args.out}/quality_scores.parquet")
+        sc = spark.read.parquet(f"{args.out}/quality_scores.parquet")
+        n_scored = sc.count()
+        stats["quality_model"] = {k: int(v) for k, v in zip(FEATURES, w)}
+        stats["n_scored"] = n_scored
+        stats["model_gate_agreement"] = round(
+            sc.filter("pred = y").count() / max(n_scored, 1), 4)
     stats["sec"] = round(time.time() - t0, 2)
     print(json.dumps(stats))
     return 0

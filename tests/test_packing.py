@@ -255,3 +255,37 @@ def test_curriculum_puts_easy_docs_in_early_sequences(spark):
     max_easy_seq = max(r.seq_id for r in out if r.doc_id < 100)
     min_hard_seq = min(r.seq_id for r in out if r.doc_id >= 100)
     assert max_easy_seq <= min_hard_seq
+
+
+def test_runner_quality_model(spark, tmp_path):
+    import json
+    from contextlib import redirect_stdout
+    import io
+
+    from entity_extraction_svc_spark.curate_runner import main
+    from entity_extraction_svc_spark.operators.classifier import (
+        FEATURES,
+        quality_features,
+        train_linear,
+    )
+
+    out = str(tmp_path / "cur_qm")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main([
+            "--docs", "/root/testdata/sf0.001/documents.parquet",
+            "--out", out, "--quality-model",
+        ])
+    assert rc == 0
+    stats = json.loads(buf.getvalue().strip().splitlines()[-1])
+    # the written weights equal an independent training run on the same
+    # docs — the reproducibility contract, via the runner surface
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    w = train_linear(quality_features(docs))
+    assert stats["quality_model"] == dict(zip(FEATURES, w))
+    wdf = spark.read.parquet(f"{out}/quality_model.parquet")
+    assert {(r.feature, r.weight_micros) for r in wdf.collect()} == set(
+        zip(FEATURES, w))
+    sc = spark.read.parquet(f"{out}/quality_scores.parquet")
+    assert stats["n_scored"] == sc.count() == docs.count()
+    assert 0.5 <= stats["model_gate_agreement"] <= 1.0
