@@ -545,7 +545,24 @@ def _kg_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         kb.select(F.col("pred").alias("k"), F.col("obj").alias("v")),
         "k", "v", p=6,
     ).select(F.lit("hll").alias("part"), "k", "n_reg", "est")
-    return cm.unionByName(hll)
+    # part=quant (r5): the DISTRIBUTION question — integer histogram
+    # quantiles of the per-subject degree (the p99 degree IS the
+    # salting-threshold input); k = q in micros, n_reg = bucket lower
+    # edge, est = bucket upper edge (the bound a skew decision consumes)
+    from entity_extraction_svc_spark.operators.sketch import (
+        histogram_quantiles,
+    )
+
+    degrees = kb.groupBy("subj").agg(F.count("*").alias("deg"))
+    quant = histogram_quantiles(
+        degrees, "deg", qs=[0.5, 0.9, 0.99, 1.0], buckets=64,
+    ).select(
+        F.lit("quant").alias("part"),
+        F.concat(F.lit("q"), F.col("q_micros").cast("string")).alias("k"),
+        F.col("lo").alias("n_reg"),
+        F.col("hi").cast("double").alias("est"),
+    )
+    return cm.unionByName(hll).unionByName(quant)
 
 
 def _kg_date_format(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3932,12 +3949,24 @@ def oracle_sql() -> dict[str, str]:
              f"FROM read_parquet('{fx}/kb_triples.parquet')")
     _po = (f"SELECT pred AS k, obj AS v "
            f"FROM read_parquet('{fx}/kb_triples.parquet')")
+    from entity_extraction_svc_spark.operators.sketch import (
+        histogram_quantiles_oracle_sql,
+    )
+
+    _deg = (f"SELECT count(*) AS v "
+            f"FROM read_parquet('{fx}/kb_triples.parquet') GROUP BY subj")
     sql["kg_sketch"] = f"""
         SELECT 'cm' AS part, k, NULL::BIGINT AS n_reg, CAST(est AS DOUBLE) AS est
         FROM ({countmin_oracle_sql(_subj, _subj, w=128, d=4)})
         UNION ALL
         SELECT 'hll' AS part, k, n_reg, est
         FROM ({hll_oracle_sql(_po, p=6)})
+        UNION ALL
+        SELECT 'quant' AS part, 'q' || q_micros::VARCHAR AS k,
+               lo AS n_reg, hi::DOUBLE AS est
+        FROM ({histogram_quantiles_oracle_sql(_deg,
+                                              qs=[0.5, 0.9, 0.99, 1.0],
+                                              buckets=64)})
     """
 
     # kg_rel_training: module-generated rendition over the same fixture

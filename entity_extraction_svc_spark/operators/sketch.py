@@ -241,3 +241,153 @@ def countmin_oracle_sql(stream_sql: str, probe_sql: str, w: int = 1024,
         FROM probes p LEFT JOIN built ON p.r = built.r AND p.b = built.b
         GROUP BY p.k
     """
+
+
+# ---------------------------------------------------------------------------
+# Histogram quantiles: bounded-memory rank statistics over integer values
+# ---------------------------------------------------------------------------
+#
+# The third telemetry question after "how often" (count-min) and "how many
+# distinct" (HLL) is "how is it DISTRIBUTED" — the p99 subject degree
+# decides whether a join needs salting, the p50/p99 document length sizes
+# maxPartitionBytes, the tail of per-bucket LSH populations sets the
+# bucket cap.  approxQuantile exists but is driver-side, float-threaded,
+# and has no DuckDB twin; this sketch is a fixed-width bucket histogram
+# whose every quantity is an INTEGER, so the result is bit-identical
+# across partitionings, executor counts, and engines — the repo's
+# determinism contract — with a known error bound: the true q-quantile
+# lies in [lo, hi] of the reported bucket, width <= ceil(range/buckets).
+#
+# Scale shape: one min/max/count agg (partial), one groupBy on bucket id
+# (<= ``buckets`` output rows, partial agg collapses map-side), one
+# window over the bucket-sized histogram (single-partition but
+# buckets-sized by construction — the sanctioned index-key-sized frame),
+# one broadcast join against the quantile probe list.  Ranks use the
+# ceil(q*n) convention computed in integer micros (rank = ceil(q_u * n /
+# 1e6)) so no float ever touches the data path.
+
+
+def histogram_quantiles(df: DataFrame, val_col: str,
+                        qs: list[float] | None = None,
+                        buckets: int = 1024) -> DataFrame:
+    """Quantile estimates for an integer-valued column.
+
+    Returns one row per probe: (q_micros, q, rank, bucket, lo, hi, n)
+    where the true rank-``rank`` value (1-based, rank = ceil(q*n)) lies
+    in [lo, hi] — exact equality when the bucket holds one distinct
+    value (always true once range <= buckets).  ``q = 1.0`` reports the
+    max's bucket.  Nulls are excluded; values must fit BIGINT."""
+    qs = qs if qs is not None else [0.5, 0.9, 0.99, 1.0]
+    if not qs or any(not 0.0 < q <= 1.0 for q in qs):
+        raise ValueError("each q must be in (0, 1]")
+    if buckets < 1:
+        raise ValueError("buckets must be >= 1")
+    spark = df.sparkSession
+    vals = df.select(F.col(val_col).cast("long").alias("v")).filter(
+        F.col("v").isNotNull()
+    )
+    # one pass for the frame: min/max/count (broadcast 1-row dim — the
+    # same shape as lm.py's corpus-stats dims)
+    stats = vals.agg(
+        F.min("v").alias("vmin"), F.max("v").alias("vmax"),
+        F.count("*").alias("n"),
+    )
+    # integer bucket id: ((v - vmin) * buckets) div (range + 1); width 1
+    # buckets degenerate to exact per-value counts
+    # `div` (Spark's integral division) keeps the whole path in exact
+    # BIGINT arithmetic — double-divide-then-cast drifts past 2^53
+    hist = (
+        vals.crossJoin(F.broadcast(stats))
+        .select(
+            F.expr(f"((v - vmin) * {int(buckets)}) div (vmax - vmin + 1)")
+            .alias("bucket"),
+        )
+        .groupBy("bucket").agg(F.count("*").alias("cnt"))
+    )
+    from pyspark.sql import Window
+
+    cum = hist.withColumn(
+        "cum", F.sum("cnt").over(
+            Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+        )
+    )
+    probes = spark.createDataFrame(
+        [(int(round(q * 1_000_000)),) for q in qs], "q_micros long"
+    )
+    # rank = ceil(q_u * n / 1e6) in pure integers: (q_u*n + 999999) div 1e6
+    hit = (
+        cum.crossJoin(F.broadcast(stats)).crossJoin(F.broadcast(probes))
+        .withColumn(
+            "rank",
+            F.expr("(q_micros * n + 999999) div 1000000"),
+        )
+        .filter(F.col("cum") >= F.col("rank"))
+        .groupBy("q_micros", "rank", "vmin", "vmax", "n")
+        .agg(F.min("bucket").alias("bucket"))
+    )
+    # bucket b holds offsets [ceil(b*R/B), ceil((b+1)*R/B) - 1] — the
+    # integer inverse of bucket(v) = floor((v-vmin)*B/R)
+    b = int(buckets)
+    return hit.select(
+        "q_micros",
+        (F.col("q_micros") / 1_000_000.0).alias("q"),
+        "rank", "bucket",
+        F.expr(f"vmin + (bucket * (vmax - vmin + 1) + {b - 1}) div {b}")
+        .alias("lo"),
+        F.least(
+            F.col("vmax"),
+            F.expr(
+                f"vmin + ((bucket + 1) * (vmax - vmin + 1) + {b - 1}) "
+                f"div {b} - 1"
+            ),
+        ).alias("hi"),
+        "n",
+    )
+
+
+def histogram_quantiles_oracle_sql(vals_sql: str,
+                                   qs: list[float] | None = None,
+                                   buckets: int = 1024) -> str:
+    """DuckDB rendition over a one-column ``v`` stream — same integer
+    bucket ids, same integer micro-ranks, same edge arithmetic.  Returns
+    (q_micros, q, rank, bucket, lo, hi, n)."""
+    qs = qs if qs is not None else [0.5, 0.9, 0.99, 1.0]
+    if not qs or any(not 0.0 < q <= 1.0 for q in qs):
+        raise ValueError("each q must be in (0, 1]")
+    probes = ", ".join(f"({int(round(q * 1_000_000))})" for q in qs)
+    return f"""
+        WITH hq_vals AS (
+          SELECT v::BIGINT AS v FROM ({vals_sql}) WHERE v IS NOT NULL
+        ),
+        hq_stats AS (
+          SELECT min(v) AS vmin, max(v) AS vmax, count(*) AS n FROM hq_vals
+        ),
+        hq_hist AS (
+          SELECT ((v - vmin) * {buckets}) // (vmax - vmin + 1) AS bucket,
+                 count(*) AS cnt
+          FROM hq_vals, hq_stats GROUP BY 1
+        ),
+        hq_cum AS (
+          SELECT bucket, sum(cnt) OVER (ORDER BY bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM hq_hist
+        ),
+        hq_probes AS (
+          SELECT * FROM (VALUES {probes}) p(q_micros)
+        ),
+        hq_hit AS (
+          SELECT q_micros, (q_micros * n + 999999) // 1000000 AS rank,
+                 vmin, vmax, n, min(bucket) AS bucket
+          FROM hq_cum, hq_stats, hq_probes
+          WHERE cum >= (q_micros * n + 999999) // 1000000
+          GROUP BY 1, 2, 3, 4, 5
+        )
+        SELECT q_micros, q_micros / 1000000.0 AS q, rank, bucket,
+               vmin + (bucket * (vmax - vmin + 1) + {buckets - 1})
+                 // {buckets} AS lo,
+               least(vmax, vmin
+                 + ((bucket + 1) * (vmax - vmin + 1) + {buckets - 1})
+                 // {buckets} - 1) AS hi,
+               n
+        FROM hq_hit
+    """

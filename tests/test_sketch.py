@@ -143,3 +143,71 @@ def test_hll_nulls_excluded_and_validation(spark):
         hll_registers(df, "k", "v", p=2)
     with pytest.raises(ValueError):
         hll_estimate(hll_registers(df, "k", "v"), p=20)
+
+
+# ---------------------------------------------------------------------------
+# histogram quantiles
+
+
+from entity_extraction_svc_spark.operators.sketch import (  # noqa: E402
+    histogram_quantiles,
+    histogram_quantiles_oracle_sql,
+)
+
+# Zipf-ish integer degrees: a hub, a warm middle, a long unit tail
+_DEGS = [5000] + [200] * 10 + [40] * 80 + [3] * 300 + [1] * 600
+
+
+def _dvals(spark, vals=_DEGS):
+    return spark.createDataFrame([(v,) for v in vals], "v long")
+
+
+def _py_rank(vals, q):
+    s = sorted(vals)
+    rank = -(-int(round(q * 1_000_000)) * len(s) // 1_000_000)  # ceil
+    return s[rank - 1]
+
+
+def test_quantile_brackets_true_rank_value(spark):
+    out = {r.q: r for r in histogram_quantiles(
+        _dvals(spark), "v", qs=[0.5, 0.9, 0.99, 1.0], buckets=64).collect()}
+    assert set(out) == {0.5, 0.9, 0.99, 1.0}
+    for q, r in out.items():
+        true = _py_rank(_DEGS, q)
+        assert r.lo <= true <= r.hi, (q, r.lo, true, r.hi)
+    # q=1.0 lands in the max's bucket and hi IS the max
+    assert out[1.0].hi == 5000
+
+
+def test_quantiles_exact_when_range_fits_buckets(spark):
+    vals = [1, 2, 2, 3, 3, 3, 4, 10]
+    out = {r.q: r for r in histogram_quantiles(
+        _dvals(spark, vals), "v", qs=[0.25, 0.5, 1.0], buckets=16).collect()}
+    # range (1..10) <= buckets: every bucket holds one value, lo == hi
+    for q, r in out.items():
+        assert r.lo == r.hi == _py_rank(vals, q)
+
+
+def test_quantiles_match_oracle_and_partitioning_invariant(spark):
+    got = sorted(map(tuple, histogram_quantiles(
+        _dvals(spark), "v", buckets=64).collect()))
+    con = duckdb.connect()
+    con.register("hq_in", pd.DataFrame({"v": _DEGS}))
+    want = sorted(map(tuple, con.sql(histogram_quantiles_oracle_sql(
+        "SELECT v FROM hq_in", buckets=64)).fetchall()))
+    assert [tuple(map(float, r)) for r in got] == \
+           [tuple(map(float, r)) for r in want]
+    re = sorted(map(tuple, histogram_quantiles(
+        _dvals(spark).repartition(7), "v", buckets=64).collect()))
+    assert re == got
+
+
+def test_quantile_validation(spark):
+    with pytest.raises(ValueError):
+        histogram_quantiles(_dvals(spark), "v", qs=[0.0])
+    with pytest.raises(ValueError):
+        histogram_quantiles(_dvals(spark), "v", qs=[1.5])
+    with pytest.raises(ValueError):
+        histogram_quantiles(_dvals(spark), "v", buckets=0)
+    with pytest.raises(ValueError):
+        histogram_quantiles_oracle_sql("SELECT 1 AS v", qs=[])
