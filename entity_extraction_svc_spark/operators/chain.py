@@ -15,16 +15,22 @@ mutual recursion to fixpoint via semi-naive evaluation.
 Spark shape, designed around the closure_delta lesson (VERDICT r4 #1 —
 never exchange the accumulated result per round):
 
-  * the base fact table is hash-partitioned on the full (subj, pred, obj)
-    row ONCE and localCheckpoint'ed; that single exchange is reused by
-    every round's dedup anti-join (a checkpointed frame keeps its
-    outputPartitioning, so the anti-join only exchanges the candidate
-    side — delta-sized, not corpus-sized);
+  * the base fact table is distinct'ed and persisted ONCE; after round 0
+    it is never shuffled again.  Dedup of a round's candidates does NOT
+    anti-join candidates against base directly (that plan exchanges the
+    base side every round: an anti-join's build side is the right, and a
+    constant head predicate gets folded out of the join keys anyway, so
+    no at-rest partitioning can satisfy it — verified in the plan, the
+    bug this module was audited for).  Instead base is first SEMI-joined
+    down to the candidate keys with the candidate side broadcast — a
+    scan of the persisted base, zero shuffle — and the candidates
+    anti-join that delta-sized slice, also broadcast (the
+    affected-region pre-slice pattern of closure_delta's r5 rebuild);
   * derived facts accumulate in a small OVERLAY kept separate from the
-    base: body joins source from base-scan ∪ overlay with the delta side
+    base: body joins source from base ∪ overlay with the delta side
     broadcast by AQE, and the overlay-side dedup anti-join broadcasts the
     overlay.  When the overlay outgrows ``fold_rows`` it is folded into
-    the partitioned base (one full exchange, geometrically amortized) —
+    the persisted base (one materialization, geometrically amortized) —
     base + overlay is the same at-rest/at-delta split the maintained
     closure store uses (plans/maintain.py);
   * semi-naive: round k's candidates come from rule bodies with one leg
@@ -156,11 +162,8 @@ def forward_chain(triples: DataFrame,
         _order_legs(body, 0)  # connectivity check up front, not mid-loop
     spark = triples.sparkSession
 
-    base = (
-        triples.select(*_COLS).distinct()
-        .repartition(*_COLS)
-        .localCheckpoint(eager=True)
-    )
+    base = triples.select(*_COLS).distinct().persist()
+    base.count()  # materialize: every round scans this one copy
     n_legs_max = max(len(body) for body, _ in rules)
     empty = spark.createDataFrame([], base.schema)
     overlay = empty
@@ -181,10 +184,13 @@ def forward_chain(triples: DataFrame,
         cand = parts[0]
         for p in parts[1:]:
             cand = cand.unionByName(p)
-        # dedup: candidates exchange (delta-sized); the base side reuses
-        # its at-rest partitioning (checkpointed), the overlay side
-        # broadcasts (small until folded)
-        new = cand.distinct().join(base, list(_COLS), "left_anti")
+        # dedup: pre-slice base to the candidate keys (broadcast semi-join
+        # — a shuffle-free scan of the persisted base), then anti-join the
+        # candidates against that delta-sized slice and the overlay, both
+        # broadcast.  The base is never exchanged after round 0.
+        cand = cand.distinct().localCheckpoint(eager=True)
+        base_hits = base.join(F.broadcast(cand), list(_COLS), "left_semi")
+        new = cand.join(F.broadcast(base_hits), list(_COLS), "left_anti")
         if overlay is not empty:
             new = new.join(F.broadcast(overlay), list(_COLS), "left_anti")
         new = new.localCheckpoint(eager=True)
@@ -194,18 +200,21 @@ def forward_chain(triples: DataFrame,
                 # base carries original facts; overlay IS the derived set
                 # (plus, after a fold, derived rows folded into base —
                 # recover them by anti-joining the original input)
-                return entailed.join(
+                entailed = entailed.join(
                     triples.select(*_COLS).distinct(), list(_COLS), "left_anti"
                 )
-            return entailed
+            out = entailed.localCheckpoint(eager=True)
+            base.unpersist()
+            return out
         overlay = (new if overlay is empty
                    else overlay.unionByName(new).localCheckpoint(eager=True))
         if overlay.count() > fold_rows:
-            base = (
-                base.unionByName(overlay)
-                .repartition(*_COLS)
-                .localCheckpoint(eager=True)
-            )
+            # fold: one materialization of base ∪ overlay (disjoint by
+            # construction — no re-distinct), geometrically amortized
+            folded = base.unionByName(overlay).persist()
+            folded.count()
+            base.unpersist()
+            base = folded
             overlay = empty
         delta = new
         first = False
