@@ -225,6 +225,76 @@ def forward_chain(triples: DataFrame,
     )
 
 
+def forward_chain_delta(entailed: DataFrame, new_facts: DataFrame,
+                        rules: list[tuple[list[tuple[str, str, str]],
+                                          tuple[str, str, str]]],
+                        max_rounds: int = 32) -> DataFrame:
+    """Incremental maintenance of a materialized entailment, ADDITIONS
+    only: given ``entailed`` (a fixpoint of ``rules`` — forward_chain's
+    output, e.g. the lineage-tracked store) and a batch of new base
+    facts, derive exactly the facts the addition makes true and return
+    them (``entailed`` ∪ result is the fixpoint over the unioned base —
+    the invariant the tests pin against a full recompute).
+
+    Same per-round shape as forward_chain minus the naive round 0: the
+    delta starts as the genuinely-new facts (semi-slice + anti-join
+    against the persisted entailment — scan, no shuffle), every rule
+    evaluates delta-sided, and each round's candidates dedup against
+    entailment + the accumulated additions.  Cost scales with the
+    CONSEQUENCES of the delta, not with |entailed| — a few thousand new
+    pages against a billion-fact store never exchange the store.
+
+    Deletions are out of scope here by the same argument as
+    closure_delta's: retraction needs over-delete + re-derive (DRed) or
+    per-fact support counts — ``graphwalk.closure_delete`` implements
+    DRed for the single-predicate closure case; feed functional-edit
+    pairs through a remove-then-add recompute for rule sets."""
+    for body, head in rules:
+        _check_rule(body, head)
+        _order_legs(body, 0)
+    spark = entailed.sparkSession
+
+    base = entailed.select(*_COLS).distinct().persist()
+    base.count()
+    fresh = new_facts.select(*_COLS).distinct().localCheckpoint(eager=True)
+    hits = base.join(F.broadcast(fresh), list(_COLS), "left_semi")
+    delta = (
+        fresh.join(F.broadcast(hits), list(_COLS), "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    empty = spark.createDataFrame([], base.schema)
+    overlay = delta if delta.limit(1).count() else empty
+    for _ in range(max_rounds):
+        if overlay is empty:
+            base.unpersist()
+            return empty
+        known = base.unionByName(overlay)
+        parts = []
+        for body, head in rules:
+            for i in range(len(body)):
+                sources = [delta if j == i else known
+                           for j in range(len(body))]
+                parts.append(_eval_rule(body, head, sources, delta_leg=i))
+        cand = parts[0]
+        for p in parts[1:]:
+            cand = cand.unionByName(p)
+        cand = cand.distinct().localCheckpoint(eager=True)
+        base_hits = base.join(F.broadcast(cand), list(_COLS), "left_semi")
+        new = (
+            cand.join(F.broadcast(base_hits), list(_COLS), "left_anti")
+            .join(F.broadcast(overlay), list(_COLS), "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if new.limit(1).count() == 0:
+            base.unpersist()
+            return overlay
+        overlay = overlay.unionByName(new).localCheckpoint(eager=True)
+        delta = new
+    raise RuntimeError(
+        f"forward_chain_delta did not converge in {max_rounds} rounds"
+    )
+
+
 # ---------------------------------------------------------------------------
 # shared-definition oracle
 

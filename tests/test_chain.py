@@ -188,3 +188,56 @@ def test_oracle_rounds_sufficiency(spark, fixture_dir):
         f"SELECT count(*) FROM ({chain_oracle_sql(base_sql, RDFS_RULES, 9)})"
     ).fetchone()[0]
     assert n8 == n9
+
+
+# ---------------------------------------------------------------------------
+# incremental maintenance (additions)
+
+
+from entity_extraction_svc_spark.operators.chain import (  # noqa: E402
+    forward_chain_delta,
+)
+
+
+def test_delta_matches_full_recompute(spark):
+    """entailed(base) + delta-consequences == entailed(base ∪ new) — the
+    maintenance invariant, with a cascade that crosses rules: the new
+    P1376 fact subproperty-expands, range-types, and taxonomy-climbs."""
+    base = [
+        ("P1376", "P1647", "P131"),
+        ("P131", "rng", "loc"),
+        ("loc", "P279", "thing"),
+        ("a", "P31", "loc"),
+    ]
+    new = [("paris", "P1376", "france")]
+    ent = forward_chain(_df(spark, base), RDFS_RULES)
+    got = _set(forward_chain_delta(ent, _df(spark, new), RDFS_RULES))
+    full = _py_fixpoint(base + new, RDFS_RULES)
+    old = _py_fixpoint(base, RDFS_RULES)
+    assert got == full - old
+    assert ("france", "P31", "thing") in got  # 3-rule cascade landed
+    assert _set(ent) | got == full
+
+
+def test_delta_already_entailed_fact_is_noop(spark):
+    ent = forward_chain(_df(spark, _CHAIN), _R1)
+    # (a, P31, c2) is derived already; re-adding it must change nothing
+    got = forward_chain_delta(ent, _df(spark, [("a", "P31", "c2")]), _R1)
+    assert got.count() == 0
+
+
+def test_delta_empty_input(spark):
+    ent = forward_chain(_df(spark, _CHAIN), _R1)
+    assert forward_chain_delta(
+        ent, _df(spark, []).limit(0), _R1).count() == 0
+
+
+def test_delta_new_edge_extends_chain(spark):
+    """A new taxonomy edge at the top of the chain back-fills inheritance
+    for every instance below it."""
+    ent = forward_chain(_df(spark, _CHAIN), _R1)
+    got = _set(forward_chain_delta(
+        ent, _df(spark, [("c4", "P279", "c5")]), _R1))
+    assert ("a", "P31", "c5") in got
+    full = _py_fixpoint(_CHAIN + [("c4", "P279", "c5")], _R1)
+    assert _set(ent) | got == full
