@@ -581,6 +581,16 @@ def _kg_date_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the incremental-maintenance batch for kg_pattern_search part=rulesdelta
+# (one shared definition, Spark + oracle): a new city instance that
+# inherits the whole Q515 taxonomy branch, and a new capital fact whose
+# consequences cascade subproperty -> range typing -> taxonomy climb
+CHAIN_DELTA_FACTS = [
+    ("Q99901", "P31", "Q515"),
+    ("Q99902", "P1376", "Q99901"),
+]
+
+
 def _kg_pattern_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1 single-pattern probe (part=w1) + the general basic-graph-pattern
     matcher over the same store (part=bgp): the person→occupation,
@@ -722,11 +732,26 @@ def _kg_pattern_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     onto = spark.createDataFrame(
         RDFS_ONTOLOGY, "subj string, pred string, obj string"
     )
-    rules = forward_chain(
-        kb.select("subj", "pred", "obj").unionByName(onto),
-        RDFS_RULES, derived_only=True,
-    ).select(
+    chain_base = kb.select("subj", "pred", "obj").unionByName(onto)
+    entailed = forward_chain(chain_base, RDFS_RULES)
+    base_facts = chain_base.distinct()
+    rules = entailed.join(base_facts, ["subj", "pred", "obj"], "left_anti").select(
         F.lit("rules").alias("part"), F.col("subj").alias("a"),
+        F.col("pred").alias("b"), F.col("obj").alias("c"),
+        F.lit("").alias("d"),
+    )
+    # part=rulesdelta: incremental maintenance — a new-page batch (a new
+    # city instance + a capital fact that cascades subprop -> range ->
+    # taxonomy) against the ALREADY-entailed store; oracle = recompute on
+    # the union EXCEPT recompute on the base (CHAIN_DELTA_FACTS is the
+    # one shared definition)
+    from entity_extraction_svc_spark.operators.chain import forward_chain_delta
+
+    new_facts = spark.createDataFrame(
+        CHAIN_DELTA_FACTS, "subj string, pred string, obj string"
+    )
+    rulesdelta = forward_chain_delta(entailed, new_facts, RDFS_RULES).select(
+        F.lit("rulesdelta").alias("part"), F.col("subj").alias("a"),
         F.col("pred").alias("b"), F.col("obj").alias("c"),
         F.lit("").alias("d"),
     )
@@ -735,7 +760,7 @@ def _kg_pattern_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(altpath).unionByName(opt).unionByName(neg)
         .unionByName(seq).unionByName(npset).unionByName(valfil)
         .unionByName(star).unionByName(constr).unionByName(agg)
-        .unionByName(rules)
+        .unionByName(rules).unionByName(rulesdelta)
     )
 
 
@@ -3808,10 +3833,21 @@ def oracle_sql() -> dict[str, str]:
         f"UNION ALL SELECT * FROM (VALUES {rdfs_ontology_values_sql()}) "
         f"ont(subj, pred, obj)"
     )
+    _chain_plus = (
+        _chain_base + " UNION ALL SELECT * FROM (VALUES " +
+        ", ".join(f"('{s}', '{p}', '{o}')" for s, p, o in CHAIN_DELTA_FACTS) +
+        ") nf(subj, pred, obj)"
+    )
     sql["kg_pattern_search"] += (
         " UNION ALL "
         "SELECT 'rules' AS part, subj, pred, obj, '' "
         f"FROM ({chain_oracle_sql(_chain_base, RDFS_RULES, rounds=8, derived_only=True)})"
+        " UNION ALL "
+        "SELECT 'rulesdelta' AS part, subj, pred, obj, '' FROM ("
+        f"SELECT subj, pred, obj FROM ({chain_oracle_sql(_chain_plus, RDFS_RULES, rounds=8)}) "
+        "EXCEPT "
+        f"SELECT subj, pred, obj FROM ({chain_oracle_sql(_chain_base, RDFS_RULES, rounds=8)})"
+        ")"
     )
 
     # kg_pattern_search part=altpath: (P131|P279)+ = closure over the
