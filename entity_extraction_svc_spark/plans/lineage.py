@@ -270,7 +270,8 @@ def snapshots_path(out_dir: str) -> str:
 
 
 def _write_snapshot(out_dir: str, run_id: str, seq: int, files: list[str],
-                    compaction: bool = False) -> None:
+                    compaction: bool = False,
+                    retraction: bool = False) -> None:
     """Manifest-based snapshot (the parquet-only stand-in for an Iceberg
     snapshot commit): one JSON per run listing the triple files it added.
     ``read_triples(as_of=run_id)`` time-travels by unioning manifests up to
@@ -282,7 +283,7 @@ def _write_snapshot(out_dir: str, run_id: str, seq: int, files: list[str],
     os.makedirs(snapshots_path(out_dir), exist_ok=True)
     with open(os.path.join(snapshots_path(out_dir), f"{seq:06d}-{run_id}.json"), "w") as f:
         json.dump({"run_id": run_id, "seq": seq, "files": sorted(files),
-                   "compaction": compaction}, f)
+                   "compaction": compaction, "retraction": retraction}, f)
 
 
 def compact_triples(spark: SparkSession, out_dir: str,
@@ -414,7 +415,8 @@ def retract_triples(spark: SparkSession, out_dir: str,
         dst = os.path.join(p, f"retract-{seq:06d}-{attempt}-{i:05d}.parquet")
         os.replace(os.path.join(tmp, f), dst)
         moved.append(dst)
-    _write_snapshot(out_dir, run_id, seq=seq, files=moved, compaction=True)
+    _write_snapshot(out_dir, run_id, seq=seq, files=moved, compaction=True,
+                    retraction=True)
     for f in old - set(moved):
         os.remove(f)  # the retraction's visible commit point
     shutil.rmtree(tmp, ignore_errors=True)
@@ -462,6 +464,18 @@ def read_triples(spark: SparkSession, out_dir: str,
             f"compaction at seq {latest_compact}"
         )
     if target_seq == latest_compact - 1:
+        latest = next(s for s in snaps if s["seq"] == latest_compact)
+        # the seq-1 redirect is only sound for true compactions (file
+        # rewrite, identical state); a RETRACTION commit is marked so the
+        # pre-retraction state honestly reports as expired instead of
+        # silently reading the post-retraction rows (found when
+        # maintain_entailment's as-of diff saw no removals after a
+        # retraction and skipped its recompute fallback)
+        if latest.get("retraction"):
+            raise ValueError(
+                f"snapshot {as_of} (seq {target_seq}) was expired by the "
+                f"retraction at seq {latest_compact}"
+            )
         target_seq = latest_compact  # identical state, redirected
     files: list[str] = []
     for snap in snaps:

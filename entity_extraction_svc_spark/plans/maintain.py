@@ -48,12 +48,13 @@ from entity_extraction_svc_spark.plans.lineage import (
 )
 
 
-def closure_path(out_dir: str, pred: str) -> str:
-    return os.path.join(out_dir, f"closure_{pred}")
+def closure_path(out_dir: str, pred: str, prefix: str = "closure") -> str:
+    return os.path.join(out_dir, f"{prefix}_{pred}")
 
 
-def _closure_manifests(out_dir: str, pred: str) -> list[dict]:
-    p = os.path.join(closure_path(out_dir, pred), "_snapshots")
+def _closure_manifests(out_dir: str, pred: str,
+                       prefix: str = "closure") -> list[dict]:
+    p = os.path.join(closure_path(out_dir, pred, prefix), "_snapshots")
     if not os.path.isdir(p):
         return []
     out = []
@@ -66,17 +67,17 @@ def _closure_manifests(out_dir: str, pred: str) -> list[dict]:
 
 def _commit_closure(spark: SparkSession, out_dir: str, pred: str,
                     closure: DataFrame, as_of_run: str,
-                    seq: int) -> dict:
+                    seq: int, prefix: str = "closure") -> dict:
     """Write-new -> manifest -> delete-old, in that order (see module
     docstring for why each intermediate state is consistent)."""
-    root = closure_path(out_dir, pred)
+    root = closure_path(out_dir, pred, prefix)
     data_dir = os.path.join(root, f"data-{seq:06d}-{uuid.uuid4().hex[:8]}")
     closure.write.mode("overwrite").parquet(data_dir)
     files = sorted(
         os.path.join(data_dir, f) for f in os.listdir(data_dir)
         if f.endswith(".parquet")
     )
-    manifests = _closure_manifests(out_dir, pred)
+    manifests = _closure_manifests(out_dir, pred, prefix)
     old_files = set(manifests[-1]["files"]) if manifests else set()
     snap_dir = os.path.join(root, "_snapshots")
     os.makedirs(snap_dir, exist_ok=True)
@@ -101,29 +102,31 @@ def _commit_closure(spark: SparkSession, out_dir: str, pred: str,
     return {"files": len(files), "expired_files": removed, "seq": seq}
 
 
-def read_closure(spark: SparkSession, out_dir: str,
-                 pred: str) -> tuple[DataFrame | None, dict | None]:
+def read_closure(spark: SparkSession, out_dir: str, pred: str,
+                 prefix: str = "closure"
+                 ) -> tuple[DataFrame | None, dict | None]:
     """The materialized closure per its LATEST manifest (None when never
     bootstrapped).  Orphan files from a killed commit are invisible —
     reads go strictly through the manifest file list."""
-    manifests = _closure_manifests(out_dir, pred)
+    manifests = _closure_manifests(out_dir, pred, prefix)
     if not manifests:
         return None, None
     m = manifests[-1]
     return spark.read.parquet(*m["files"]), m
 
 
-def vacuum_closure(spark: SparkSession, out_dir: str, pred: str) -> dict:
+def vacuum_closure(spark: SparkSession, out_dir: str, pred: str,
+                   prefix: str = "closure") -> dict:
     """Delete closure data files the LATEST manifest does not reference —
     the post-kill orphans of a commit that died between write-new and
     manifest, plus old data a commit that died between manifest and
     delete-old left behind.  (Earlier manifests are expired history: a
     completed commit deletes their files by design, so only the head
     manifest defines liveness.)"""
-    root = closure_path(out_dir, pred)
+    root = closure_path(out_dir, pred, prefix)
     if not os.path.isdir(root):
         return {"orphans_removed": 0}
-    manifests = _closure_manifests(out_dir, pred)
+    manifests = _closure_manifests(out_dir, pred, prefix)
     live: set[str] = set(manifests[-1]["files"]) if manifests else set()
     removed = 0
     for d in sorted(os.listdir(root)):
@@ -234,3 +237,103 @@ def diff_runs(spark: SparkSession, out_dir: str, old_run: str,
         read_triples(spark, out_dir, as_of=old_run),
         read_triples(spark, out_dir, as_of=new_run),
     )
+
+
+def maintain_entailment(spark: SparkSession, out_dir: str,
+                        rules=None, name: str = "rdfs") -> dict:
+    """Bring ``entail_{name}`` — the materialized rule-derived facts of
+    the triples store — up to the store's current head, with the same
+    replacement-manifest commit protocol as the closure store (runner
+    flag ``--entail``).
+
+    Bootstrap = :func:`~..operators.chain.forward_chain` over the store
+    head (derived facts only; consumers read base ∪ overlay, so the
+    store never duplicates the base at rest).  Incremental = the base
+    diff between the recorded ``as_of_run`` and the head, read through
+    the lineage store's as-of travel:
+
+      * additions cascade through
+        :func:`~..operators.chain.forward_chain_delta` (cost ∝ the
+        consequences, the store is never exchanged);
+      * RETRACTIONS fall back to a full recompute — rule-set DRed needs
+        per-fact support counts (closure_delete's single-predicate
+        argument does not transfer to mutually recursive rules), and a
+        wrong-but-fast maintenance is the one thing a lineage store must
+        never do;
+      * an as-of read that fails (history expired by ``--compact``) also
+        falls back to full recompute — correct under every store state.
+
+    Overlay rows an edit later asserts as base facts stay in the overlay
+    (base ∪ overlay is a set union; the overlap is harmless and vanishes
+    at the next full recompute)."""
+    from entity_extraction_svc_spark.operators.chain import (
+        RDFS_RULES,
+        forward_chain,
+        forward_chain_delta,
+    )
+
+    rules = rules if rules is not None else RDFS_RULES
+    cols = ["subj", "pred", "obj"]
+    runs = _read_snapshots(out_dir)
+    if not runs:
+        return {"status": "no-triples-store"}
+    head_run = runs[-1]["run_id"]
+    current = read_triples(spark, out_dir).select(*cols).distinct()
+    existing, manifest = read_closure(spark, out_dir, name, prefix="entail")
+
+    def _full(seq: int) -> dict:
+        derived = forward_chain(
+            current, rules, derived_only=True
+        ).localCheckpoint(eager=True)
+        stats = _commit_closure(spark, out_dir, name, derived, head_run,
+                                seq=seq, prefix="entail")
+        return {"derived": derived.count(), "as_of_run": head_run, **stats}
+
+    if existing is None:
+        return {"status": "bootstrap", **_full(0)}
+    if manifest["as_of_run"] == head_run:
+        return {"status": "up-to-date", "as_of_run": head_run}
+    try:
+        old = read_triples(
+            spark, out_dir, as_of=manifest["as_of_run"]
+        ).select(*cols).distinct().localCheckpoint(eager=True)
+    except Exception:
+        return {"status": "recomputed-history-expired",
+                **_full(manifest["seq"] + 1)}
+    added = current.join(old, cols, "left_anti").localCheckpoint(eager=True)
+    removed = old.join(current, cols, "left_anti")
+    if removed.limit(1).count():
+        return {"status": "recomputed-retraction",
+                "added_facts": added.count(),
+                **_full(manifest["seq"] + 1)}
+    n_added = added.count()
+    if not n_added:
+        # pointer advance only, as in maintain_closure's untouched path
+        seq = manifest["seq"] + 1
+        snap_dir = os.path.join(
+            closure_path(out_dir, name, "entail"), "_snapshots")
+        final = os.path.join(snap_dir, f"{seq:06d}.json")
+        tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump({"seq": seq, "as_of_run": head_run,
+                       "files": manifest["files"]}, f)
+        os.replace(tmp, final)
+        return {"status": "maintained", "added_facts": 0, "new_derived": 0,
+                "as_of_run": head_run, "seq": seq,
+                "files": len(manifest["files"]), "expired_files": 0}
+    entailed = old.unionByName(existing.select(*cols)).distinct()
+    delta = forward_chain_delta(entailed, added, rules)
+    # strip base rows: the overlay stores DERIVED facts only
+    new_derived = delta.join(current, cols, "left_anti")
+    updated = (
+        existing.select(*cols).unionByName(new_derived)
+        .localCheckpoint(eager=True)
+    )
+    # count BEFORE the commit: _commit_closure deletes the old files the
+    # un-checkpointed `existing` frame still reads
+    n_before, n_after = existing.count(), updated.count()
+    stats = _commit_closure(spark, out_dir, name, updated, head_run,
+                            seq=manifest["seq"] + 1, prefix="entail")
+    return {"status": "maintained", "added_facts": n_added,
+            "new_derived": n_after - n_before,
+            "derived": n_after, "as_of_run": head_run, **stats}

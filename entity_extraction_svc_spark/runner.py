@@ -44,6 +44,14 @@ def main(argv: list[str] | None = None) -> int:
                          "incremental DRed-delete + semi-naive-insert "
                          "maintenance, committed crash-safely under "
                          "{out}/closure_PRED")
+    ap.add_argument("--entail", action="store_true",
+                    help="after the run: bring the materialized RDFS "
+                         "rule entailment (forward_chain over the store "
+                         "head) up to date — bootstrap on first use, "
+                         "then incremental addition cascade; retractions "
+                         "and expired history fall back to full "
+                         "recompute; committed crash-safely under "
+                         "{out}/entail_rdfs")
     ap.add_argument("--diff", nargs=2, metavar=("OLD_RUN", "NEW_RUN"),
                     default=None,
                     help="snapshot-diff the store between two committed "
@@ -70,12 +78,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--master", default=None, help="override spark master (local dev)")
     args = ap.parse_args(argv)
     if (args.vacuum or args.compact or args.maintain_closure or args.diff
-            or args.retract) and not args.resume:
+            or args.retract or args.entail) and not args.resume:
         # validate BEFORE any work: failing after an hours-long run (with
         # triples already written) would report rc=2 on a completed job
-        print("--compact/--vacuum/--maintain-closure/--diff/--retract "
-              "maintain the checkpointed (append) store; use them with "
-              "--resume", file=sys.stderr)
+        print("--compact/--vacuum/--maintain-closure/--entail/--diff/"
+              "--retract maintain the checkpointed (append) store; use "
+              "them with --resume", file=sys.stderr)
         return 2
     if args.emit_training and args.resume:
         print("--emit-training needs the batch run's linked frame; "
@@ -164,6 +172,10 @@ def main(argv: list[str] | None = None) -> int:
         stats["maintain_closure"] = M.maintain_closure(
             spark, args.out, args.maintain_closure
         )
+    if args.entail:
+        from entity_extraction_svc_spark.plans import maintain as M
+
+        stats["entail"] = M.maintain_entailment(spark, args.out)
     if args.diff:
         from pyspark.sql import functions as F
 

@@ -133,6 +133,18 @@ def test_retract_triples_end_to_end(spark, fixture_dir):
     asof = L.read_triples(spark, out, as_of=stats["run_id"])
     assert asof.count() == n_before - 3
 
+    # but the PRE-retraction run is honestly expired — the seq-1 redirect
+    # is only sound for state-preserving compactions, and silently
+    # serving the post-retraction rows as the old state broke
+    # maintain_entailment's as-of diff (it saw no removals and skipped
+    # its recompute fallback)
+    snaps = L._read_snapshots(out)
+    prev_run = [s for s in snaps if not s.get("retraction")][-1]["run_id"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="retraction"):
+        L.read_triples(spark, out, as_of=prev_run)
+
     # closure maintenance sees the retraction and reconciles via DRed
     r = M.maintain_closure(spark, out, PRED)
     assert r["status"] == "maintained" and r["removed_edges"] > 0
@@ -145,3 +157,84 @@ def test_retract_triples_end_to_end(spark, fixture_dir):
     assert L.read_triples(spark, out).count() == n_before - 3
 
     shutil.rmtree(out, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# rule-entailment maintenance (--entail)
+
+
+# store-shaped rules: located-in transitivity + capital-implies-located-in
+# (the store's extracted triples carry P131/P1376 but not the ontology
+# preds the RDFS preset keys on)
+_ENT_RULES = [
+    ([("?x", "P131", "?y"), ("?y", "P131", "?z")], ("?x", "P131", "?z")),
+    ([("?s", "P1376", "?o")], ("?s", "P131", "?o")),
+]
+
+
+def _entailed_now(spark, out):
+    from entity_extraction_svc_spark.operators.chain import forward_chain
+
+    cur = L.read_triples(spark, out).select("subj", "pred", "obj").distinct()
+    return {
+        (r.subj, r.pred, r.obj)
+        for r in forward_chain(cur, _ENT_RULES, derived_only=True).collect()
+    }
+
+
+def _ent_stored(spark, out):
+    df, m = M.read_closure(spark, out, "test", prefix="entail")
+    assert df is not None
+    return {(r.subj, r.pred, r.obj) for r in df.collect()}, m
+
+
+def test_maintain_entailment_lifecycle(spark, fixture_dir):
+    out = tempfile.mkdtemp(prefix="kg_ent_")
+    pages = f"{fixture_dir}/pages.parquet"
+
+    assert M.maintain_entailment(
+        spark, out, rules=_ENT_RULES, name="test"
+    )["status"] == "no-triples-store"
+
+    L.run_checkpointed(spark, pages, fixture_dir, out, max_docs=60)
+    r1 = M.maintain_entailment(spark, out, rules=_ENT_RULES, name="test")
+    assert r1["status"] == "bootstrap" and r1["derived"] > 0
+    got, m1 = _ent_stored(spark, out)
+    assert got == _entailed_now(spark, out)
+
+    assert M.maintain_entailment(
+        spark, out, rules=_ENT_RULES, name="test")["status"] == "up-to-date"
+
+    # drain the corpus: additions cascade incrementally; the store must
+    # land exactly on the from-scratch entailment of the new head
+    L.run_checkpointed(spark, pages, fixture_dir, out)
+    r2 = M.maintain_entailment(spark, out, rules=_ENT_RULES, name="test")
+    assert r2["status"] == "maintained" and r2["added_facts"] > 0
+    got2, m2 = _ent_stored(spark, out)
+    want2 = _entailed_now(spark, out)
+    # overlay may retain rows a later run also asserted as base facts —
+    # harmless overlap by the derived-only convention; the ENTAILMENT
+    # must match exactly
+    base2 = {
+        (r.subj, r.pred, r.obj)
+        for r in L.read_triples(spark, out)
+        .select("subj", "pred", "obj").distinct().collect()
+    }
+    assert got2 - base2 == want2 - base2
+    assert got2 >= got and m2["seq"] == m1["seq"] + 1
+
+    # retraction -> full-recompute fallback (rule-set DRed is out of
+    # scope; correctness beats speed)
+    cur = L.read_triples(spark, out).localCheckpoint(eager=True)
+    drop = cur.filter(F.col("pred") == PRED).orderBy("subj", "obj").limit(2)
+    L.retract_triples(spark, out, drop)
+    r3 = M.maintain_entailment(spark, out, rules=_ENT_RULES, name="test")
+    assert r3["status"] in ("recomputed-retraction",
+                            "recomputed-history-expired")
+    got3, _ = _ent_stored(spark, out)
+    assert got3 == _entailed_now(spark, out)
+
+    # orphan hygiene shares the closure-store vacuum
+    assert M.vacuum_closure(
+        spark, out, "test", prefix="entail")["orphans_removed"] == 0
+    shutil.rmtree(out)

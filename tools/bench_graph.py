@@ -293,6 +293,67 @@ def main(n_edges: int = 1_000_000) -> None:
                                   max_iterations=cap, tol=tol)
     out["pr_cold_s"] = round(time.time() - t0, 2)
     out["pr_cold_iters"] = cold_iters
+    gs.unpersist()
+
+    # --- forward chaining (RDFS materialization) -----------------------------
+    # the rule engine's stress shape: N_inst instances over a 2000-chain
+    # x depth-8 taxonomy plus a rng-declared relation layer — semi-naive
+    # rounds = taxonomy depth, per-round delta ~ N_inst, derived volume
+    # ~ N_inst x depth (overlay folds kick in past fold_rows); then the
+    # incremental path after a 500-instance batch vs full recompute
+    from entity_extraction_svc_spark.operators.chain import (
+        forward_chain,
+        forward_chain_delta,
+    )
+
+    n_inst = int(n_edges * 0.8)
+    chains_c, depth_c = 2000, 8
+    leafs = chains_c
+    inst = spark.range(n_inst).select(
+        F.concat(F.lit("i"), F.col("id")).alias("subj"),
+        F.lit("P31").alias("pred"),
+        F.concat(F.lit("c"), (F.col("id") % leafs), F.lit("_0")).alias("obj"),
+    )
+    taxo = spark.range(chains_c * (depth_c - 1)).select(
+        F.concat(F.lit("c"), (F.col("id") / (depth_c - 1)).cast("long"),
+                 F.lit("_"), (F.col("id") % (depth_c - 1))).alias("subj"),
+        F.lit("P279").alias("pred"),
+        F.concat(F.lit("c"), (F.col("id") / (depth_c - 1)).cast("long"),
+                 F.lit("_"), (F.col("id") % (depth_c - 1)) + 1).alias("obj"),
+    )
+    rels = spark.range(n_edges // 5).select(
+        F.concat(F.lit("i"), (F.col("id") % n_inst)).alias("subj"),
+        F.lit("P131").alias("pred"),
+        F.concat(F.lit("i"), ((F.col("id") * 7 + 3) % n_inst)).alias("obj"),
+    )
+    onto = spark.createDataFrame(
+        [("P131", "rng", "c0_0")], "subj string, pred string, obj string"
+    )
+    facts = inst.unionByName(taxo).unionByName(rels).unionByName(onto).persist()
+    out["chain_facts"] = facts.count()
+    from entity_extraction_svc_spark.operators.chain import RDFS_RULES
+
+    t0 = time.time()
+    ent = forward_chain(facts, RDFS_RULES, max_rounds=depth_c + 4)
+    out["chain_derived"] = ent.count() - out["chain_facts"]
+    out["chain_s"] = round(time.time() - t0, 2)
+
+    new_batch = spark.range(500).select(
+        F.concat(F.lit("z"), F.col("id")).alias("subj"),
+        F.lit("P31").alias("pred"),
+        F.concat(F.lit("c"), (F.col("id") % leafs), F.lit("_0")).alias("obj"),
+    )
+    t0 = time.time()
+    d = forward_chain_delta(ent, new_batch, RDFS_RULES,
+                            max_rounds=depth_c + 4)
+    out["chain_delta_rows"] = d.count()
+    out["chain_delta_s"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    forward_chain(facts.unionByName(new_batch), RDFS_RULES,
+                  max_rounds=depth_c + 4).count()
+    out["chain_recompute_s"] = round(time.time() - t0, 2)
+    out["chain_delta_speedup"] = round(
+        out["chain_recompute_s"] / max(out["chain_delta_s"], 1e-9), 2)
 
     print(json.dumps(out))
 
