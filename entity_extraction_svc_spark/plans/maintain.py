@@ -240,11 +240,18 @@ def diff_runs(spark: SparkSession, out_dir: str, old_run: str,
 
 
 def maintain_entailment(spark: SparkSession, out_dir: str,
-                        rules=None, name: str = "rdfs") -> dict:
+                        rules=None, name: str = "rdfs",
+                        extra_facts: DataFrame | None = None) -> dict:
     """Bring ``entail_{name}`` — the materialized rule-derived facts of
     the triples store — up to the store's current head, with the same
     replacement-manifest commit protocol as the closure store (runner
     flag ``--entail``).
+
+    ``extra_facts``: static schema triples (the KB's P279 taxonomy,
+    subproperty/domain/range declarations) unioned into the chain base —
+    the extracted store carries instance facts, the ontology lives with
+    the KB dictionaries.  They join BOTH sides of the incremental as-of
+    diff, so they never masquerade as additions.
 
     Bootstrap = :func:`~..operators.chain.forward_chain` over the store
     head (derived facts only; consumers read base ∪ overlay, so the
@@ -278,7 +285,17 @@ def maintain_entailment(spark: SparkSession, out_dir: str,
     if not runs:
         return {"status": "no-triples-store"}
     head_run = runs[-1]["run_id"]
-    current = read_triples(spark, out_dir).select(*cols).distinct()
+
+    def _with_extra(df: DataFrame) -> DataFrame:
+        if extra_facts is None:
+            return df.select(*cols).distinct()
+        return (
+            df.select(*cols)
+            .unionByName(extra_facts.select(*cols))
+            .distinct()
+        )
+
+    current = _with_extra(read_triples(spark, out_dir))
     existing, manifest = read_closure(spark, out_dir, name, prefix="entail")
 
     def _full(seq: int) -> dict:
@@ -294,9 +311,9 @@ def maintain_entailment(spark: SparkSession, out_dir: str,
     if manifest["as_of_run"] == head_run:
         return {"status": "up-to-date", "as_of_run": head_run}
     try:
-        old = read_triples(
+        old = _with_extra(read_triples(
             spark, out_dir, as_of=manifest["as_of_run"]
-        ).select(*cols).distinct().localCheckpoint(eager=True)
+        )).localCheckpoint(eager=True)
     except Exception:
         return {"status": "recomputed-history-expired",
                 **_full(manifest["seq"] + 1)}

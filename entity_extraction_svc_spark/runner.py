@@ -173,9 +173,29 @@ def main(argv: list[str] | None = None) -> int:
             spark, args.out, args.maintain_closure
         )
     if args.entail:
+        import os as _os
+
+        from pyspark.sql import functions as _F
+
+        from entity_extraction_svc_spark.operators.chain import RDFS_ONTOLOGY
         from entity_extraction_svc_spark.plans import maintain as M
 
-        stats["entail"] = M.maintain_entailment(spark, args.out)
+        # the extracted store carries instance facts; the schema lives
+        # with the KB dictionaries — union the taxonomy/subproperty rows
+        # plus the RDFS ontology constants as static extra facts
+        extra = spark.createDataFrame(
+            RDFS_ONTOLOGY, "subj string, pred string, obj string"
+        )
+        kb_tr = _os.path.join(args.kb, "kb_triples.parquet")
+        if _os.path.exists(kb_tr):
+            extra = (
+                spark.read.parquet(kb_tr)
+                .filter(_F.col("pred").isin("P279", "P1647"))
+                .select("subj", "pred", "obj")
+                .unionByName(extra)
+            )
+        stats["entail"] = M.maintain_entailment(spark, args.out,
+                                                extra_facts=extra)
     if args.diff:
         from pyspark.sql import functions as F
 
