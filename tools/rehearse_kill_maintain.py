@@ -46,7 +46,7 @@ def runner_cmd(out: str, maintain: bool, max_docs: int | None) -> list[str]:
     if max_docs:
         cmd += ["--max-docs", str(max_docs)]
     if maintain:
-        cmd += ["--maintain-closure", PRED]
+        cmd += ["--maintain-closure", PRED, "--entail"]
     return cmd
 
 
@@ -146,6 +146,47 @@ def main(offsets: list[float]) -> int:
     print(("PASS " if cond else "FAIL ")
           + f"closure == recompute oracle ({len(got)} vs {len(want)} pairs)",
           flush=True)
+    ok &= cond
+
+    # invariant 1b: the entailment store (also maintained + killed in
+    # every run above — same commit protocol, separate manifest chain)
+    # must equal the unrolled-chain recompute: base ∪ overlay ==
+    # full entailment of (store ∪ KB schema facts ∪ RDFS ontology)
+    from entity_extraction_svc_spark.operators.chain import (
+        RDFS_RULES,
+        chain_oracle_sql,
+        rdfs_ontology_values_sql,
+    )
+
+    ent_snap = os.path.join(out, "entail_rdfs", "_snapshots")
+    ent_ms = []
+    for n in sorted(os.listdir(ent_snap)):
+        if n.endswith(".json"):
+            with open(os.path.join(ent_snap, n)) as f:
+                ent_ms.append(json.load(f))
+    efiles_sql = ", ".join(f"'{f}'" for f in ent_ms[-1]["files"])
+    base_sql = (
+        f"SELECT DISTINCT subj, pred, obj FROM '{out}/triples/*.parquet' "
+        f"UNION SELECT subj, pred, obj FROM '{FIX}/kb_triples.parquet' "
+        f"WHERE pred IN ('P279', 'P1647') "
+        f"UNION SELECT * FROM (VALUES {rdfs_ontology_values_sql()}) "
+        f"oo(subj, pred, obj)"
+    )
+    gote = duckdb.sql(
+        f"SELECT subj, pred, obj FROM ({base_sql}) "
+        f"UNION SELECT subj, pred, obj FROM read_parquet([{efiles_sql}]) "
+        "ORDER BY 1, 2, 3"
+    ).fetchall()
+    wante = duckdb.sql(
+        f"SELECT subj, pred, obj "
+        f"FROM ({chain_oracle_sql(base_sql, RDFS_RULES, rounds=8)}) "
+        "ORDER BY 1, 2, 3"
+    ).fetchall()
+    cond = gote == wante and len(gote) > 0
+    print(("PASS " if cond else "FAIL ")
+          + f"entailment store == chain recompute oracle "
+          f"({len(gote)} vs {len(wante)} facts, "
+          f"{len(ent_ms)} entail manifests)", flush=True)
     ok &= cond
 
     # invariant 3: vacuum drops orphans, manifest read unchanged
