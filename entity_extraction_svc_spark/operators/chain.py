@@ -244,11 +244,9 @@ def forward_chain_delta(entailed: DataFrame, new_facts: DataFrame,
     CONSEQUENCES of the delta, not with |entailed| — a few thousand new
     pages against a billion-fact store never exchange the store.
 
-    Deletions are out of scope here by the same argument as
-    closure_delta's: retraction needs over-delete + re-derive (DRed) or
-    per-fact support counts — ``graphwalk.closure_delete`` implements
-    DRed for the single-predicate closure case; feed functional-edit
-    pairs through a remove-then-add recompute for rule sets."""
+    Deletions are :func:`forward_chain_retract` (DRed); a combined
+    remove+add interval retracts FIRST against the pre-addition state,
+    then cascades the additions — the maintain_closure ordering lesson."""
     for body, head in rules:
         _check_rule(body, head)
         _order_legs(body, 0)
@@ -293,6 +291,188 @@ def forward_chain_delta(entailed: DataFrame, new_facts: DataFrame,
     raise RuntimeError(
         f"forward_chain_delta did not converge in {max_rounds} rounds"
     )
+
+
+def _eval_rule_bound(body: list[tuple[str, str, str]],
+                     head: tuple[str, str, str],
+                     source: DataFrame,
+                     bound_heads: DataFrame) -> DataFrame:
+    """Evaluate one rule with the HEAD pre-bound to ``bound_heads`` rows
+    (the DRed re-derivation probe: "which of these candidate facts does a
+    body over ``source`` still prove?").  The head bindings seed the join
+    chain, so the body never evaluates beyond the candidates' footprint —
+    the whole point when ``source`` is corpus-sized and the candidate set
+    is edit-sized."""
+    # constants in the head filter the candidates; variables bind them
+    acc = bound_heads
+    bound_vars: list[str] = []
+    for col, term in zip(_COLS, head):
+        if term.startswith("?"):
+            v = term[1:]
+            if v in bound_vars:
+                acc = acc.filter(F.col(col) == F.col(_COLS[
+                    [t[1:] for t in head].index(v)]))
+            else:
+                bound_vars.append(v)
+        else:
+            acc = acc.filter(F.col(col) == F.lit(term))
+    sel = []
+    seen: set[str] = set()
+    for col, term in zip(_COLS, head):
+        if term.startswith("?") and term[1:] not in seen:
+            seen.add(term[1:])
+            sel.append(F.col(col).alias(term[1:]))
+    acc = acc.select(*sel)
+    # attach body legs greedily from the head-var frontier (falls back to
+    # a cross join only for a head with no variables — a ground fact,
+    # whose "candidates" frame is at most one row)
+    rest = list(range(len(body)))
+    bound = set(seen)
+    while rest:
+        nxt = next((i for i in rest if _leg_vars(body[i]) & bound), None)
+        if nxt is None:
+            nxt = rest[0]  # ground-head / disconnected-from-head start
+        leg = _leg_frame(source, body[nxt])
+        shared = sorted(set(acc.columns) & set(leg.columns))
+        acc = acc.join(leg, shared) if shared else acc.crossJoin(leg)
+        bound |= _leg_vars(body[nxt])
+        rest.remove(nxt)
+    terms = [
+        (F.col(t[1:]) if t.startswith("?") else F.lit(t)).alias(c)
+        for c, t in zip(_COLS, head)
+    ]
+    return acc.select(*terms)
+
+
+def forward_chain_retract(entailed: DataFrame, base: DataFrame,
+                          removed: DataFrame,
+                          rules: list[tuple[list[tuple[str, str, str]],
+                                            tuple[str, str, str]]],
+                          max_rounds: int = 32) -> DataFrame:
+    """DRed deletion maintenance for the rule engine: given ``entailed``
+    = fixpoint(``base``), retract ``removed`` (⊆ base) and return
+    fixpoint(base − removed) — the generalization of
+    ``graphwalk.closure_delete`` from the one-predicate closure to an
+    arbitrary (mutually recursive) rule set.
+
+    Delete-and-rederive, both phases edit-sized:
+
+      1. OVER-DELETE — everything whose known derivation might pass
+         through a removed fact: D₀ = removed; each round derives rule
+         heads with ≥1 body leg in the D-delta and the rest in the old
+         entailment (delta-sided joins, entailment scanned, never
+         exchanged).  D over-approximates the true loss — exactly the
+         facts with an alternative derivation must come back;
+      2. RE-DERIVE — candidates = D minus the surviving base; a
+         candidate returns iff some rule body over the SURVIVOR set
+         still proves it, probed head-first (:func:`_eval_rule_bound`
+         seeds each rule's join chain with the candidate bindings, so
+         the body evaluates only inside the candidates' footprint);
+         re-derived facts rejoin the survivors and the probe repeats on
+         what is left until no candidate returns (a chain of facts
+         re-deriving each other needs one round per link).
+
+    Sound and complete by the standard DRed argument (Gupta, Mumick &
+    Subrahmanian 1993), pinned against a from-scratch recompute in the
+    tests.  Budget: |D| — a retraction whose consequences span the whole
+    entailment (removing a root taxonomy edge) degenerates to recompute
+    cost, the honest bound every DRed shares."""
+    for body, head in rules:
+        _check_rule(body, head)
+        _order_legs(body, 0)
+    spark = entailed.sparkSession
+    ent = entailed.select(*_COLS).distinct().persist()
+    ent.count()
+    base_now = base.select(*_COLS).distinct()
+    rm = removed.select(*_COLS).distinct().localCheckpoint(eager=True)
+    survivors_base = base_now.join(F.broadcast(rm), list(_COLS), "left_anti")
+
+    # phase 1: over-delete (semi-naive over the D set)
+    dset = rm
+    delta = rm
+    for _ in range(max_rounds):
+        parts = []
+        for body, head in rules:
+            for i in range(len(body)):
+                sources = [delta if j == i else ent
+                           for j in range(len(body))]
+                parts.append(_eval_rule(body, head, sources, delta_leg=i))
+        cand = parts[0]
+        for p in parts[1:]:
+            cand = cand.unionByName(p)
+        new = (
+            cand.distinct()
+            .join(F.broadcast(dset), list(_COLS), "left_anti")
+            # D ⊆ E: heads derived with a leg outside E are impossible,
+            # but the delta-sided eval can only produce E members anyway;
+            # keep the semi-join for safety against non-closed input
+            .join(ent, list(_COLS), "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        if new.limit(1).count() == 0:
+            break
+        dset = dset.unionByName(new).localCheckpoint(eager=True)
+        delta = new
+    else:
+        raise RuntimeError(
+            f"forward_chain_retract over-delete did not converge in "
+            f"{max_rounds} rounds"
+        )
+
+    # phase 2: re-derive.  survivors = (E − D) ∪ surviving base facts
+    # that were over-deleted (a base fact in D is still asserted unless
+    # it was itself removed)
+    surv = (
+        ent.join(F.broadcast(dset), list(_COLS), "left_anti")
+        .unionByName(
+            survivors_base.join(F.broadcast(dset), list(_COLS), "left_semi")
+        )
+        .distinct()
+        .persist()
+    )
+    surv.count()
+    # candidates: every over-deleted fact not directly re-asserted above —
+    # including the REMOVED base facts themselves (retracting an
+    # assertion does not retract derivability: a removed (s,p,o) stays in
+    # the fixpoint iff some rule still proves it)
+    cands = (
+        dset.join(survivors_base, list(_COLS), "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        if cands.limit(1).count() == 0:
+            break
+        parts = [
+            _eval_rule_bound(body, head, surv, cands)
+            for body, head in rules
+        ]
+        proved = parts[0]
+        for p in parts[1:]:
+            proved = proved.unionByName(p)
+        regained = (
+            proved.distinct()
+            .join(F.broadcast(cands), list(_COLS), "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        if regained.limit(1).count() == 0:
+            break
+        new_surv = surv.unionByName(regained).distinct().persist()
+        new_surv.count()
+        surv.unpersist()
+        surv = new_surv
+        cands = (
+            cands.join(F.broadcast(regained), list(_COLS), "left_anti")
+            .localCheckpoint(eager=True)
+        )
+    else:
+        raise RuntimeError(
+            f"forward_chain_retract re-derive did not converge in "
+            f"{max_rounds} rounds"
+        )
+    out = surv.localCheckpoint(eager=True)
+    surv.unpersist()
+    ent.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------

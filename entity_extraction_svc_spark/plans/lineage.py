@@ -271,7 +271,8 @@ def snapshots_path(out_dir: str) -> str:
 
 def _write_snapshot(out_dir: str, run_id: str, seq: int, files: list[str],
                     compaction: bool = False,
-                    retraction: bool = False) -> None:
+                    retraction: bool = False,
+                    removed_files: list[str] | None = None) -> None:
     """Manifest-based snapshot (the parquet-only stand-in for an Iceberg
     snapshot commit): one JSON per run listing the triple files it added.
     ``read_triples(as_of=run_id)`` time-travels by unioning manifests up to
@@ -282,8 +283,11 @@ def _write_snapshot(out_dir: str, run_id: str, seq: int, files: list[str],
 
     os.makedirs(snapshots_path(out_dir), exist_ok=True)
     with open(os.path.join(snapshots_path(out_dir), f"{seq:06d}-{run_id}.json"), "w") as f:
-        json.dump({"run_id": run_id, "seq": seq, "files": sorted(files),
-                   "compaction": compaction, "retraction": retraction}, f)
+        snap = {"run_id": run_id, "seq": seq, "files": sorted(files),
+                "compaction": compaction, "retraction": retraction}
+        if removed_files:
+            snap["removed_files"] = sorted(removed_files)
+        json.dump(snap, f)
 
 
 def compact_triples(spark: SparkSession, out_dir: str,
@@ -415,8 +419,24 @@ def retract_triples(spark: SparkSession, out_dir: str,
         dst = os.path.join(p, f"retract-{seq:06d}-{attempt}-{i:05d}.parquet")
         os.replace(os.path.join(tmp, f), dst)
         moved.append(dst)
+    # removed-rows sidecar BEFORE the manifest that references it (a
+    # kill in between leaves a harmless orphan file, never a manifest
+    # pointing at nothing) — this is what makes the pre-retraction state
+    # exactly time-travelable (read_triples: post-state ∪ sidecar)
+    actually_removed = cur.join(rm, keys, "left_semi")
+    side_dir = os.path.join(out_dir, "_retractions")
+    side_tmp = os.path.join(out_dir, f"_retract_side_tmp_{seq}")
+    actually_removed.coalesce(1).write.mode("overwrite").parquet(side_tmp)
+    os.makedirs(side_dir, exist_ok=True)
+    side_files = []
+    for i, f in enumerate(sorted(
+            x for x in os.listdir(side_tmp) if x.endswith(".parquet"))):
+        dst = os.path.join(side_dir, f"removed-{seq:06d}-{attempt}-{i:05d}.parquet")
+        os.replace(os.path.join(side_tmp, f), dst)
+        side_files.append(dst)
+    shutil.rmtree(side_tmp, ignore_errors=True)
     _write_snapshot(out_dir, run_id, seq=seq, files=moved, compaction=True,
-                    retraction=True)
+                    retraction=True, removed_files=side_files)
     for f in old - set(moved):
         os.remove(f)  # the retraction's visible commit point
     shutil.rmtree(tmp, ignore_errors=True)
@@ -463,20 +483,27 @@ def read_triples(spark: SparkSession, out_dir: str,
             f"snapshot {as_of} (seq {target_seq}) was expired by the "
             f"compaction at seq {latest_compact}"
         )
+    removed_files: list[str] = []
     if target_seq == latest_compact - 1:
         latest = next(s for s in snaps if s["seq"] == latest_compact)
-        # the seq-1 redirect is only sound for true compactions (file
-        # rewrite, identical state); a RETRACTION commit is marked so the
-        # pre-retraction state honestly reports as expired instead of
-        # silently reading the post-retraction rows (found when
-        # maintain_entailment's as-of diff saw no removals after a
-        # retraction and skipped its recompute fallback)
+        # the plain seq-1 redirect is only sound for true compactions
+        # (file rewrite, identical state); a RETRACTION commit changes
+        # state, so it carries its removed rows as a side parquet and the
+        # pre-retraction state reads as post-state ∪ removed — exact time
+        # travel through one retraction.  (Silently serving the
+        # post-retraction rows as the old state was the bug that made
+        # maintain_entailment's as-of diff see no removals and skip
+        # reconciliation; older retractions without the side file report
+        # expired.)
         if latest.get("retraction"):
-            raise ValueError(
-                f"snapshot {as_of} (seq {target_seq}) was expired by the "
-                f"retraction at seq {latest_compact}"
-            )
-        target_seq = latest_compact  # identical state, redirected
+            removed_files = list(latest.get("removed_files") or [])
+            if not removed_files:
+                raise ValueError(
+                    f"snapshot {as_of} (seq {target_seq}) was expired by "
+                    f"the retraction at seq {latest_compact} (no removed-"
+                    f"rows sidecar recorded)"
+                )
+        target_seq = latest_compact  # post-state (∪ sidecar if retraction)
     files: list[str] = []
     for snap in snaps:
         if snap["seq"] > target_seq:
@@ -491,4 +518,9 @@ def read_triples(spark: SparkSession, out_dir: str,
     # writing run's path strings, which may be relative/differently-rooted
     files = [os.path.join(triples_path(out_dir), os.path.basename(f))
              for f in files]
-    return spark.read.parquet(*files).distinct()
+    out = spark.read.parquet(*files)
+    if removed_files:
+        side = [os.path.join(out_dir, "_retractions", os.path.basename(f))
+                for f in removed_files]
+        out = out.unionByName(spark.read.parquet(*side))
+    return out.distinct()

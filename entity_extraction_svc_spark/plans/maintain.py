@@ -262,13 +262,13 @@ def maintain_entailment(spark: SparkSession, out_dir: str,
       * additions cascade through
         :func:`~..operators.chain.forward_chain_delta` (cost ∝ the
         consequences, the store is never exchanged);
-      * RETRACTIONS fall back to a full recompute — rule-set DRed needs
-        per-fact support counts (closure_delete's single-predicate
-        argument does not transfer to mutually recursive rules), and a
-        wrong-but-fast maintenance is the one thing a lineage store must
-        never do;
-      * an as-of read that fails (history expired by ``--compact``) also
-        falls back to full recompute — correct under every store state.
+      * retractions run DRed
+        (:func:`~..operators.chain.forward_chain_retract`) against the
+        PRE-addition state, then additions cascade — the
+        maintain_closure remove-before-add ordering lesson;
+      * an as-of read that fails (history expired by ``--compact``)
+        falls back to a full recompute — correct under every store
+        state, and the one path where incrementality is impossible.
 
     Overlay rows an edit later asserts as base facts stay in the overlay
     (base ∪ overlay is a set union; the overlap is harmless and vanishes
@@ -277,6 +277,7 @@ def maintain_entailment(spark: SparkSession, out_dir: str,
         RDFS_RULES,
         forward_chain,
         forward_chain_delta,
+        forward_chain_retract,
     )
 
     rules = rules if rules is not None else RDFS_RULES
@@ -318,13 +319,11 @@ def maintain_entailment(spark: SparkSession, out_dir: str,
         return {"status": "recomputed-history-expired",
                 **_full(manifest["seq"] + 1)}
     added = current.join(old, cols, "left_anti").localCheckpoint(eager=True)
-    removed = old.join(current, cols, "left_anti")
-    if removed.limit(1).count():
-        return {"status": "recomputed-retraction",
-                "added_facts": added.count(),
-                **_full(manifest["seq"] + 1)}
-    n_added = added.count()
-    if not n_added:
+    removed = (
+        old.join(current, cols, "left_anti").localCheckpoint(eager=True)
+    )
+    n_added, n_removed = added.count(), removed.count()
+    if not n_added and not n_removed:
         # pointer advance only, as in maintain_closure's untouched path
         seq = manifest["seq"] + 1
         snap_dir = os.path.join(
@@ -339,12 +338,21 @@ def maintain_entailment(spark: SparkSession, out_dir: str,
                 "as_of_run": head_run, "seq": seq,
                 "files": len(manifest["files"]), "expired_files": 0}
     entailed = old.unionByName(existing.select(*cols)).distinct()
-    delta = forward_chain_delta(entailed, added, rules)
+    if n_removed:
+        # DRed FIRST, against the pre-addition state — the
+        # maintain_closure lesson (a combined remove+add interval that
+        # retracts against the post-addition head keeps stale facts;
+        # test_maintain_combined_remove_add_propagates is the closure
+        # twin of this ordering)
+        entailed = forward_chain_retract(
+            entailed, old, removed, rules
+        ).localCheckpoint(eager=True)
+    if n_added:
+        delta = forward_chain_delta(entailed, added, rules)
+        entailed = entailed.unionByName(delta).distinct()
     # strip base rows: the overlay stores DERIVED facts only
-    new_derived = delta.join(current, cols, "left_anti")
     updated = (
-        existing.select(*cols).unionByName(new_derived)
-        .localCheckpoint(eager=True)
+        entailed.join(current, cols, "left_anti").localCheckpoint(eager=True)
     )
     # count BEFORE the commit: _commit_closure deletes the old files the
     # un-checkpointed `existing` frame still reads
@@ -352,5 +360,6 @@ def maintain_entailment(spark: SparkSession, out_dir: str,
     stats = _commit_closure(spark, out_dir, name, updated, head_run,
                             seq=manifest["seq"] + 1, prefix="entail")
     return {"status": "maintained", "added_facts": n_added,
+            "removed_facts": n_removed,
             "new_derived": n_after - n_before,
             "derived": n_after, "as_of_run": head_run, **stats}

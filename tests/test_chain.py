@@ -241,3 +241,92 @@ def test_delta_new_edge_extends_chain(spark):
     assert ("a", "P31", "c5") in got
     full = _py_fixpoint(_CHAIN + [("c4", "P279", "c5")], _R1)
     assert _set(ent) | got == full
+
+
+# ---------------------------------------------------------------------------
+# DRed deletion maintenance
+
+
+from entity_extraction_svc_spark.operators.chain import (  # noqa: E402
+    forward_chain_retract,
+)
+
+
+def _retract_check(spark, base, removed, rules):
+    """forward_chain_retract(E, base, removed) must equal
+    fixpoint(base − removed) computed from scratch."""
+    ent = forward_chain(_df(spark, base), rules)
+    got = _set(forward_chain_retract(
+        ent, _df(spark, base), _df(spark, removed), rules))
+    want = _py_fixpoint([f for f in base if f not in removed], rules)
+    assert got == want, (sorted(got - want), sorted(want - got))
+    return got
+
+
+def test_retract_cuts_inheritance_chain(spark):
+    # removing the middle taxonomy edge severs everything above it
+    got = _retract_check(spark, _CHAIN, [("c2", "P279", "c3")], _R1)
+    assert ("a", "P31", "c2") in got and ("a", "P31", "c3") not in got
+
+
+def test_retract_alternative_derivation_survives(spark):
+    """A fact with a second derivation path must come back in re-derive:
+    two routes to c3 (via c2 and via d2); cutting one keeps (a,P31,c3)."""
+    base = _CHAIN + [("c1", "P279", "d2"), ("d2", "P279", "c3")]
+    got = _retract_check(spark, base, [("c2", "P279", "c3")], _R1)
+    assert ("a", "P31", "c3") in got and ("a", "P31", "c4") in got
+
+
+def test_retract_removed_base_fact_can_rederive(spark):
+    """Retracting an ASSERTION does not retract derivability: the capital
+    fact re-proves the located-in edge the user tried to remove."""
+    base = [
+        ("paris", "P131", "france"),          # asserted AND derivable
+        ("paris", "P1376", "france"),
+        ("P1376", "P1647", "P131"),
+    ]
+    got = _retract_check(spark, base, [("paris", "P131", "france")],
+                         RDFS_RULES)
+    assert ("paris", "P131", "france") in got  # back via the rule
+
+
+def test_retract_cross_rule_cascade(spark):
+    """Removing the subproperty declaration takes down the derived edge,
+    its range typing, and the taxonomy climb — the 3-rule unwind."""
+    base = [
+        ("paris", "P1376", "france"),
+        ("P1376", "P1647", "P131"),
+        ("P131", "rng", "loc"),
+        ("loc", "P279", "thing"),
+    ]
+    got = _retract_check(spark, base, [("P1376", "P1647", "P131")],
+                         RDFS_RULES)
+    assert ("paris", "P131", "france") not in got
+    assert ("france", "P31", "loc") not in got
+    assert ("france", "P31", "thing") not in got
+
+
+def test_retract_noop_and_full(spark):
+    # removing nothing is identity; removing everything leaves nothing
+    got = _retract_check(spark, _CHAIN, [], _R1)
+    assert got == _py_fixpoint(_CHAIN, _R1)
+    assert _retract_check(spark, _CHAIN, list(_CHAIN), _R1) == set()
+
+
+def test_retract_on_fixture_kb(spark, fixture_dir):
+    """Scale-shaped spot check on the committed KB: retracting one
+    taxonomy edge equals the recompute, and untouched branches keep
+    every derived fact."""
+    kb = spark.read.parquet(f"{fixture_dir}/kb_triples.parquet")
+    onto = _df(spark, RDFS_ONTOLOGY)
+    inp = kb.select("subj", "pred", "obj").unionByName(onto)
+    ent = forward_chain(inp, RDFS_RULES)
+    rm = _df(spark, [("Q154954", "P279", "Q215627")])
+    got = _set(forward_chain_retract(ent, inp, rm, RDFS_RULES))
+    want = _set(forward_chain(
+        inp.join(rm, ["subj", "pred", "obj"], "left_anti"), RDFS_RULES))
+    assert got == want
+    # the humans lost their climb past natural person
+    assert not any(p == "P31" and o == "Q215627" and s.startswith("Q")
+                   and (s, "P31", "Q154954") in got and s != "Q154954"
+                   for s, p, o in got - want)

@@ -133,17 +133,17 @@ def test_retract_triples_end_to_end(spark, fixture_dir):
     asof = L.read_triples(spark, out, as_of=stats["run_id"])
     assert asof.count() == n_before - 3
 
-    # but the PRE-retraction run is honestly expired — the seq-1 redirect
-    # is only sound for state-preserving compactions, and silently
-    # serving the post-retraction rows as the old state broke
-    # maintain_entailment's as-of diff (it saw no removals and skipped
-    # its recompute fallback)
+    # and the PRE-retraction state time-travels EXACTLY: the retraction
+    # commit carries its removed rows as a sidecar, so as-of the previous
+    # run reads post-state ∪ removed == the old state byte-for-byte.
+    # (The naive seq-1 redirect used to serve the post-retraction rows as
+    # the old state — maintain_entailment's as-of diff saw no removals
+    # and skipped reconciliation.)
     snaps = L._read_snapshots(out)
     prev_run = [s for s in snaps if not s.get("retraction")][-1]["run_id"]
-    import pytest as _pytest
-
-    with _pytest.raises(ValueError, match="retraction"):
-        L.read_triples(spark, out, as_of=prev_run)
+    pre = {(r.subj, r.pred, r.obj)
+           for r in L.read_triples(spark, out, as_of=prev_run).collect()}
+    assert pre == {(r.subj, r.pred, r.obj) for r in before.collect()}
 
     # closure maintenance sees the retraction and reconciles via DRed
     r = M.maintain_closure(spark, out, PRED)
@@ -223,16 +223,21 @@ def test_maintain_entailment_lifecycle(spark, fixture_dir):
     assert got2 - base2 == want2 - base2
     assert got2 >= got and m2["seq"] == m1["seq"] + 1
 
-    # retraction -> full-recompute fallback (rule-set DRed is out of
-    # scope; correctness beats speed)
+    # retraction -> incremental DRed (the retraction sidecar makes the
+    # pre-retraction base exactly readable, so the diff sees the removed
+    # facts and forward_chain_retract reconciles without a recompute)
     cur = L.read_triples(spark, out).localCheckpoint(eager=True)
     drop = cur.filter(F.col("pred") == PRED).orderBy("subj", "obj").limit(2)
     L.retract_triples(spark, out, drop)
     r3 = M.maintain_entailment(spark, out, rules=_ENT_RULES, name="test")
-    assert r3["status"] in ("recomputed-retraction",
-                            "recomputed-history-expired")
+    assert r3["status"] == "maintained" and r3["removed_facts"] >= 2
     got3, _ = _ent_stored(spark, out)
-    assert got3 == _entailed_now(spark, out)
+    base3 = {
+        (r.subj, r.pred, r.obj)
+        for r in L.read_triples(spark, out)
+        .select("subj", "pred", "obj").distinct().collect()
+    }
+    assert got3 - base3 == _entailed_now(spark, out) - base3
 
     # orphan hygiene shares the closure-store vacuum
     assert M.vacuum_closure(
