@@ -590,6 +590,14 @@ CHAIN_DELTA_FACTS = [
     ("Q99902", "P1376", "Q99901"),
 ]
 
+# the retraction batch for part=rulesdel: cutting the natural-person ->
+# person taxonomy edge severs every human's climb past Q154954 — a
+# DRed whose over-delete region spans many subjects but whose re-derive
+# returns only alternative-path facts (oracle = recompute on survivors)
+CHAIN_RETRACT_FACTS = [
+    ("Q154954", "P279", "Q215627"),
+]
+
 
 def _kg_pattern_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1 single-pattern probe (part=w1) + the general basic-graph-pattern
@@ -755,12 +763,29 @@ def _kg_pattern_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pred").alias("b"), F.col("obj").alias("c"),
         F.lit("").alias("d"),
     )
+    # part=rulesdel: DRed retraction — cut a mid-taxonomy edge, emit the
+    # post-retraction DERIVED set; oracle recomputes on the survivors
+    from entity_extraction_svc_spark.operators.chain import (
+        forward_chain_retract,
+    )
+
+    rm = spark.createDataFrame(
+        CHAIN_RETRACT_FACTS, "subj string, pred string, obj string"
+    )
+    after = forward_chain_retract(entailed, chain_base, rm, RDFS_RULES)
+    surv_base = base_facts.join(rm, ["subj", "pred", "obj"], "left_anti")
+    rulesdel = after.join(surv_base, ["subj", "pred", "obj"], "left_anti") \
+        .select(
+            F.lit("rulesdel").alias("part"), F.col("subj").alias("a"),
+            F.col("pred").alias("b"), F.col("obj").alias("c"),
+            F.lit("").alias("d"),
+        )
     return (
         w1.unionByName(bgp).unionByName(alt).unionByName(inv)
         .unionByName(altpath).unionByName(opt).unionByName(neg)
         .unionByName(seq).unionByName(npset).unionByName(valfil)
         .unionByName(star).unionByName(constr).unionByName(agg)
-        .unionByName(rules).unionByName(rulesdelta)
+        .unionByName(rules).unionByName(rulesdelta).unionByName(rulesdel)
     )
 
 
@@ -3848,6 +3873,22 @@ def oracle_sql() -> dict[str, str]:
         "EXCEPT "
         f"SELECT subj, pred, obj FROM ({chain_oracle_sql(_chain_base, RDFS_RULES, rounds=8)})"
         ")"
+    )
+
+    # part=rulesdel oracle: from-scratch recompute on the survivor base —
+    # the DRed result must land exactly on it (derived-only rows)
+    _rm_values = ", ".join(
+        f"('{s}', '{p}', '{o}')" for s, p, o in CHAIN_RETRACT_FACTS
+    )
+    _chain_surv = (
+        f"SELECT cb.subj, cb.pred, cb.obj FROM ({_chain_base}) cb "
+        f"ANTI JOIN (SELECT * FROM (VALUES {_rm_values}) "
+        f"rmv(subj, pred, obj)) rm USING (subj, pred, obj)"
+    )
+    sql["kg_pattern_search"] += (
+        " UNION ALL "
+        "SELECT 'rulesdel' AS part, subj, pred, obj, '' "
+        f"FROM ({chain_oracle_sql(_chain_surv, RDFS_RULES, rounds=8, derived_only=True)})"
     )
 
     # kg_pattern_search part=altpath: (P131|P279)+ = closure over the
