@@ -363,9 +363,42 @@ def _kg_connection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("a"),
         F.col("comp").alias("b"),
     )
+    # part=ccdelta: INCREMENTAL clustering maintenance (canonicalize.
+    # cc_delta) over the sparse P131/P36/P47 place graph — remove the
+    # Paris<->France pair (both stored orientations; Q142 isolates and
+    # must drop out) and add two merging edges (Italy->Paris chain,
+    # two synthetic stars); the oracle recomputes WCC on the edited edge
+    # set from scratch, so the row pins incremental == recompute
+    # cross-engine
+    from entity_extraction_svc_spark.operators.canonicalize import cc_delta
+
+    ccd_pre = (
+        kb.filter(
+            F.col("pred").isin("P131", "P36", "P47")
+            & F.col("obj").rlike("^Q[0-9]+$")
+        )
+        .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+        .distinct()
+    )
+    ccd = cc_delta(
+        connected_components(ccd_pre),
+        add_edges=spark.createDataFrame(
+            [("Q82884", "Q19675"), ("Q9000002", "Q9000003")],
+            "src string, dst string",
+        ),
+        remove_edges=spark.createDataFrame(
+            [("Q90", "Q142")], "src string, dst string"
+        ),
+        edges=ccd_pre,
+    ).select(
+        F.lit("ccdelta").alias("part"),
+        F.col("node").alias("a"),
+        F.col("comp").alias("b"),
+    )
     return (
         conn.unionByName(bfs).unionByName(tri).unionByName(path)
         .unionByName(lpa).unionByName(core).unionByName(wcc)
+        .unionByName(ccd)
     )
 
 
@@ -3955,6 +3988,23 @@ def oracle_sql() -> dict[str, str]:
         " UNION ALL "
         "SELECT 'wcc' AS part, node AS a, comp AS b FROM ("
         + wcc_oracle_sql(_pr_edges)
+        + ")"
+        " UNION ALL "
+        # part=ccdelta: recompute-on-the-edited-set oracle — the same
+        # remove (both orientations of Q90<->Q142) + add VALUES the Spark
+        # side applies through cc_delta
+        "SELECT 'ccdelta' AS part, node AS a, comp AS b FROM ("
+        + wcc_oracle_sql(
+            "SELECT src, dst FROM ("
+            "  SELECT DISTINCT subj AS src, obj AS dst"
+            f"  FROM read_parquet('{fx}/kb_triples.parquet')"
+            "  WHERE pred IN ('P131','P36','P47')"
+            "    AND regexp_matches(obj, '^Q[0-9]+$')"
+            ") WHERE NOT ((src = 'Q90' AND dst = 'Q142')"
+            "          OR (src = 'Q142' AND dst = 'Q90'))"
+            " UNION ALL SELECT * FROM (VALUES"
+            " ('Q82884','Q19675'), ('Q9000002','Q9000003')) v(src, dst)"
+        )
         + ")"
     )
 

@@ -295,3 +295,129 @@ def mine_aliases_oracle_sql(linked_sql: str, aliases_sql: str | None = None,
         )
         SELECT alias, qid, support, purity FROM c WHERE true {anti}
     """
+
+
+def cc_delta(labels: DataFrame, add_edges: DataFrame | None = None,
+             remove_edges: DataFrame | None = None,
+             edges: DataFrame | None = None,
+             local_max_edges: int = 5_000_000) -> DataFrame:
+    """Incremental maintenance of :func:`connected_components` under edge
+    edits — the alias-cluster twin of ``graphwalk.closure_delta`` /
+    ``chain.forward_chain_delta``, so a daily crawl's new anchor-text
+    aliases (VERDICT r4: mine_aliases feeds this) reconcile the canonical
+    mapping without re-clustering the corpus.
+
+    ``labels`` must be ``connected_components(edges)`` (the min-label
+    contract); returns ``connected_components((edges - removed) + added)``
+    with the same contract, pinned against full recompute in
+    tests/test_ccdelta.py.  Edits are UNDIRECTED, like the clustering
+    itself: removing (u, v) removes both stored orientations.
+
+    Scale shape (the label store is SCANNED, never exchanged):
+
+    * removals can split a component, which no label-local rule can see —
+      recompute is restricted to the AFFECTED components (the comp ids of
+      the removed edges' endpoints, a <= 2|removed| broadcast list): the
+      store is scanned once with a broadcast anti-join to keep untouched
+      rows, once with a broadcast semi-join to lift the affected
+      subgraph's nodes; cost scales with affected-component sizes, not
+      the corpus.  Needs the pre-edit ``edges`` (the store keeps labels,
+      not edges — ``plans.maintain.maintain_canonical`` feeds it the
+      lineage store's as-of read).
+    * additions only MERGE components, so they lift into component space:
+      each new edge becomes an edge between its endpoints' comp ids
+      (fresh endpoints stand for themselves), union-find runs on that
+      |added|-bounded merge graph, and the resulting old->new rewiring is
+      a broadcast left join over one scan of the store.  Min-label is
+      preserved inductively: every comp id is the min node of its old
+      component, so the min over merged comp ids is the min over the
+      merged component.
+
+    Removal runs FIRST against the pre-edit state, additions cascade on
+    the survivors — the maintain_closure remove-before-add ordering
+    (test_maintain_combined_remove_add_propagates is the closure twin).
+    """
+    out = labels.select("node", "comp")
+    if remove_edges is not None:
+        if edges is None:
+            raise ValueError(
+                "cc_delta: remove_edges needs the pre-edit `edges` — "
+                "splitting a component requires its surviving subgraph"
+            )
+        rem = remove_edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        ).distinct().localCheckpoint(eager=True)
+        ends = rem.select(F.col("a").alias("node")).union(
+            rem.select(F.col("b").alias("node"))
+        ).distinct()
+        affected = (
+            out.join(F.broadcast(ends), "node", "left_semi")
+            .select("comp").distinct().localCheckpoint(eager=True)
+        )
+        survivors = edges.select("src", "dst").join(
+            F.broadcast(rem),
+            (F.least("src", "dst") == F.col("a"))
+            & (F.greatest("src", "dst") == F.col("b")),
+            "left_anti",
+        )
+        # both endpoints of a PRE-edit edge share a component, so the
+        # affected subgraph needs only a src-side membership test
+        sub_nodes = out.join(F.broadcast(affected), "comp", "left_semi") \
+            .select(F.col("node").alias("src"))
+        sub_edges = survivors.join(sub_nodes, "src", "left_semi")
+        recomputed = connected_components(
+            sub_edges, local_max_edges=local_max_edges
+        )
+        out = (
+            out.join(F.broadcast(affected), "comp", "left_anti")
+            .unionByName(recomputed)
+        )
+    if add_edges is not None:
+        add = add_edges.select("src", "dst").distinct() \
+            .localCheckpoint(eager=True)
+        ends = add.select(F.col("src").alias("node")).union(
+            add.select(F.col("dst").alias("node"))
+        ).distinct()
+        # delta-sized slice of the store: scan + broadcast semi, then the
+        # small-vs-small left join (never an outer join against the store)
+        slice_ = out.join(F.broadcast(ends), "node", "left_semi") \
+            .localCheckpoint(eager=True)
+        mapped = (
+            ends.join(slice_, "node", "left")
+            .select(
+                "node",
+                F.coalesce("comp", F.col("node")).alias("comp0"),
+                F.col("comp").isNull().alias("fresh"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        merge_edges = (
+            add.join(
+                mapped.select(F.col("node").alias("src"),
+                              F.col("comp0").alias("cs")), "src")
+            .join(
+                mapped.select(F.col("node").alias("dst"),
+                              F.col("comp0").alias("cd")), "dst")
+            .select(F.col("cs").alias("src"), F.col("cd").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+        )
+        merged = connected_components(
+            merge_edges, local_max_edges=local_max_edges
+        )
+        rewire = merged.filter(F.col("node") != F.col("comp")).select(
+            F.col("node").alias("comp"), F.col("comp").alias("new_comp")
+        ).localCheckpoint(eager=True)
+        relabeled = out.join(F.broadcast(rewire), "comp", "left").select(
+            "node", F.coalesce("new_comp", F.col("comp")).alias("comp")
+        )
+        fresh_lab = (
+            mapped.filter("fresh")
+            .select("node", F.col("comp0").alias("comp"))
+            .join(F.broadcast(rewire), "comp", "left")
+            .select(
+                "node", F.coalesce("new_comp", F.col("comp")).alias("comp")
+            )
+        )
+        out = relabeled.unionByName(fresh_lab)
+    return out

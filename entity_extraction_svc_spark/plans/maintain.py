@@ -209,19 +209,9 @@ def maintain_closure(spark: SparkSession, out_dir: str, pred: str) -> dict:
         )
     else:
         # predicate untouched by the interval's runs: advance the pointer
-        # only (a manifest re-referencing the existing files — no data
-        # write, no deletion) so the next maintenance diffs a shorter
-        # interval
-        seq = manifest["seq"] + 1
-        snap_dir = os.path.join(closure_path(out_dir, pred), "_snapshots")
-        final = os.path.join(snap_dir, f"{seq:06d}.json")
-        tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as f:
-            json.dump({"seq": seq, "as_of_run": head_run,
-                       "files": manifest["files"]}, f)
-        os.replace(tmp, final)
-        stats = {"files": len(manifest["files"]), "expired_files": 0,
-                 "seq": seq}
+        # only so the next maintenance diffs a shorter interval
+        stats = _advance_pointer(out_dir, pred, "closure", manifest,
+                                 head_run)
     return {"status": "maintained", "pairs": clo.count(),
             "added_edges": n_added, "removed_edges": n_removed,
             "as_of_run": head_run, **stats}
@@ -325,18 +315,10 @@ def maintain_entailment(spark: SparkSession, out_dir: str,
     n_added, n_removed = added.count(), removed.count()
     if not n_added and not n_removed:
         # pointer advance only, as in maintain_closure's untouched path
-        seq = manifest["seq"] + 1
-        snap_dir = os.path.join(
-            closure_path(out_dir, name, "entail"), "_snapshots")
-        final = os.path.join(snap_dir, f"{seq:06d}.json")
-        tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as f:
-            json.dump({"seq": seq, "as_of_run": head_run,
-                       "files": manifest["files"]}, f)
-        os.replace(tmp, final)
         return {"status": "maintained", "added_facts": 0, "new_derived": 0,
-                "as_of_run": head_run, "seq": seq,
-                "files": len(manifest["files"]), "expired_files": 0}
+                "as_of_run": head_run,
+                **_advance_pointer(out_dir, name, "entail", manifest,
+                                   head_run)}
     entailed = old.unionByName(existing.select(*cols)).distinct()
     if n_removed:
         # DRed FIRST, against the pre-addition state — the
@@ -363,3 +345,107 @@ def maintain_entailment(spark: SparkSession, out_dir: str,
             "removed_facts": n_removed,
             "new_derived": n_after - n_before,
             "derived": n_after, "as_of_run": head_run, **stats}
+
+
+def _advance_pointer(out_dir: str, name: str, prefix: str,
+                     manifest: dict, head_run: str) -> dict:
+    """Manifest re-referencing the existing files — the shared untouched-
+    interval fast path (no data write, no deletion)."""
+    seq = manifest["seq"] + 1
+    snap_dir = os.path.join(closure_path(out_dir, name, prefix),
+                            "_snapshots")
+    final = os.path.join(snap_dir, f"{seq:06d}.json")
+    tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump({"seq": seq, "as_of_run": head_run,
+                   "files": manifest["files"]}, f)
+    os.replace(tmp, final)
+    return {"seq": seq, "files": len(manifest["files"]),
+            "expired_files": 0}
+
+
+def _entity_edges(triples: DataFrame) -> DataFrame:
+    """UNDIRECTED-normalized entity->entity edge set of a triples frame:
+    (least, greatest) pairs so a reversed duplicate orientation never
+    masquerades as a distinct edge in the add/remove diff (cc_delta's
+    removal is undirected — an orientation-level diff could remove a pair
+    whose reverse survives)."""
+    ee = triples.filter(F.col("obj").rlike("^Q[0-9]+$")).select(
+        F.least("subj", "obj").alias("src"),
+        F.greatest("subj", "obj").alias("dst"),
+    )
+    return ee.filter(F.col("src") != F.col("dst")).distinct()
+
+
+def maintain_canonical(spark: SparkSession, out_dir: str,
+                       name: str = "entities") -> dict:
+    """Bring ``cc_{name}`` — the materialized connected-component labels
+    over the triples store's entity->entity edges, the alias-clustering
+    artifact canonicalization reads — up to the store's current head
+    (runner flag ``--maintain-canonical``), completing the incremental-
+    maintenance set: closure (``--maintain-closure``), rule entailment
+    (``--entail``), and now the cluster labels.
+
+    Bootstrap = :func:`~..operators.canonicalize.connected_components`
+    over the head's edge set.  Incremental = the undirected edge diff
+    between the recorded ``as_of_run`` and the head (lineage as-of
+    travel), applied through
+    :func:`~..operators.canonicalize.cc_delta`: additions lift into the
+    delta-sized component-merge graph, removals recompute only the
+    affected components — the label store is scanned, never exchanged
+    (cc_delta's docstring carries the plan argument; the incremental ==
+    recompute invariant is driver-pinned as kg_connection part=ccdelta).
+    History expired by ``--compact`` falls back to a full recompute, the
+    same honesty rule as maintain_entailment."""
+    from entity_extraction_svc_spark.operators.canonicalize import (
+        cc_delta,
+        connected_components,
+    )
+
+    runs = _read_snapshots(out_dir)
+    if not runs:
+        return {"status": "no-triples-store"}
+    head_run = runs[-1]["run_id"]
+    cur_edges = _entity_edges(read_triples(spark, out_dir)) \
+        .localCheckpoint(eager=True)
+    existing, manifest = read_closure(spark, out_dir, name, prefix="cc")
+
+    def _full(seq: int) -> dict:
+        labels = connected_components(cur_edges).localCheckpoint(eager=True)
+        stats = _commit_closure(spark, out_dir, name, labels, head_run,
+                                seq=seq, prefix="cc")
+        return {"nodes": labels.count(), "as_of_run": head_run, **stats}
+
+    if existing is None:
+        return {"status": "bootstrap", **_full(0)}
+    if manifest["as_of_run"] == head_run:
+        return {"status": "up-to-date", "as_of_run": head_run}
+    try:
+        old_edges = _entity_edges(read_triples(
+            spark, out_dir, as_of=manifest["as_of_run"]
+        )).localCheckpoint(eager=True)
+    except Exception:
+        return {"status": "recomputed-history-expired",
+                **_full(manifest["seq"] + 1)}
+    added = cur_edges.join(old_edges, ["src", "dst"], "left_anti") \
+        .localCheckpoint(eager=True)
+    removed = old_edges.join(cur_edges, ["src", "dst"], "left_anti") \
+        .localCheckpoint(eager=True)
+    n_added, n_removed = added.count(), removed.count()
+    if not n_added and not n_removed:
+        return {"status": "maintained", "added_edges": 0,
+                "removed_edges": 0, "as_of_run": head_run,
+                **_advance_pointer(out_dir, name, "cc", manifest,
+                                   head_run)}
+    labels = cc_delta(
+        existing,
+        add_edges=added if n_added else None,
+        remove_edges=removed if n_removed else None,
+        edges=old_edges if n_removed else None,
+    ).localCheckpoint(eager=True)
+    n_nodes = labels.count()
+    stats = _commit_closure(spark, out_dir, name, labels, head_run,
+                            seq=manifest["seq"] + 1, prefix="cc")
+    return {"status": "maintained", "added_edges": n_added,
+            "removed_edges": n_removed, "nodes": n_nodes,
+            "as_of_run": head_run, **stats}

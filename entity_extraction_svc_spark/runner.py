@@ -52,6 +52,16 @@ def main(argv: list[str] | None = None) -> int:
                          "and expired history fall back to full "
                          "recompute; committed crash-safely under "
                          "{out}/entail_rdfs")
+    ap.add_argument("--maintain-canonical", action="store_true",
+                    help="after the run: bring the materialized "
+                         "connected-component labels over the store's "
+                         "entity->entity edges (the alias-clustering "
+                         "artifact) up to the head — bootstrap on first "
+                         "use, then incremental cc_delta maintenance "
+                         "(additions merge via the delta-sized component "
+                         "graph, removals recompute only affected "
+                         "components); committed crash-safely under "
+                         "{out}/cc_entities")
     ap.add_argument("--diff", nargs=2, metavar=("OLD_RUN", "NEW_RUN"),
                     default=None,
                     help="snapshot-diff the store between two committed "
@@ -78,12 +88,13 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--master", default=None, help="override spark master (local dev)")
     args = ap.parse_args(argv)
     if (args.vacuum or args.compact or args.maintain_closure or args.diff
-            or args.retract or args.entail) and not args.resume:
+            or args.retract or args.entail
+            or args.maintain_canonical) and not args.resume:
         # validate BEFORE any work: failing after an hours-long run (with
         # triples already written) would report rc=2 on a completed job
-        print("--compact/--vacuum/--maintain-closure/--entail/--diff/"
-              "--retract maintain the checkpointed (append) store; use "
-              "them with --resume", file=sys.stderr)
+        print("--compact/--vacuum/--maintain-closure/--maintain-canonical/"
+              "--entail/--diff/--retract maintain the checkpointed "
+              "(append) store; use them with --resume", file=sys.stderr)
         return 2
     if args.emit_training and args.resume:
         print("--emit-training needs the batch run's linked frame; "
@@ -172,6 +183,10 @@ def main(argv: list[str] | None = None) -> int:
         stats["maintain_closure"] = M.maintain_closure(
             spark, args.out, args.maintain_closure
         )
+    if args.maintain_canonical:
+        from entity_extraction_svc_spark.plans import maintain as M
+
+        stats["maintain_canonical"] = M.maintain_canonical(spark, args.out)
     if args.entail:
         import os as _os
 

@@ -243,3 +243,57 @@ def test_maintain_entailment_lifecycle(spark, fixture_dir):
     assert M.vacuum_closure(
         spark, out, "test", prefix="entail")["orphans_removed"] == 0
     shutil.rmtree(out)
+
+
+def _cc_now(spark, out):
+    from entity_extraction_svc_spark.operators.canonicalize import (
+        connected_components,
+    )
+
+    cur = M._entity_edges(L.read_triples(spark, out))
+    return {(r.node, r.comp) for r in connected_components(cur).collect()}
+
+
+def test_maintain_canonical_lifecycle(spark, fixture_dir):
+    """cc_entities store: bootstrap, up-to-date, incremental merge on new
+    docs, incremental split on a retraction commit — store == recompute
+    over the head at every step (the cc_delta invariant, lineage-wired)."""
+    out = tempfile.mkdtemp(prefix="kg_ccmaint_")
+    pages = f"{fixture_dir}/pages.parquet"
+
+    assert M.maintain_canonical(spark, out)["status"] == "no-triples-store"
+
+    s1 = L.run_checkpointed(spark, pages, fixture_dir, out, max_docs=60)
+    r1 = M.maintain_canonical(spark, out)
+    assert r1["status"] == "bootstrap" and r1["as_of_run"] == s1["run_id"]
+    df1, m1 = M.read_closure(spark, out, "entities", prefix="cc")
+    got1 = {(r.node, r.comp) for r in df1.collect()}
+    assert got1 == _cc_now(spark, out) and got1
+
+    assert M.maintain_canonical(spark, out)["status"] == "up-to-date"
+
+    # drain the corpus -> incremental (additions merge via cc_delta)
+    L.run_checkpointed(spark, pages, fixture_dir, out)
+    r2 = M.maintain_canonical(spark, out)
+    assert r2["status"] == "maintained" and r2["added_edges"] > 0
+    df2, m2 = M.read_closure(spark, out, "entities", prefix="cc")
+    got2 = {(r.node, r.comp) for r in df2.collect()}
+    assert got2 == _cc_now(spark, out)
+    assert m2["seq"] == m1["seq"] + 1
+
+    # retract every triple of one well-connected subject: the edge diff
+    # shows removals and cc_delta takes the affected-component recompute
+    # path; store must still equal recompute on the head
+    before = L.read_triples(spark, out).localCheckpoint(eager=True)
+    drop = before.filter(
+        (F.col("subj") == "Q762") & F.col("obj").rlike("^Q[0-9]+$")
+    ).localCheckpoint(eager=True)
+    assert drop.count() > 0
+    L.retract_triples(spark, out, drop)
+    r3 = M.maintain_canonical(spark, out)
+    assert r3["status"] == "maintained" and r3["removed_edges"] > 0
+    df3, _ = M.read_closure(spark, out, "entities", prefix="cc")
+    got3 = {(r.node, r.comp) for r in df3.collect()}
+    assert got3 == _cc_now(spark, out)
+
+    shutil.rmtree(out, ignore_errors=True)
