@@ -355,6 +355,67 @@ def main(n_edges: int = 1_000_000) -> None:
     out["chain_delta_speedup"] = round(
         out["chain_recompute_s"] / max(out["chain_delta_s"], 1e-9), 2)
 
+    # --- free the rule-engine footprint before the cc section: ent/d are
+    # localCheckpoint-ed fixpoints (~9M rows pinned on-heap until their
+    # Python refs die) and facts is persisted — the same mid-run overflow
+    # the closure sections hit; the first cc-bench run OOMed the 8g heap
+    # here with all of it still resident
+    facts.unpersist()
+    del ent, d
+    _gc.collect()
+    spark.sparkContext._jvm.System.gc()
+
+    # --- incremental connected components (cc_delta vs recompute) ----------
+    # 100k chains of 10 edges each (1M edges, 1.1M nodes); the edit is 500
+    # even->odd bridges (pure merges) + 500 mid-chain cuts in untouched
+    # chains (pure splits).  Parity = xxhash64 checksum over (node, comp).
+    from entity_extraction_svc_spark.operators.canonicalize import (
+        cc_delta,
+        connected_components,
+    )
+
+    cdep = 10
+    cc_edges = spark.range((n_edges // cdep) * cdep).select(
+        F.concat(F.lit("n"), (F.col("id") / cdep).cast("long"),
+                 F.lit("_"), (F.col("id") % cdep)).alias("src"),
+        F.concat(F.lit("n"), (F.col("id") / cdep).cast("long"),
+                 F.lit("_"), (F.col("id") % cdep) + 1).alias("dst"),
+    ).persist()
+    cc_edges.count()
+    t0 = time.time()
+    labels = connected_components(cc_edges).persist()
+    out["cc_nodes"] = labels.count()
+    out["cc_s"] = round(time.time() - t0, 2)
+    cc_add = spark.range(500).select(
+        F.concat(F.lit("n"), F.col("id") * 2, F.lit(f"_{cdep}")).alias("src"),
+        F.concat(F.lit("n"), F.col("id") * 2 + 1, F.lit("_0")).alias("dst"),
+    )
+    cc_rem = spark.range(500).select(
+        F.concat(F.lit("n"), F.col("id") + 10_000, F.lit("_5")).alias("src"),
+        F.concat(F.lit("n"), F.col("id") + 10_000, F.lit("_6")).alias("dst"),
+    )
+    edited = cc_edges.join(cc_rem, ["src", "dst"], "left_anti") \
+        .unionByName(cc_add)
+
+    def _ck(df):
+        return df.agg(F.sum(F.xxhash64("node", "comp"))).first()[0]
+
+    re_t, d_t, cks = [], [], {}
+    for _ in range(2):
+        t0 = time.time()
+        cks["full"] = _ck(connected_components(edited))
+        re_t.append(time.time() - t0)
+        t0 = time.time()
+        cks["inc"] = _ck(cc_delta(labels, cc_add, cc_rem, cc_edges))
+        d_t.append(time.time() - t0)
+    assert cks["inc"] == cks["full"], cks
+    out["cc_delta_s"] = round(min(d_t), 2)
+    out["cc_recompute_s"] = round(min(re_t), 2)
+    out["cc_delta_speedup"] = round(
+        out["cc_recompute_s"] / max(out["cc_delta_s"], 1e-9), 2)
+    labels.unpersist()
+    cc_edges.unpersist()
+
     print(json.dumps(out))
 
 
