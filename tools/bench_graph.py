@@ -398,7 +398,11 @@ def main(n_edges: int = 1_000_000) -> None:
         .unionByName(cc_add)
 
     def _ck(df):
-        return df.agg(F.sum(F.xxhash64("node", "comp"))).first()[0]
+        # decimal(38,0) sum: 1.1M full-range int64 hashes overflow BIGINT
+        # under ANSI mode; the decimal sum is exact and order-independent
+        return df.agg(
+            F.sum(F.xxhash64("node", "comp").cast("decimal(38,0)"))
+        ).first()[0]
 
     re_t, d_t, cks = [], [], {}
     for _ in range(2):
