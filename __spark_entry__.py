@@ -1320,8 +1320,18 @@ def _doc_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan."""
     from entity_extraction_svc_spark.operators.packing import pack_sequences
 
+    # dtype parity with the oracle: DuckDB types the windowed sum(n_tokens)
+    # as HUGEINT and fetchdf() returns the three off-derived columns as
+    # float64 (verified: 64.0 vs 64) — the driver's value hash is dtype-
+    # sensitive, so the Spark side emits the same doubles (token offsets are
+    # far below 2^53, the cast is exact; VERDICT r5 "What's wrong #1")
     return pack_sequences(_docs(spark, sf_dir), seq_len=128).select(
-        "seq_id", "doc_id", "tok_start", "tok_end", "seq_pos", "n_tokens"
+        "seq_id",
+        "doc_id",
+        F.col("tok_start").cast("double").alias("tok_start"),
+        F.col("tok_end").cast("double").alias("tok_end"),
+        F.col("seq_pos").cast("double").alias("seq_pos"),
+        "n_tokens",
     )
 
 
