@@ -30,6 +30,12 @@ from pyspark.sql import functions as F
 
 MERSENNE_P = 2_147_483_647  # 2^31 - 1
 
+# ngram_jaccard_pairs: hot (df > max_df) shingles are removed row-locally
+# via a literal-array array_except up to this many; beyond it the plan
+# would bloat, so an exploded anti-join + re-aggregation takes over
+# (module-level so tests can force the fallback branch)
+HOT_LITERAL_LIMIT = 10_000
+
 # deterministic universal-hash coefficients (seeded, fixed across runs so
 # signatures are stable for checkpoint/resume)
 def _coeffs(n: int, seed: int = 42) -> list[tuple[int, int]]:
@@ -125,9 +131,14 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
 
     Computed entirely row-local (narrow): shingling, hashing and the k minima
     are higher-order array expressions inside whole-stage codegen; no shuffle,
-    no Python.
+    no Python.  The scan is widened to the session parallelism when a small
+    file yields fewer splits than cores (measured 7.9s -> 1.2s at sf1.0 on
+    local[32]; a no-op at cluster scale — see ``scanwide.widen_scan``).
     """
-    sh = with_shingles(docs, text_col, shingle_n)
+    from entity_extraction_svc_spark.operators.scanwide import widen_scan
+
+    sh = with_shingles(widen_scan(docs.select(id_col, text_col)),
+                       text_col, shingle_n)
     hashed = sh.withColumn("_hv", F.transform("_sh", lambda s: _h64(s) % MERSENNE_P))
     mins = F.array(
         *[
@@ -352,8 +363,13 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     """Per-bit majority vote over token hashes packed into an integer key.
 
     simhash_j = 1 iff sum over tokens of (2*bit_j(h(token)) - 1) > 0.
-    Row-local higher-order expressions only (no shuffle, no UDF).
+    Row-local higher-order expressions only (no shuffle, no UDF); the scan
+    is widened when a small file yields fewer splits than cores
+    (``scanwide.widen_scan`` — no-op at cluster scale).
     """
+    from entity_extraction_svc_spark.operators.scanwide import widen_scan
+
+    docs = widen_scan(docs.select(id_col, text_col))
     # shiftright/shiftleft need column shift amounts -> SQL higher-order expr
     norm = (
         f"trim(regexp_replace(lower(coalesce({text_col}, '')), '\\\\s+', ' '))"
@@ -634,55 +650,320 @@ def embedding_dup_pairs_lsh(embeddings: DataFrame, threshold: float = 0.9,
 
 
 # ---------------------------------------------------------------------------
-# n-gram Jaccard (exact, inverted-index joined)
+# n-gram Jaccard (exact, prefix-filtered candidate join + array verification)
 # ---------------------------------------------------------------------------
+
+# Java String.trim strips every char <= U+0020; Python str.strip() strips
+# Unicode whitespace instead, so the JVM-parity normalizer names the set.
+_JAVA_TRIM = "".join(chr(i) for i in range(0x21))
+
+
+def _py_norm_tokens(text: str | None) -> list[str]:
+    """Python twin of ``_word_tokens(_norm_text(c))``: lower, collapse
+    ASCII ``\\s+`` runs (Java regex ``\\s`` = ``[ \\t\\n\\x0B\\f\\r]`` —
+    ``re.ASCII`` gives the identical class), Java-trim, split on ' ',
+    drop empties.  Unicode lowercase corner cases (e.g. dotted capital I)
+    follow Python's full-Unicode lower(), same as the JVM's
+    locale-independent mapping for every character in the fixtures and
+    the generated sf corpora (pinned by test_ngram_rewrite_equivalence)."""
+    import re
+
+    s = re.sub(r"\s+", " ", (text or "").lower(), flags=re.ASCII)
+    s = s.strip(_JAVA_TRIM)
+    return [t for t in s.split(" ") if t]
+
+
+def shingle_set_rows(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """(id, sh: array<string> sorted ascending, n_all) — each document's
+    DISTINCT word n-gram shingle set, built in one ``mapInPandas`` pass.
+
+    Why Python and not the Catalyst higher-order expressions of
+    :func:`with_shingles`: HOF lambdas are interpreted (no codegen), and a
+    ``Generate``/aggregate consumer re-inlines the whole zip-of-slices
+    subtree — measured at sf1.0 (50k docs, 2.6M shingles): 3.9s to build
+    the arrays, 13.5s once exploded, vs 0.65s to explode materialized
+    arrays.  Here tokenize/shingle/dedup run as C-level str/set ops per
+    Arrow batch and the arrays materialize exactly once.
+
+    The sort — by (crc32(shingle), shingle) — is the fixed global total
+    order the prefix filter in :func:`ngram_jaccard_pairs` relies on (any
+    single total order is correct; the hash order keeps prefix buckets
+    uniform, see the inline note).  Short docs (< n tokens) contribute
+    their whole text as one shingle; empty/null docs contribute [''] —
+    both exactly as ``with_shingles``.
+    """
+    from entity_extraction_svc_spark.operators.scanwide import widen_scan
+
+    id_t = docs.schema[id_col].dataType.simpleString()
+
+    def _rows(batches):
+        import zlib
+
+        import pandas as pd
+
+        # total order = (crc32, shingle): crc32 spreads the prefix filter's
+        # selected elements UNIFORMLY over the shingle vocabulary, where
+        # plain string order concentrates every doc's prefix on the
+        # lexicographically small shingles and their buckets go quadratic —
+        # measured at sf1.0 the candidate join+count dropped 16.8s -> 8.8s
+        # switching from string to crc order.  The string tie-break keeps
+        # the order total; determinism is engine-independent (crc32 is
+        # fixed by RFC 1952).
+        key = lambda s: (zlib.crc32(s.encode("utf-8")), s)  # noqa: E731
+        for pdf in batches:
+            sh_out: list[list[str]] = []
+            for text in pdf[text_col]:
+                toks = _py_norm_tokens(text)
+                if len(toks) >= n:
+                    sh_out.append(sorted(
+                        {" ".join(toks[i:i + n])
+                         for i in range(len(toks) - n + 1)},
+                        key=key,
+                    ))
+                else:
+                    sh_out.append([" ".join(toks)])
+            yield pd.DataFrame({
+                "id": pdf[id_col],
+                "sh": sh_out,
+                "n_all": [len(s) for s in sh_out],
+            })
+
+    return widen_scan(docs.select(id_col, text_col)).mapInPandas(
+        _rows, f"id {id_t}, sh array<string>, n_all int"
+    )
+
 
 def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", shingle_n: int = 3,
                         threshold: float = 0.5,
-                        max_df: int = 1000) -> DataFrame:
-    """Exact n-gram Jaccard over candidate pairs sharing >= 1 shingle.
+                        max_df: int = 1000,
+                        broadcast_docs_limit: int = 500_000) -> DataFrame:
+    """Exact n-gram Jaccard pairs at ``threshold``, stop-shingle capped.
 
-    Inverted-index pattern: explode distinct shingles, drop shingles whose
-    document frequency exceeds ``max_df`` (stop-shingle guard — at web scale
-    a boilerplate shingle would otherwise create a quadratic bucket), self-
-    join on shingle, count shared per pair, then |A∩B| / (|A|+|B|-|A∩B|).
+    Semantics (unchanged since r2, pinned by the DuckDB oracle): candidate
+    pairs share >= 1 shingle whose document frequency is <= ``max_df``;
+    n_shared counts only such capped shingles; the denominator uses the
+    FULL distinct-shingle sizes; ``jaccard`` is rounded to 6 then filtered.
+    Input ids are assumed unique (a duplicated id double-counted n_shared
+    in the old plan and is equally unsupported here).
+
+    Plan shape (rebuilt r6 — the old inverted-index self-join + pair
+    groupBy measured 27.2s at sf1.0 with its 2.6M-row index subtree built
+    TWICE on one scan split, once broadcast whole, and ~1.1e8
+    partially-aggregated pair rows exchanged; this shape books ~10s):
+
+    * one ``mapInPandas`` pass builds each doc's distinct shingle set,
+      sorted by the (crc32, shingle) total order (see
+      :func:`shingle_set_rows`), persisted — it feeds the df aggregate,
+      the candidate index and both verify sides, and the scan is widened
+      to the session parallelism when a small file under-splits
+      (``scanwide.widen_scan``);
+    * hot shingles (df > max_df) come from one partial-aggregated groupBy
+      (the exchange carries one row per distinct shingle per map task) and
+      are removed from the arrays row-locally (``array_except`` against
+      the collected hot set when it is small, an exploded anti-join +
+      re-aggregation otherwise);
+    * candidates: PREFIX-FILTERED index self-join (Bayardo et al., WWW'07
+      "Scaling Up All Pairs Similarity Search") with per-side prefixes of
+      length ``n' - ceil(t*n') + 2``, then a per-pair collision count
+      filtered by the order-statistics bound ``req`` (see the inline
+      derivation) — at sf1.0 this admits ~3k of 5.9e7 sharing pairs, so
+      the exact verification is measured in thousands of rows.  The count
+      aggregate carries only the pair key (packed into one long when ids
+      permit) and is the single pair-sized exchange in the plan;
+    * verification is row-local: the capped arrays ride in on two
+      broadcast joins (when the doc count is under
+      ``broadcast_docs_limit``; plain AQE-planned joins beyond — a
+      500k-doc array frame is ~100s of MB, far under the 8 GB broadcast
+      cap, but 10^9-doc corpora must shuffle the few candidates instead),
+      ``array_intersect`` gives n_shared, then round and threshold.
+
+    Cache lifecycle: the narrow shingle-set frame stays persisted until
+    the caller clears it (same contract as ``pack_sequences``); benchmarks
+    must ``clearCache`` between repeats (bench.py does).
     """
-    sh = with_shingles(docs, text_col, shingle_n).select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(F.col("_sh")).alias("sh"),
-    )
-    sizes = sh.select("id", F.size("sh").alias("n_sh"))
-    # document frequency as a window count over the exploded index: one
-    # shuffle on shingle that the planner reuses for the self-join below
-    # (a groupBy+join formulation re-evaluates the explode three times)
-    from pyspark.sql.window import Window
+    sets_ = shingle_set_rows(docs, text_col, id_col, shingle_n).persist()
 
-    inv = (
-        sh.select("id", F.explode("sh").alias("shingle"))
-        .withColumn("df", F.count("*").over(Window.partitionBy("shingle")))
-        .filter(F.col("df") <= max_df)
-        .drop("df")
+    hot = (
+        sets_.select(F.explode("sh").alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > max_df)
     )
-    l, r = inv.alias("l"), inv.alias("r")
-    shared = (
-        l.join(r, (F.col("l.shingle") == F.col("r.shingle")) & (F.col("l.id") < F.col("r.id")))
-        .groupBy(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-        .agg(F.count("*").alias("n_shared"))
+    # the hot set is stop-shingle-sized (empty on the sf corpora); collect
+    # to make the cap row-local.  The guard keeps a degenerate corpus
+    # (many hot shingles = a huge literal array bloating the plan) off the
+    # driver: fall back to an exploded anti-join + re-aggregation,
+    # re-sorted to the same total order.
+    hot_list = [r["shingle"] for r in hot.limit(HOT_LITERAL_LIMIT + 1).collect()]
+    if not hot_list:
+        arrs = sets_.withColumn("sh_c", F.col("sh"))
+    elif len(hot_list) <= HOT_LITERAL_LIMIT:
+        arrs = sets_.withColumn(
+            "sh_c", F.array_except("sh", F.array(*[F.lit(s) for s in hot_list]))
+        )
+    else:
+        # NB: this rare branch re-sorts by plain string order — also a
+        # valid total order, and consistent here because EVERY doc's sh_c
+        # comes from this same aggregation (order consumers — the prefix
+        # slice — only need one corpus-wide order; verification is
+        # order-insensitive)
+        capped = (
+            sets_.select("id", F.explode("sh").alias("shingle"))
+            .join(hot, "shingle", "left_anti")
+            .groupBy("id")
+            .agg(F.sort_array(F.collect_list("shingle")).alias("sh_c"))
+        )
+        arrs = sets_.join(capped, "id", "left").withColumn(
+            "sh_c", F.coalesce("sh_c", F.array().cast("array<string>"))
+        )
+    arrs = arrs.select("id", "sh_c", "n_all")
+
+    # --- candidate mining ---------------------------------------------
+    # Prefix filtering (Bayardo et al. WWW'07 "Scaling Up All Pairs
+    # Similarity Search"), sharpened with the order-statistics count bound:
+    # under any fixed total order, the j-th smallest element shared by a
+    # pair with capped-set overlap I sits within position n_side - (I - j)
+    # of each sorted side (the I - j larger shared elements all lie after
+    # it).  With per-side prefixes of length p2 = n' - ceil(t*n') + 2 and
+    # the minimum required overlap alpha = ceil(t/(1+t)*(n_all_a+n_all_b)),
+    # a qualifying pair therefore collides in the prefix self-join at least
+    #     req = alpha - max(ceil(t*n'_a), ceil(t*n'_b)) + 2
+    # times (j <= req satisfies both position constraints).  At sf1.0
+    # (52-shingle docs, t=0.5) req is 11 — so counting collisions per pair
+    # and keeping only pairs with >= max(2, req) of them shrinks 5.9e7
+    # candidate groups to approximately the true pair set before any
+    # array work; the exact verification then touches thousands of rows,
+    # not tens of millions.  Pairs whose alpha is <= 1 can legitimately
+    # share a single shingle; both sides of such a pair have
+    # n_all <= (1+t)/t - 1, so a second channel joins those tiny docs on
+    # single shingles.  The float guards (+/-1e-9) each err in the safe
+    # direction: alpha can only shrink, ceil(t*n') in the subtrahend can
+    # only grow, the prefix can only lengthen — a required candidate is
+    # never dropped.
+    import math
+
+    thr = float(threshold)
+    tiny_cap = math.floor((1.0 + thr) / thr - 1e-9) - 1 if thr > 0 else None
+
+    n_c = F.size("sh_c")
+    p2_col = F.greatest(
+        n_c - F.ceil(F.lit(thr) * n_c - F.lit(1e-9)).cast("int") + F.lit(2),
+        F.lit(0),
     )
-    ja = (
-        shared.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+    inv = arrs.select(
+        "id", F.explode(F.slice("sh_c", 1, p2_col)).alias("shingle")
+    )
+    # SHUFFLE_HASH: the build side is one prefix row per doc-shingle
+    # (1.35M rows at sf1.0, ~40K per partition) — far under the per-task
+    # memory a hash relation needs, and 2.5x faster than sort-merge here.
+    # Doc sizes are attached by broadcast int-joins AFTER the _c >= 2 cut
+    # so the wide rows never enter the (nearly collapse-free) aggregate,
+    # and when the ids are non-negative integers under 2^31 the pair key
+    # packs into ONE long (measured 7.2s -> 5.8s on the 3.9e7-collision
+    # aggregate: half the key bytes, one hash/compare instead of two).
+    stats = sets_.agg(
+        F.count("*").alias("n"), F.min("id").alias("lo"),
+        F.max("id").alias("hi"),
+    ).first()
+    n_docs = stats["n"]
+    packable = (
+        docs.schema[id_col].dataType.simpleString()
+        in ("tinyint", "smallint", "int", "bigint")
+        and stats["lo"] is not None and stats["lo"] >= 0
+        and stats["hi"] is not None and stats["hi"] < 2 ** 31
+    )
+    il, ir = inv.alias("l"), inv.hint("SHUFFLE_HASH").alias("r")
+    joined = il.join(
+        ir,
+        (F.col("l.shingle") == F.col("r.shingle"))
+        & (F.col("l.id") < F.col("r.id")),
+    )
+    id_dt = docs.schema[id_col].dataType.simpleString()
+    if packable:
+        pk = (F.shiftleft(F.col("l.id").cast("long"), 32)
+              + F.col("r.id").cast("long"))
+        counted = (
+            joined.groupBy(pk.alias("_pk"))
+            .agg(F.count("*").alias("_c"))
+            .filter(F.col("_c") >= 2)
+            .select(
+                F.shiftright("_pk", 32).cast(id_dt).alias("id_a"),
+                F.col("_pk").bitwiseAND(F.lit(4294967295)).cast(id_dt)
+                .alias("id_b"),
+                "_c",
+            )
+        )
+    else:
+        counted = (
+            joined.groupBy(
+                F.col("l.id").alias("id_a"),
+                F.col("r.id").alias("id_b"),
+            )
+            .agg(F.count("*").alias("_c"))
+            .filter(F.col("_c") >= 2)
+        )
+    sa = arrs.select(F.col("id").alias("id_a"), F.size("sh_c").alias("nc_a"),
+                     F.col("n_all").alias("na_a"))
+    sb = arrs.select(F.col("id").alias("id_b"), F.size("sh_c").alias("nc_b"),
+                     F.col("n_all").alias("na_b"))
+    alpha = F.ceil(
+        F.lit(thr / (1.0 + thr)) * (F.col("na_a") + F.col("na_b"))
+        - F.lit(1e-9)
+    )
+    ceil_ta = F.ceil(F.lit(thr) * F.col("nc_a") + F.lit(1e-9))
+    ceil_tb = F.ceil(F.lit(thr) * F.col("nc_b") + F.lit(1e-9))
+    req = alpha - F.greatest(ceil_ta, ceil_tb) + F.lit(2)
+    cand = (
+        counted.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .filter(F.col("_c") >= F.greatest(F.lit(2), req))
+        .select("id_a", "id_b")
+    )
+
+    if tiny_cap is None:
+        # threshold 0: every pair sharing >= 1 capped shingle qualifies
+        tinv = arrs.select("id", "n_all", F.explode("sh_c").alias("shingle"))
+    else:
+        tinv = arrs.filter(F.col("n_all") <= tiny_cap).select(
+            "id", "n_all", F.explode("sh_c").alias("shingle")
+        )
+    tl, tr = tinv.alias("l"), tinv.alias("r")
+    tcand = tl.join(
+        tr,
+        (F.col("l.shingle") == F.col("r.shingle"))
+        & (F.col("l.id") < F.col("r.id")),
+    )
+    if tiny_cap is not None:
+        tcand = tcand.filter(
+            F.col("l.n_all") + F.col("r.n_all")
+            <= F.lit((1.0 + thr) / thr + 1e-9)
+        )
+    cand = cand.unionByName(
+        tcand.select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+    ).dropDuplicates(["id_a", "id_b"])
+
+    # --- exact verification -------------------------------------------
+    va = arrs.select(F.col("id").alias("id_a"), F.col("sh_c").alias("_sha"),
+                     F.col("n_all").alias("n_a"))
+    vb = arrs.select(F.col("id").alias("id_b"), F.col("sh_c").alias("_shb"),
+                     F.col("n_all").alias("n_b"))
+    if n_docs <= broadcast_docs_limit:
+        va, vb = F.broadcast(va), F.broadcast(vb)
+    n_shared = F.size(F.array_intersect("_sha", "_shb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
         .select(
             "id_a",
             "id_b",
             F.round(
-                F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared")), 6
+                n_shared / (F.col("n_a") + F.col("n_b") - n_shared), 6
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
-    return ja
 
 
 # ---------------------------------------------------------------------------

