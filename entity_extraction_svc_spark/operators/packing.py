@@ -90,6 +90,12 @@ def pack_sequences(docs: DataFrame, seq_len: int, id_col: str = "doc_id",
     """
     if seq_len <= 0:
         raise ValueError(f"seq_len must be positive, got {seq_len}")
+    from entity_extraction_svc_spark.operators.scanwide import widen_scan
+
+    # tokenization + md5 run map-side of the bucket exchange; a small file
+    # scanning as 1-2 splits would serialize them (r6, measured ~0.5s of
+    # the 1.9s sf1.0 query) — widen_scan is a no-op at cluster scale
+    docs = widen_scan(docs)
     S = F.lit(int(seq_len)).cast("long")
     n = (
         F.col(count_col).cast("long")
