@@ -362,10 +362,22 @@ def cc_delta(labels: DataFrame, add_edges: DataFrame | None = None,
             "left_anti",
         )
         # both endpoints of a PRE-edit edge share a component, so the
-        # affected subgraph needs only a src-side membership test
-        sub_nodes = out.join(F.broadcast(affected), "comp", "left_semi") \
+        # affected subgraph needs only a src-side membership test.  The
+        # node slice is materialized and broadcast when it is small
+        # (ADVICE r5: unhinted, BOTH sides of this semi-join exchanged —
+        # including the full pre-edit edge list, contradicting the
+        # "store scanned, never exchanged" claim); a huge affected slice
+        # (a giant component was split) falls back to the shuffle join.
+        sub_nodes = (
+            out.join(F.broadcast(affected), "comp", "left_semi")
             .select(F.col("node").alias("src"))
-        sub_edges = survivors.join(sub_nodes, "src", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        if sub_nodes.count() <= 5_000_000:
+            sub_edges = survivors.join(F.broadcast(sub_nodes), "src",
+                                       "left_semi")
+        else:
+            sub_edges = survivors.join(sub_nodes, "src", "left_semi")
         recomputed = connected_components(
             sub_edges, local_max_edges=local_max_edges
         )

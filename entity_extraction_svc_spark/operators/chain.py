@@ -142,7 +142,8 @@ def forward_chain(triples: DataFrame,
                                     tuple[str, str, str]]],
                   max_rounds: int = 32,
                   fold_rows: int = 2_000_000,
-                  derived_only: bool = False) -> DataFrame:
+                  derived_only: bool = False,
+                  broadcast_rows: int = 2_000_000) -> DataFrame:
     """Materialize the fixpoint of ``rules`` over ``triples``.
 
     ``rules``: (body, head) pairs; body = list of (s, p, o) patterns with
@@ -167,6 +168,7 @@ def forward_chain(triples: DataFrame,
     n_legs_max = max(len(body) for body, _ in rules)
     empty = spark.createDataFrame([], base.schema)
     overlay = empty
+    n_overlay = 0
     delta = base
     first = True
     for _ in range(max_rounds):
@@ -188,11 +190,28 @@ def forward_chain(triples: DataFrame,
         # — a shuffle-free scan of the persisted base), then anti-join the
         # candidates against that delta-sized slice and the overlay, both
         # broadcast.  The base is never exchanged after round 0.
+        # The broadcast is GATED on the round's candidate row count
+        # (VERDICT r5 #2): a BOOTSTRAP's round 0 evaluates every rule head
+        # over the full base — at a 10^10-fact KB that candidate set blows
+        # the 8 GB broadcast cap outright — so rounds beyond
+        # ``broadcast_rows`` dedup via plain shuffle anti-joins instead
+        # (one base exchange, unavoidable and amortized at that scale);
+        # delta-sized rounds — all of maintenance, and every bootstrap
+        # round near the fixpoint — keep the shuffle-free broadcast path.
         cand = cand.distinct().localCheckpoint(eager=True)
-        base_hits = base.join(F.broadcast(cand), list(_COLS), "left_semi")
-        new = cand.join(F.broadcast(base_hits), list(_COLS), "left_anti")
-        if overlay is not empty:
-            new = new.join(F.broadcast(overlay), list(_COLS), "left_anti")
+        if cand.count() <= broadcast_rows:
+            base_hits = base.join(F.broadcast(cand), list(_COLS), "left_semi")
+            new = cand.join(F.broadcast(base_hits), list(_COLS), "left_anti")
+            if overlay is not empty:
+                if n_overlay <= broadcast_rows:
+                    new = new.join(F.broadcast(overlay), list(_COLS),
+                                   "left_anti")
+                else:
+                    new = new.join(overlay, list(_COLS), "left_anti")
+        else:
+            new = cand.join(base, list(_COLS), "left_anti")
+            if overlay is not empty:
+                new = new.join(overlay, list(_COLS), "left_anti")
         new = new.localCheckpoint(eager=True)
         if new.limit(1).count() == 0:
             entailed = base.unionByName(overlay) if overlay is not empty else base
@@ -208,7 +227,8 @@ def forward_chain(triples: DataFrame,
             return out
         overlay = (new if overlay is empty
                    else overlay.unionByName(new).localCheckpoint(eager=True))
-        if overlay.count() > fold_rows:
+        n_overlay = overlay.count()
+        if n_overlay > fold_rows:
             # fold: one materialization of base ∪ overlay (disjoint by
             # construction — no re-distinct), geometrically amortized
             folded = base.unionByName(overlay).persist()
@@ -216,6 +236,7 @@ def forward_chain(triples: DataFrame,
             base.unpersist()
             base = folded
             overlay = empty
+            n_overlay = 0
         delta = new
         first = False
     raise RuntimeError(

@@ -406,9 +406,14 @@ def maintain_canonical(spark: SparkSession, out_dir: str,
     if not runs:
         return {"status": "no-triples-store"}
     head_run = runs[-1]["run_id"]
+    existing, manifest = read_closure(spark, out_dir, name, prefix="cc")
+    # fast-path check BEFORE materializing the full entity-edge set: a
+    # no-op invocation must not pay a store scan (ADVICE r5 — the sibling
+    # maintain_closure/maintain_entailment already order it this way)
+    if existing is not None and manifest["as_of_run"] == head_run:
+        return {"status": "up-to-date", "as_of_run": head_run}
     cur_edges = _entity_edges(read_triples(spark, out_dir)) \
         .localCheckpoint(eager=True)
-    existing, manifest = read_closure(spark, out_dir, name, prefix="cc")
 
     def _full(seq: int) -> dict:
         labels = connected_components(cur_edges).localCheckpoint(eager=True)
@@ -418,8 +423,6 @@ def maintain_canonical(spark: SparkSession, out_dir: str,
 
     if existing is None:
         return {"status": "bootstrap", **_full(0)}
-    if manifest["as_of_run"] == head_run:
-        return {"status": "up-to-date", "as_of_run": head_run}
     try:
         old_edges = _entity_edges(read_triples(
             spark, out_dir, as_of=manifest["as_of_run"]

@@ -100,6 +100,18 @@ def test_fold_path_identical(spark):
     assert d == _py_fixpoint(_CHAIN, _R1) - set(_CHAIN)
 
 
+def test_broadcast_gate_path_identical(spark):
+    """broadcast_rows=0 forces every round's dedup onto the shuffle
+    anti-join path (the r6 bootstrap-scale gate, VERDICT r5 #2); the
+    fixpoint must not change — the broadcast is a physical choice only."""
+    got = _set(forward_chain(_df(spark, _CHAIN), _R1, broadcast_rows=0))
+    assert got == _py_fixpoint(_CHAIN, _R1)
+    # gate + fold together (both non-default paths at once)
+    got2 = _set(forward_chain(_df(spark, _CHAIN), _R1, broadcast_rows=0,
+                              fold_rows=1, derived_only=True))
+    assert got2 == _py_fixpoint(_CHAIN, _R1) - set(_CHAIN)
+
+
 def test_mutual_recursion_across_rules(spark):
     """Subproperty expansion derives an edge that range-types its object,
     and the derived type climbs the taxonomy — every rule fires on another
