@@ -1212,9 +1212,11 @@ def substring_windows(docs: DataFrame, text_col: str = "text",
     materialized.  At 100 TB use :func:`winnow_fingerprints` instead,
     which cuts the shuffled row count ~w/2-fold with a detection
     guarantee."""
+    from entity_extraction_svc_spark.operators.scanwide import widen_scan
+
     nt = F.size(_word_tokens(_norm_text(text_col)))
     return (
-        with_shingles(docs, text_col=text_col, n=k, out_col="_w")
+        with_shingles(widen_scan(docs), text_col=text_col, n=k, out_col="_w")
         .withColumn("_nt", nt)
         # a zero-token document has no substrings; letting it through
         # would make every empty doc a "duplicate" of every other (and
@@ -1397,7 +1399,11 @@ def winnow_fingerprints(docs: DataFrame, text_col: str = "text",
     transform / array_min over (h, pos) structs — struct ordering is
     lexicographic) inside one codegen stage; only the selected
     fingerprints are exploded."""
-    shingled = with_shingles(docs, text_col=text_col, n=k, out_col="_w").filter(
+    from entity_extraction_svc_spark.operators.scanwide import widen_scan
+
+    shingled = with_shingles(
+        widen_scan(docs), text_col=text_col, n=k, out_col="_w"
+    ).filter(
         F.size(_word_tokens(_norm_text(text_col))) > 0  # no substrings in ""
     )
     hs = F.transform("_w", _h64)

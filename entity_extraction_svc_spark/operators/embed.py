@@ -37,9 +37,15 @@ def hash_embed(docs: DataFrame, dim: int = 16, text_col: str = "text",
     Staged as three projections (tokens -> (bucket, sign) pairs -> vector)
     so Catalyst doesn't re-inline the md5 subtree once per output bucket
     (the element_at-in-transform trap measured at ~20x in dedup.py).
+    The scan is widened when a small file under-splits: the per-row
+    md5+fold expression ran on 2 of 32 cores at sf1.0 — 69s -> 4.4s
+    (r6; no-op at cluster scale, see ``scanwide.widen_scan``).
     """
+    from entity_extraction_svc_spark.operators.scanwide import widen_scan
+
     hashed = (
-        docs.withColumn("_toks", _word_tokens(_norm_text(text_col)))
+        widen_scan(docs)
+        .withColumn("_toks", _word_tokens(_norm_text(text_col)))
         .withColumn("_h", F.transform("_toks", lambda t: _h64(t)))
         .withColumn(
             "_bs",
