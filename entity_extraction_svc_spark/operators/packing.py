@@ -94,8 +94,10 @@ def pack_sequences(docs: DataFrame, seq_len: int, id_col: str = "doc_id",
 
     # tokenization + md5 run map-side of the bucket exchange; a small file
     # scanning as 1-2 splits would serialize them (r6, measured ~0.5s of
-    # the 1.9s sf1.0 query) — widen_scan is a no-op at cluster scale
-    docs = widen_scan(docs)
+    # the 1.9s sf1.0 query) — widen_scan is a no-op at cluster scale.
+    # min_bytes: tokenization cost scales with bytes, so a sub-4MB corpus
+    # cannot be compute-heavy and skips the exchange outright
+    docs = widen_scan(docs, min_bytes=4 << 20)
     S = F.lit(int(seq_len)).cast("long")
     n = (
         F.col(count_col).cast("long")

@@ -22,12 +22,27 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def widen_scan(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+def widen_scan(df: DataFrame, min_parts: int | None = None,
+               min_bytes: int | None = None) -> DataFrame:
     """Repartition ``df`` to the session's default parallelism when its
-    current plan yields fewer partitions; identity otherwise."""
+    current plan yields fewer partitions; identity otherwise.
+
+    ``min_bytes``: skip widening when the optimizer's size estimate is
+    under this many bytes — for callers whose per-row work scales with
+    byte size (e.g. plain tokenization), a tiny input cannot be
+    compute-heavy and the exchange's fixed cost would dominate.  Callers
+    with byte-independent per-row cost (hashing pipelines, Python batch
+    passes) should leave it unset."""
     sc = df.sparkSession.sparkContext
     target = int(min_parts or sc.defaultParallelism)
     try:
+        if min_bytes is not None:
+            est = df._jdf.queryExecution().optimizedPlan().stats() \
+                .sizeInBytes()
+            if not isinstance(est, int):  # py4j usually auto-converts BigInt
+                est = int(est.longValue())
+            if est < min_bytes:
+                return df
         cur = df.rdd.getNumPartitions()
     except Exception:
         return df
